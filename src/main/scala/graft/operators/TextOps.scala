@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-score / token-count / fingerprint family a training-data
+  * pipeline runs over every document. All of it is built from codegen'd
+  * string builtins (length/replace/md5), i.e. narrow per-row work that
+  * scales linearly with the corpus; the only shuffles are the final
+  * order-bys for the deterministic oracle dump.
+  *
+  * Each heuristic is defined ONCE and rendered twice — as a Spark Column
+  * and as the equivalent ANSI SQL — so the engine and the DuckDB oracle
+  * can never drift.
+  */
+object TextOps {
+
+  /** Number of non-overlapping occurrences of literal `needle` in `col`,
+    * via length arithmetic (no regex — identical semantics in Spark and
+    * DuckDB): (len(s) - len(replace(s, needle, ''))) / len(needle).
+    */
+  private def occurrences(c: Column, needle: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(needle), ""))) /
+      needle.length).cast("long")
+
+  private def occurrencesSql(expr: String, needle: String): String = {
+    val lit = needle.replace("'", "''")
+    s"CAST((length($expr) - length(replace($expr, '$lit', ''))) / ${needle.length} AS BIGINT)"
+  }
+
+  /** text padded with one space each side, so ' word ' needles match at
+    * string boundaries too.
+    */
+  private def padded(c: Column): Column = concat(lit(" "), c, lit(" "))
+  private val paddedSql = "(' ' || text || ' ')"
+
+  /** whitespace word count via length arithmetic (single-space separated
+    * corpus): words = chars - chars_without_spaces + 1.
+    */
+  private def wordCount(c: Column): Column =
+    (length(c) - length(translate(c, " ", "")) + 1).cast("long")
+  private val wordCountSql =
+    "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+
+  /** Token / length statistics per document. */
+  def q15TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        wordCount($"text").as("n_words"),
+        round(length($"text").cast("double") / wordCount($"text"), 4).as("chars_per_word"))
+      .orderBy($"doc_id")
+  }
+
+  val q15Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  $wordCountSql AS n_words,
+       |  round(CAST(length(text) AS DOUBLE) / $wordCountSql, 4) AS chars_per_word
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** Stopword-frequency language-ID heuristic. The fixture corpus is an
+    * English-ish word salad, so the interesting property is that engine and
+    * oracle agree exactly on the scores, not linguistic accuracy.
+    */
+  private val enStopwords = Seq(" the ", " a ")
+
+  def q16LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = padded(col("text"))
+    val score = enStopwords.map(occurrences(p, _)).reduce(_ + _)
+    Tables(spark, dir).documents
+      .select(
+        $"doc_id",
+        score.as("en_score"),
+        when(score >= 3, "en").when(score >= 1, "en_maybe").otherwise("und").as("lang_pred"))
+      .orderBy($"doc_id")
+  }
+
+  val q16Sql: String = {
+    val score = enStopwords.map(occurrencesSql(paddedSql, _)).mkString("(", " + ", ")")
+    s"""SELECT doc_id, $score AS en_score,
+       |  CASE WHEN $score >= 3 THEN 'en'
+       |       WHEN $score >= 1 THEN 'en_maybe'
+       |       ELSE 'und' END AS lang_pred
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprint: first 64 bits of md5 over the raw text, plus a
+    * word-shape fingerprint (count of distinct-ish word lengths). md5 is
+    * identical across engines, making this the content-address the exact
+    * dedup pass groups on.
+    */
+  def q17Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(
+        $"doc_id",
+        substring(md5($"text"), 1, 16).as("fp64"),
+        md5($"text").as("fp128"))
+      .orderBy($"doc_id")
+  }
+
+  val q17Sql: String =
+    """SELECT doc_id, substring(md5(text), 1, 16) AS fp64, md5(text) AS fp128
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality score: bounded word-count credit × stopword-density penalty —
+    * the shape of a pretraining quality filter (length/stopword-ratio
+    * features), expressed in portable arithmetic.
+    */
+  def q18Quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = padded(col("text"))
+    val stop = enStopwords.map(occurrences(p, _)).reduce(_ + _)
+    val words = wordCount(col("text"))
+    val lengthCredit = least(lit(1.0), words.cast("double") / 60.0)
+    val stopRatio = stop.cast("double") / words
+    Tables(spark, dir).documents
+      .select(
+        $"doc_id",
+        words.as("n_words"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(lengthCredit * (lit(1.0) - stopRatio), 4).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  val q18Sql: String = {
+    val stop = enStopwords.map(occurrencesSql(paddedSql, _)).mkString("(", " + ", ")")
+    s"""SELECT doc_id,
+       |  $wordCountSql AS n_words,
+       |  round(CAST($stop AS DOUBLE) / $wordCountSql, 4) AS stop_ratio,
+       |  round(least(1.0, CAST($wordCountSql AS DOUBLE) / 60.0)
+       |        * (1.0 - CAST($stop AS DOUBLE) / $wordCountSql), 4) AS quality
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q15_token_stats", q15TokenStats, Some(q15Sql), Seq("F-text"),
+      "per-document token/length statistics"),
+    Q("q16_lang_id", q16LangId, Some(q16Sql), Seq("F-text"),
+      "stopword-frequency language-ID heuristic"),
+    Q("q17_fingerprint", q17Fingerprint, Some(q17Sql), Seq("F-text"),
+      "md5 content fingerprints"),
+    Q("q18_quality", q18Quality, Some(q18Sql), Seq("F-text"),
+      "portable document quality score"))
+}
