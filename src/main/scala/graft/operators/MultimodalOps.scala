@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, and decode / feature-extraction as
+  * batched per-partition transforms.
+  *
+  * The decode step itself is a STUB (this environment has no image/audio
+  * codecs): `decodeStub` derives deterministic fake "pixel statistics"
+  * from the payload bytes. Everything around it is real and is the part
+  * that matters at 100 TB:
+  *   - schema: (media_id, kind, payload binary, width, height) rows —
+  *     payloads travel as parquet binary, never through the driver;
+  *   - execution: `mapPartitions` with explicit micro-batching (batch of
+  *     64 payloads per decoder call — the same batch shape an Arrow-based
+  *     decode UDF would see), so a native decoder amortizes setup per
+  *     batch, not per row;
+  *   - partitioning: decode is narrow — rows are decoded where they were
+  *     scanned; only the small feature vectors continue into shuffles.
+  */
+object MultimodalOps {
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int)
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      mean_byte: Double, checksum: Long)
+
+  val BatchSize = 64
+
+  /** STUB decoder: stands in for an image/audio decode. Deterministic pure
+    * function of the payload so tests and reruns agree. A real deployment
+    * swaps only this function (same batch-in, batch-out signature).
+    */
+  def decodeStub(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+    batch.map { m =>
+      var sum = 0L
+      var check = 1125899906842597L
+      m.payload.foreach { b =>
+        sum += (b & 0xff)
+        check = check * 31 + (b & 0xff)
+      }
+      MediaFeatures(m.media_id, m.kind,
+        m.payload.length.toLong,
+        if (m.payload.isEmpty) 0.0 else sum.toDouble / m.payload.length,
+        check)
+    }
+
+  /** Batched decode over a distributed media Dataset. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(batch => decodeStub(batch))
+    }
+  }
+
+  /** Deterministic media table derived from `documents` (payload = UTF-8
+    * text bytes posing as an encoded frame) — the fixture generator for
+    * the multimodal path; kind/width/height are synthesized metadata.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(
+        $"doc_id".as("media_id"),
+        when($"doc_id" % 3 === 0, "image").when($"doc_id" % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        encode($"text", "UTF-8").as("payload"),
+        (($"doc_id" % 4) * 160 + 320).cast("int").as("width"),
+        (($"doc_id" % 4) * 90 + 180).cast("int").as("height"))
+      .as[MediaRow]
+  }
+
+  /** Frame-sampling stub for video payloads: every k-th BatchSize-byte
+    * slice as a "frame" (real codec would seek keyframes; the slicing /
+    * row-explosion plumbing is what's exercised).
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyK: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      m.payload.grouped(BatchSize).zipWithIndex.collect {
+        case (frame, i) if i % everyK == 0 => (m.media_id, i, frame.length.toLong)
+      }
+    }.toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** End-to-end multimodal query: synthesize media → batched stub decode →
+    * per-kind feature aggregate. Rows-only check (binary payloads +
+    * engine-side checksum); exactness is asserted by MultimodalSpec.
+    */
+  def q30Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(mediaFromDocuments(spark, dir)).toDF()
+      .groupBy($"kind")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum($"n_bytes").as("total_bytes"),
+        round(avg($"mean_byte"), 4).as("avg_mean_byte"))
+      .orderBy($"kind")
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q30_multimodal", q30Multimodal, None, Seq("X-multimodal"),
+      "binary media columns: batched stub decode + feature aggregate"))
+}

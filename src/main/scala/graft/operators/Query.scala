@@ -28,7 +28,8 @@ object Registry {
       TextOps.queries ++
       DedupOps.queries ++
       SimilarityOps.queries ++
-      WeatherOps.queries
+      WeatherOps.queries ++
+      MultimodalOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

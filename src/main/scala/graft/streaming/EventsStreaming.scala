@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events stream (extension beyond
+  * the strictly-batch reference — SURVEY.md §2.9; the `events` fixture's
+  * shape drives it).
+  *
+  * Design: the streaming pipelines are the SAME logical plans as their
+  * batch twins in Relational (q11EventsHourly) — `readStream` swaps the
+  * source, watermarks bound state, and the incremental engine takes care
+  * of the rest. State size at scale is O(open windows × event types), not
+  * O(stream), because the watermark lets Spark drop closed windows.
+  */
+object EventsStreaming {
+
+  /** The long/nanos-at-rest schema of the events fixture (TIMESTAMP(NANOS)
+    * parquet — read as long, converted in-plan; see graft.Tables.events).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a parquet directory of events. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling hourly aggregate per event type with a 1-hour watermark —
+    * the incremental twin of Relational.q11EventsHourly. Output rows are
+    * (window start, event_type, n_events, total_value).
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n_events"), col("total_value"))
+
+  /** Run a streaming frame to completion against a finite source and
+    * return the result via an in-memory sink (test/dev harness).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  final case class UserSession(user_id: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Custom stateful operator: gap-based sessionization per user via
+    * flatMapGroupsWithState (30-minute inactivity gap). State per user is
+    * one open session (constant size); closed sessions are emitted and
+    * dropped, so state never grows with the stream. This is the
+    * mapGroupsWithState surface the engine exposes for semantics Spark's
+    * built-in windows can't express.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Long = 30): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var open = state.getOption.flatMap(_.headOption)
+          val closed = scala.collection.mutable.ListBuffer.empty[UserSession]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            open match {
+              case Some(s) if t - s.end <= gapMs =>
+                open = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                closed += UserSession(userId, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.end), s.n, s.total)
+                open = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                open = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          state.update(open.toList)
+          closed.iterator
+      }
+  }
+}

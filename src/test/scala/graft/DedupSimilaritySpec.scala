@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, SimilarityOps}
+
+/** Planted-fixture specs for the engine-hash operators (minhash / simhash /
+  * IVF) that the DuckDB oracle can't cross-check: known duplicates must
+  * surface, known non-duplicates must not, and ANN must agree with the
+  * exact baseline on a clustered fixture.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** documents fixture: doc0 base, doc1 = near-dup (2 words changed),
+    * doc2 = exact copy of doc0, doc3/doc4 = unrelated.
+    */
+  private lazy val docDir: String = {
+    val dir = TestSpark.scratch("dedup-docs")
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 30).map(i => s"tok$i") ++ Seq("CHANGED_A", "CHANGED_B") ++
+      (33 to 60).map(i => s"tok$i")).mkString(" ")
+    val other1 = (100 to 160).map(i => s"alt$i").mkString(" ")
+    val other2 = (200 to 260).map(i => s"zed$i").mkString(" ")
+    Seq(
+      (0L, base, "en", "src", base.length.toLong),
+      (1L, near, "en", "src", near.length.toLong),
+      (2L, base, "en", "src", base.length.toLong),
+      (3L, other1, "en", "src", other1.length.toLong),
+      (4L, other2, "en", "src", other2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** embeddings fixture: 3 orthogonal-ish clusters, label = cluster id;
+    * 8 dims, 10 vectors per cluster. vec 0 is the ANN query.
+    */
+  private lazy val embDir: String = {
+    val dir = TestSpark.scratch("sim-emb")
+    val rows = for {
+      cluster <- 0 until 3
+      i <- 0 until 10
+    } yield {
+      val base = Array.fill(8)(0.05f * ((cluster * 10 + i) % 3))
+      base(cluster) = 10.0f
+      base((cluster + 4) % 8) = 1.0f + 0.1f * i
+      ((cluster * 10 + i).toLong, base.toSeq, cluster)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("exact dedup groups the identical pair and keeps the smallest id") {
+    val out = DedupOps.q19DedupExact(spark, docDir).collect()
+    assert(out.length == 4) // 5 docs, one exact-dup pair
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("ngram jaccard surfaces the near-dup pair and not the unrelated ones") {
+    val pairs = DedupOps.q20NgramJaccard(spark, docDir)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect().toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 2L))) // exact copy → jaccard 1.0
+    assert(keys.contains((0L, 1L)) && keys.contains((1L, 2L))) // near-dups
+    assert(!keys.exists(k => k._1 == 3L || k._2 == 3L))
+    assert(pairs.find(p => (p._1, p._2) == (0L, 2L)).get._3 == 1.0)
+  }
+
+  test("minhash-LSH finds the planted near-dups after exact verification") {
+    val pairs = DedupOps.q21MinhashLsh(spark, docDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs collide; near-dups are close in Hamming distance") {
+    val sig = DedupOps.q22Simhash(spark, docDir)
+      .as[(Long, Long)].collect().toMap
+    assert(sig(0L) == sig(2L))
+    val hammingNear = java.lang.Long.bitCount(sig(0L) ^ sig(1L))
+    val hammingFar = java.lang.Long.bitCount(sig(0L) ^ sig(3L))
+    assert(hammingNear <= 8, s"near-dup hamming $hammingNear")
+    assert(hammingFar > hammingNear, s"far $hammingFar vs near $hammingNear")
+  }
+
+  test("ANN brute force ranks the query's own cluster first") {
+    val top = SimilarityOps.q24AnnBrute(spark, embDir)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(top.take(9).forall(_ < 10), s"top-9 should be cluster 0: $top")
+  }
+
+  test("IVF probe of 2 cells reaches full recall vs the exact baseline") {
+    val brute = SimilarityOps.q24AnnBrute(spark, embDir)
+      .select($"vec_id").as[Long].collect().take(10).toSet
+    val ivf = SimilarityOps.q25AnnIvf(spark, embDir)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("embedding near-dup finds same-cluster high-cosine pairs only") {
+    val out = SimilarityOps.q23EmbedNearDup(spark, embDir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b) => a / 10 == b / 10 }) // blocked by cluster
+  }
+}

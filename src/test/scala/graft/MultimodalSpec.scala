@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.MultimodalOps
+
+/** Specs for the multimodal plumbing: the stub decoder is deterministic,
+  * the batch path preserves every row, and derived features reconcile
+  * with known payload facts (byte length of ASCII text == n_chars).
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.sf
+
+  test("batched decode preserves cardinality and is deterministic") {
+    val a = MultimodalOps.decodeFeatures(MultimodalOps.mediaFromDocuments(spark, sf))
+      .orderBy($"media_id").collect()
+    val b = MultimodalOps.decodeFeatures(MultimodalOps.mediaFromDocuments(spark, sf))
+      .orderBy($"media_id").collect()
+    assert(a.length == 500)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("decoded n_bytes reconciles with documents.n_chars (ASCII corpus)") {
+    val feats = MultimodalOps.decodeFeatures(MultimodalOps.mediaFromDocuments(spark, sf))
+      .select($"media_id".as("doc_id"), $"n_bytes")
+    val docs = Tables(spark, sf).documents.select($"doc_id", $"n_chars")
+    val mismatch = feats.join(docs, "doc_id")
+      .filter($"n_bytes" =!= $"n_chars").count()
+    assert(mismatch == 0)
+  }
+
+  test("q30 aggregates one row per media kind") {
+    val rows = MultimodalOps.q30Multimodal(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("kind")).toSeq == Seq("audio", "image", "video"))
+    assert(rows.map(_.getAs[Long]("n_media")).sum == 500)
+  }
+
+  test("frame sampling emits only video rows at the configured stride") {
+    val frames = MultimodalOps.sampleFrames(MultimodalOps.mediaFromDocuments(spark, sf))
+    val kinds = frames.select($"media_id" % 3).distinct().as[Long].collect().toSet
+    assert(kinds == Set(2L)) // only doc_id % 3 == 2 are video
+    val idx = frames.select($"frame_idx").distinct().as[Int].collect().toSet
+    assert(idx.forall(_ % 4 == 0))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Registry, Relational, Collections}
+
+/** Semantic invariants for the relational surface (exact values are
+  * cross-checked against DuckDB by the driver's oracle gate; these specs
+  * pin the properties that must hold at any scale) + plan-shape
+  * assertions: the optimizations we rely on at 100 TB must actually
+  * appear in the physical plan.
+  */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.sf
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("every registered query runs and has a stable non-empty schema") {
+    Registry.all.foreach { q =>
+      val df = q.run(spark, sf)
+      assert(df.schema.fields.nonEmpty, q.name)
+      assert(df.count() >= 0, q.name)
+    }
+  }
+
+  test("registry names are unique and all oracles reference registered queries") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q1: one row per (returnflag, linestatus); counts reconcile with the scan") {
+    val out = Relational.q1Agg(spark, sf)
+    val total = out.agg(sum($"count_order")).as[Long].head()
+    val expected = Tables(spark, sf).lineitem
+      .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp")).count()
+    assert(total == expected)
+  }
+
+  test("q6 merge: row count = fact-not-in-staging + staging (staging wins on key)") {
+    // note: the synthetic lineitem fixture contains duplicate
+    // (l_orderkey, l_linenumber) pairs, so the invariant is on row
+    // provenance, not key uniqueness
+    val row = Relational.q6MergeUpsert(spark, sf).head()
+    val li = Tables(spark, sf).lineitem
+    val cut = lit("2000-01-01").cast("timestamp")
+    val staging = li.filter($"l_shipdate" >= cut)
+    val factKept = li.filter($"l_shipdate" < cut)
+      .join(staging.select($"l_orderkey", $"l_linenumber"),
+        Seq("l_orderkey", "l_linenumber"), "left_anti")
+    assert(row.getAs[Long]("n_rows") == factKept.count() + staging.count())
+  }
+
+  test("q7: exactly one latest row per customer with an order") {
+    val n = Relational.q7LatestPerKey(spark, sf).count()
+    val custs = Tables(spark, sf).orders.select($"o_custkey").distinct().count()
+    assert(n == custs)
+  }
+
+  test("q5 anti-join + orders customers partition the customer table") {
+    val without = Relational.q5AntiJoin(spark, sf).count()
+    val t = Tables(spark, sf)
+    val withOrders = t.customer.join(t.orders, $"c_custkey" === $"o_custkey", "left_semi").count()
+    assert(without + withOrders == t.customer.count())
+  }
+
+  test("q13 explode cardinality = rows × dim") {
+    assert(Collections.q13Explode(spark, sf).count() == 500L * 64)
+  }
+
+  test("plan: q2 filter and projection are pushed into the parquet scan") {
+    val p = plan(Relational.q2ProjFilter(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"), p.take(2000))
+    // pruned read schema must not include unused columns like l_suppkey
+    assert(!p.contains("l_suppkey"))
+  }
+
+  test("plan: q3 broadcasts the small dimensions") {
+    val p = plan(Relational.q3StarJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("plan: q8 top-k avoids a global sort") {
+    val p = plan(Relational.q8TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("plan: q1 aggregates partially before the exchange (map-side combine)") {
+    val p = plan(Relational.q1Agg(spark, sf))
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+  }
+
+  test("q8 returns exactly 10 rows in descending price order") {
+    val prices = Relational.q8TopK(spark, sf).select($"totalprice").as[Double].collect()
+    assert(prices.length == 10)
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+}

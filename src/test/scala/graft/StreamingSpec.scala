@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventsStreaming
+import graft.streaming.EventsStreaming.{Event, UserSession}
+
+/** Structured Streaming specs: the incremental hourly aggregate must agree
+  * with its batch twin, and the stateful sessionizer must close sessions
+  * on gap boundaries only.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming hourly aggregate equals the batch twin over the events fixture") {
+    // file-stream sources need a directory: stage the fixture file into one
+    val dir = TestSpark.scratch("stream-in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamed = EventsStreaming.runToMemory(
+      EventsStreaming.hourlyAgg(EventsStreaming.readEvents(spark, dir)),
+      "hourly_stream", OutputMode.Complete())
+      .select($"hour", $"event_type", $"n_events", $"total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = operators.Relational.q11EventsHourly(spark, TestSpark.sf)
+      .select($"hour", $"event_type", $"n_events", $"total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("sessionize closes sessions only across the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    def ev(id: Long, minute: Long) = Event(id, new java.sql.Timestamp(minute * 60000), 7L, "click", 1.0)
+    // session 1: minutes 0,10,20; gap > 30min; session 2: minutes 100,105
+    source.addData(ev(1, 0), ev(2, 10), ev(3, 20))
+    source.addData(ev(4, 100), ev(5, 105))
+    val out = EventsStreaming.sessionize(source.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions").start()
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions").as[UserSession].collect()
+    // only the first session is closed (second stays open in state)
+    assert(sessions.length == 1)
+    val s = sessions.head
+    assert(s.n_events == 3 && s.total_value == 3.0)
+    assert(s.start.getTime == 0L && s.end.getTime == 20 * 60000)
+  }
+}
