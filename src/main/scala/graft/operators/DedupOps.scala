@@ -114,15 +114,17 @@ object DedupOps {
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
 
-  /** MinHash signature component i of a shingle set: min over shingles of
-    * xxhash64(i, shingle). Narrow (higher-order fold), codegen'd.
-    */
-  private def minhash(shingles: Column, i: Int): Column =
-    array_min(transform(shingles, s => xxhash64(lit(i), s)))
-
   /** MinHash + LSH near-dup: 16 hashes, 4 bands × 4 rows. Candidates =
     * docs sharing any band signature (equi-join on (band, hash) — the LSH
     * bucket join); candidates are then verified with exact Jaccard ≥ 0.5.
+    *
+    * Signatures are computed as `min(xxhash64(seed_i, shingle))` over an
+    * exploded posting list — a plain codegen'd hash aggregate (16 min
+    * accumulators per doc), instead of 16 interpreted higher-order array
+    * traversals per document. One shuffle keyed by doc_id; at corpus
+    * scale the posting explode is narrow and the aggregate is
+    * partial+final.
+    *
     * Engine-specific hash (xxhash64) → no SQL oracle; correctness is
     * covered by the ScalaTest spec (planted near-dups must surface).
     */
@@ -130,14 +132,16 @@ object DedupOps {
     import spark.implicits._
     val sh = shingled(spark, dir).cache()
     val counts = sh.select($"doc_id", size($"shingles").as("n_sh"))
-    val sig = sh.select(
+    val post = sh.select($"doc_id", explode($"shingles").as("s"))
+    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), $"s")).as(s"mh$i"))
+    val sigs = post.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val buckets = sigs.select(
       $"doc_id",
-      array((0 until Bands).map { b =>
+      explode(array((0 until Bands).map { b =>
         struct(
           lit(b).as("band"),
-          xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand).map(minhash($"shingles", _)): _*).as("h"))
-      }: _*).as("bands"))
-    val buckets = sig.select($"doc_id", explode($"bands").as("bh"))
+          xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"mh$i")): _*).as("h"))
+      }: _*)).as("bh"))
       .select($"doc_id", $"bh.band".as("band"), $"bh.h".as("h"))
     val cand = buckets.as("a")
       .join(buckets.as("b"), $"a.band" === $"b.band" && $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
@@ -150,28 +154,27 @@ object DedupOps {
     jaccardOf(withSets, counts, 0.5)
   }
 
-  /** SimHash-32 per document, fully narrow: fold word tokens into a 32-bin
-    * ±1 counter array (bit b of xxhash64(token) votes +1/−1), then take
-    * sign bits. Near-dups land in the same bucket or within small Hamming
-    * distance; here we emit (simhash, bucket members) for the spec to
-    * check. Engine-specific hash → rows-only check.
+  /** SimHash-32 per document: bit b of xxhash64(token) votes ±1 into bin
+    * b; the signature's bit b is the vote sign. Computed as an exploded
+    * token stream → 32 conditional-sum accumulators → bit reassembly —
+    * all codegen'd scalar expressions (the earlier nested higher-order
+    * fold interpreted 32 lambdas per token). Engine-specific hash →
+    * rows-only check; DedupSimilaritySpec pins collision/Hamming
+    * behavior.
     */
   def q22Simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bits = 32
-    val tokenVotes: Column => Column = t =>
-      transform(sequence(lit(0), lit(bits - 1)),
-        b => when(call_function("shiftright", xxhash64(t), b.cast("int")).bitwiseAND(1) === 1,
-          lit(1L)).otherwise(lit(-1L)))
-    val votes = aggregate(
-      split($"text", " "),
-      array_repeat(lit(0L), bits),
-      (acc, t) => zip_with(acc, tokenVotes(t), (a, v) => a + v))
-    val sim = aggregate(
-      zip_with(votes, sequence(lit(0), lit(bits - 1)),
-        (v, b) => when(v >= 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-    Tables(spark, dir).documents
+    val toks = Tables(spark, dir).documents
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .withColumn("h", xxhash64($"tok"))
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    val sim = (0 until bits)
+      .map(b => when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
       .select($"doc_id", sim.as("simhash"))
       .orderBy($"doc_id")
   }

@@ -350,7 +350,8 @@ object Relational {
   def q12JsonExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).events
-      .select($"event_id", get_json_object($"props", "$.k").cast("long").as("k"))
+      // JSON parse projected once; the aggregate reuses the extracted column
+      .select(get_json_object($"props", "$.k").cast("long").as("k"))
       .groupBy(($"k" % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"), max($"k").as("max_k"))
       .orderBy($"k_bucket")

@@ -9,28 +9,39 @@ import graft.functions.VectorOps
   *
   * Two tiers, mirroring how a 100 TB corpus is actually served:
   *   - brute-force cosine top-k: the exactness baseline. The query vector
-  *     is broadcast (1 row), scoring is a narrow codegen'd fold per row,
-  *     and top-k plans as TakeOrderedAndProject (per-task heaps, no global
-  *     sort) — so even brute force scales linearly with no shuffle.
-  *   - IVF-style search: vectors are pre-bucketed into cells (the fixture's
-  *     `label` plays the role of a coarse-quantizer assignment); searching
-  *     probes only the nProbe cells whose centroids are nearest the query.
-  *     Centroid computation is a (cell, dim) aggregate — one shuffle over
-  *     data that is 64× the cell count, tiny at any scale.
+  *     is broadcast (1 row), scoring is a native codegen'd dot product per
+  *     row, and top-k plans as TakeOrderedAndProject (per-task heaps, no
+  *     global sort) — linear scan, no shuffle.
+  *   - IVF-style search: vectors are pre-bucketed into cells (the
+  *     fixture's `label` plays the coarse-quantizer assignment);
+  *     searching probes only the nProbe cells whose centroids are nearest
+  *     the query.
   *
-  * Embedding near-dup (cosine within blocked pairs) lives here too —
-  * blocking by cell keeps candidate pairs ~n²/cells instead of n².
+  * Norms are computed ONCE per row in a narrow projection and reused
+  * across every pair — the O(pairs) work is a single dot product.
+  * cosine = dot/(‖a‖·‖b‖) evaluates in the same order as
+  * VectorOps.cosine, so results are bit-identical to the naive form (and
+  * to the DuckDB oracle).
   */
 object SimilarityOps {
+
+  /** embeddings + precomputed L2 norm (narrow, codegen'd). */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).embeddings
+      .select($"vec_id", $"label", $"embedding",
+        VectorOps.l2Norm($"embedding").as("nrm"))
+  }
 
   /** Brute-force cosine top-20 neighbours of vec_id = 0. */
   def q24AnnBrute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables(spark, dir).embeddings
-    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    val e = withNorm(spark, dir)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
     e.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(q))
-      .select($"vec_id", VectorOps.cosine($"embedding", $"q_emb").as("cos_raw"))
+      .select($"vec_id",
+        (VectorOps.dot($"embedding", $"q_emb") / ($"nrm" * $"q_nrm")).as("cos_raw"))
       .orderBy($"cos_raw".desc, $"vec_id")
       .limit(20)
       .select($"vec_id", round($"cos_raw", 4).as("cos_sim"))
@@ -56,41 +67,43 @@ object SimilarityOps {
     */
   def q25AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables(spark, dir).embeddings
+    val e = withNorm(spark, dir)
     // (cell, dim) mean → reassembled centroid array, ordered by dim
-    val centroids = e
+    val centroids = Tables(spark, dir).embeddings
       .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
       .groupBy($"label", $"pos").agg(avg($"v".cast("double")).as("c"))
       .groupBy($"label")
-      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))), s => s("c")).as("centroid"))
-    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))), s => s("c").cast("float")).as("centroid"))
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
     val probed = centroids.crossJoin(broadcast(q))
-      .select($"label", VectorOps.cosine($"centroid", $"q_emb").as("cell_cos"))
+      .select($"label",
+        (VectorOps.dot($"centroid", $"q_emb") / (VectorOps.l2Norm($"centroid") * $"q_nrm")).as("cell_cos"))
       .orderBy($"cell_cos".desc, $"label")
       .limit(2)
       .select($"label")
     e.filter($"vec_id" =!= 0)
       .join(broadcast(probed), "label")
       .crossJoin(broadcast(q))
-      .select($"vec_id", $"label", VectorOps.cosine($"embedding", $"q_emb").as("cos_raw"))
+      .select($"vec_id", $"label",
+        (VectorOps.dot($"embedding", $"q_emb") / ($"nrm" * $"q_nrm")).as("cos_raw"))
       .orderBy($"cos_raw".desc, $"vec_id")
       .limit(10)
       .select($"vec_id", $"label", round($"cos_raw", 4).as("cos_sim"))
   }
 
   /** Embedding near-dup: pairs within the same cell with cosine ≥ 0.92.
-    * The label blocking bounds pair count; the ≥ cut happens on the
+    * The label blocking bounds pair count; per-pair work is one native
+    * dot product (norms precomputed per row). The ≥ cut happens on the
     * pre-round double (portable across engines).
     */
   def q23EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables(spark, dir).embeddings.select($"vec_id", $"label", $"embedding")
-    val pairs = e.as("a").join(e.as("b"),
-      $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
-    pairs
+    val e = withNorm(spark, dir)
+    e.as("a").join(e.as("b"),
+        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .select(
         $"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        VectorOps.cosine($"a.embedding", $"b.embedding").as("cos_raw"))
+        (VectorOps.dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cos_raw"))
       .filter($"cos_raw" >= 0.92)
       .select($"vec_a", $"vec_b", round($"cos_raw", 4).as("cos_sim"))
       .orderBy($"vec_a", $"vec_b")

@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for float-vector math.
+  *
+  * Spark's higher-order functions (`aggregate`/`zip_with`) evaluate an
+  * interpreted lambda per element and block whole-stage codegen, which is
+  * the difference between "scans 100 TB of embeddings at parquet speed"
+  * and "burns CPU boxing floats". These expressions generate a tight
+  * primitive loop over the columnar `ArrayData` (no per-element closures,
+  * no boxing) and participate in whole-stage codegen.
+  *
+  * Accumulation is an ordered left fold in double precision — same
+  * numeric contract as the higher-order versions they replace.
+  */
+object FloatVectorExpressions {
+
+  /** getFloat on a non-float ArrayData would silently misread bits — the
+    * input type MUST be checked at analysis time.
+    */
+  private def requireFloatArray(name: String, types: DataType*): TypeCheckResult =
+    if (types.forall { case ArrayType(FloatType, _) => true; case _ => false })
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<float> inputs, got ${types.map(_.sql).mkString(", ")}")
+
+  /** Σ xᵢ·yᵢ over two array<float> columns (length = min of the two). */
+  case class DotF32(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_f32"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(prettyName, left.dataType, right.dataType)
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  acc += ((double) $a.getFloat($i)) * $b.getFloat($i);
+           |}
+           |${ev.value} = acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF32 =
+      copy(left = l, right = r)
+  }
+
+  /** Σ xᵢ² over an array<float> column. */
+  case class NormSqF32(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "norm_sq_f32"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(prettyName, child.dataType)
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val x = ctx.freshName("x")
+        s"""
+           |int $n = $a.numElements();
+           |double acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = (double) $a.getFloat($i);
+           |  acc += $x * $x;
+           |}
+           |${ev.value} = acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): NormSqF32 = copy(child = c)
+  }
+
+  def dotF32(x: Column, y: Column): Column =
+    ColumnBridge.column(DotF32(ColumnBridge.expression(x), ColumnBridge.expression(y)))
+  def normSqF32(x: Column): Column =
+    ColumnBridge.column(NormSqF32(ColumnBridge.expression(x)))
+}
