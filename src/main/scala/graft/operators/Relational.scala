@@ -364,6 +364,118 @@ object Relational {
       |GROUP BY 1
       |ORDER BY k_bucket""".stripMargin
 
+  /** Hierarchical rollup with grouping-set semantics: per (status,
+    * priority) + per-status subtotals + grand total. NULL group markers
+    * match ANSI, so the oracle compares directly.
+    */
+  def q31Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val q31Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Set operations: customers active early INTERSECT/EXCEPT customers
+    * active late (distinct set semantics, like ANSI INTERSECT/EXCEPT).
+    */
+  def q32SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, dir).orders
+    val cut = lit("1999-01-01").cast("timestamp")
+    val early = o.filter($"o_orderdate" < cut).select($"o_custkey")
+    val late = o.filter($"o_orderdate" >= cut).select($"o_custkey")
+    val both = early.intersect(late).withColumn("cohort", lit("both"))
+    val earlyOnly = early.except(late).withColumn("cohort", lit("early_only"))
+    both.unionByName(earlyOnly).orderBy($"cohort", $"o_custkey")
+  }
+
+  val q32Sql: String =
+    """WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+      |late AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+      |both_c AS (SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM early INTERSECT SELECT * FROM late)),
+      |early_only AS (SELECT o_custkey, 'early_only' AS cohort FROM (SELECT * FROM early EXCEPT SELECT * FROM late))
+      |SELECT * FROM both_c UNION ALL SELECT * FROM early_only
+      |ORDER BY cohort, o_custkey""".stripMargin
+
+  /** Pivot: per-linestatus quantity totals spread across returnflag
+    * columns (fixed value list → static schema; the oracle mirrors with
+    * FILTER'd aggregates).
+    */
+  def q33Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum($"l_quantity"), 2))
+      .orderBy($"l_linestatus")
+  }
+
+  val q33Sql: String =
+    """SELECT l_linestatus,
+      |  round(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 2) AS "A",
+      |  round(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 2) AS "N",
+      |  round(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 2) AS "R"
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** Window-frame running aggregate: per-supplier cumulative revenue in
+    * shipdate order (rowsBetween frame; deterministic tie-break).
+    */
+  def q34RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).lineitem
+      .filter($"l_suppkey" <= 2)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        round(sum($"l_extendedprice").over(w), 2).as("running_revenue"),
+        row_number().over(
+          Window.partitionBy($"l_suppkey")
+            .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")).as("rn"))
+      .orderBy($"l_suppkey", $"rn")
+  }
+
+  val q34Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  round(sum(l_extendedprice) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue,
+      |  row_number() OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+      |FROM lineitem
+      |WHERE l_suppkey <= 2
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  /** lead/lag analytics: per-customer order-to-order gap in days. */
+  def q35LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables(spark, dir).orders
+      .select($"o_custkey", $"o_orderkey",
+        datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)).cast("long").as("days_since_prev"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q35Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(datediff('day', lag(o_orderdate, 1) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) AS BIGINT)
+      |    AS days_since_prev
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q1_agg", q1Agg, Some(q1Sql), Seq("A1", "A4", "A5", "F1", "F2"),
       "multi-aggregate hash group-by (pricing summary)"),
@@ -388,5 +500,15 @@ object Relational {
     Q("q11_events_hourly", q11EventsHourly, Some(q11Sql), Seq("A1", "F3"),
       "tumbling hourly window aggregate (batch twin of streaming)"),
     Q("q12_json_extract", q12JsonExtract, Some(q12Sql), Seq("P2"),
-      "JSON-path extraction from payload column"))
+      "JSON-path extraction from payload column"),
+    Q("q31_rollup", q31Rollup, Some(q31Sql), Seq("A6"),
+      "hierarchical ROLLUP with subtotals and grand total"),
+    Q("q32_setops", q32SetOps, Some(q32Sql), Seq("J3"),
+      "INTERSECT/EXCEPT cohort analysis"),
+    Q("q33_pivot", q33Pivot, Some(q33Sql), Seq("A1"),
+      "pivot with fixed value list"),
+    Q("q34_running_sum", q34RunningSum, Some(q34Sql), Seq("W1"),
+      "window frame running aggregate"),
+    Q("q35_lead_lag", q35LeadLag, Some(q35Sql), Seq("W1"),
+      "lag analytics: order-to-order gaps"))
 }

@@ -13,3 +13,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Runtime function registration for an already-built session (the
+  * builder-time path is graft.plans.GraftExtensions; the registry is
+  * `private[sql]`, hence this shim).
+  */
+object FunctionBridge {
+  def registerTemp(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+}

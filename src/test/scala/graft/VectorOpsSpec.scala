@@ -22,6 +22,24 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(math.abs(one(VectorOps.l2Norm(col("x"))) - math.sqrt(14.0)) < 1e-12)
   }
 
+  test("SQL surface: dot_f32 / norm_sq_f32 register and evaluate") {
+    graft.plans.GraftExtensions.registerRuntime(spark)
+    val row = spark.sql(
+      """SELECT dot_f32(array(cast(1.0 as float), cast(2.0 as float)),
+        |               array(cast(3.0 as float), cast(4.0 as float))) AS d,
+        |       norm_sq_f32(array(cast(3.0 as float), cast(4.0 as float))) AS n""".stripMargin)
+      .as[(Double, Double)].head()
+    assert(row == ((11.0, 25.0)))
+  }
+
+  test("native expressions reject non-float arrays at analysis time") {
+    val err = intercept[Exception] {
+      Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("x", "y")
+        .select(VectorOps.dot(col("x"), col("y"))).collect()
+    }
+    assert(err.getMessage.contains("array<float>"))
+  }
+
   test("cosine of identical vectors is 1; zero vector yields null") {
     val self = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("x", "y")
       .select(VectorOps.cosine(col("x"), col("y")).as("v")).as[Double].head()

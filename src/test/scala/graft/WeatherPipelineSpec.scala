@@ -144,6 +144,33 @@ class WeatherPipelineSpec extends AnyFunSuite {
     assert(w.read("agg_monthly_weather").count() == 2)
   }
 
+  test("S1/S2: extraction writes a pretty-printed array the multiLine reader round-trips") {
+    import graft.sources.WeatherExtract
+    val dataDir = TestSpark.scratch("weather-extract")
+    // deterministic offline fetcher shaped like the Open-Meteo response
+    val fetcher: WeatherExtract.Fetcher = c =>
+      s"""{
+         |  "latitude": ${c.lat}, "longitude": ${c.lon},
+         |  "timezone": "America/New_York",
+         |  "daily": {
+         |    "time": ["2024-01-14", "2024-01-15"],
+         |    "temperature_2m_max": [40.0, 41.0],
+         |    "temperature_2m_min": [30.0, 31.0],
+         |    "precipitation_sum": [0.1, null],
+         |    "windspeed_10m_max": [12.0, 14.0],
+         |    "weathercode": [2.0, 63.0]
+         |  }
+         |}""".stripMargin
+    val path = WeatherExtract.extract(dataDir, "2024-01-15", fetcher,
+      extractedAt = "2024-01-15T10:00:00")
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(path)).startsWith("[\n"))
+    val raw = WeatherJson.readRaw(spark, path)
+    Checks.validateRaw(raw, expectedCities = WeatherExtract.defaultCities.size)
+    val flat = Transform.flattenDaily(raw)
+    assert(flat.count() == WeatherExtract.defaultCities.size * 2)
+    assert(flat.filter($"city_name" === "Phoenix").count() == 2)
+  }
+
   test("W1/P8: views over the fact table") {
     val raw = writeRaw()
     val wh = TestSpark.scratch("weather-wh-views")
