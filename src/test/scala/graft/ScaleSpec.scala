@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.Warehouse
+import graft.functions.Skew
+
+/** Scale-mechanics specs: salting preserves join semantics while spreading
+  * hot keys; bucketed layouts eliminate the join exchange entirely.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    val t = Tables(spark, TestSpark.sf)
+    val plain = t.orders.join(t.customer, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("rev"))
+      .orderBy($"c_nationkey").collect().toSeq
+    val salted = Skew.saltedJoin(
+        t.orders.withColumnRenamed("o_custkey", "custkey"),
+        t.customer.withColumnRenamed("c_custkey", "custkey"),
+        "custkey", salt = 8)
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("rev"))
+      .orderBy($"c_nationkey").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without any exchange") {
+    val wh = Warehouse(spark, TestSpark.scratch("bucketed-wh"))
+    val t = Tables(spark, TestSpark.sf)
+    wh.writeBucketed(t.orders, "b_orders", Seq("o_custkey"), 8)
+    wh.writeBucketed(
+      t.customer.withColumnRenamed("c_custkey", "o_custkey"), "b_customer",
+      Seq("o_custkey"), 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+      val plan = {
+        val out = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(out)) { joined.explain("formatted") }
+        out.toString
+      }
+      assert(!plan.contains("Exchange"), plan.take(3000))
+      val o = t.orders
+      val c = t.customer
+      assert(joined.count() == o.join(c, o("o_custkey") === c("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}
