@@ -29,7 +29,8 @@ object Registry {
       DedupOps.queries ++
       SimilarityOps.queries ++
       WeatherOps.queries ++
-      MultimodalOps.queries
+      MultimodalOps.queries ++
+      TemporalOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Temporal operators beyond the reference's surface: as-of join and
+  * distribution statistics.
+  *
+  * As-of join strategy (custom-operator preference order: COMPOSE first):
+  * Spark has no ASOF JOIN, but the semantics decompose exactly into
+  * built-ins — tag both sides, union, and carry the most recent
+  * right-side value forward with `last(ignoreNulls) over (partition key,
+  * order time, rows unbounded preceding)`. One shuffle on the key, one
+  * sort by time — the same cost profile a dedicated sort-merge AsOfExec
+  * would have, with zero custom physical code to maintain. A range-join
+  * (`l.ts between r.ts and r.ts + tol`) would explode row pairs; this
+  * never materializes more than left+right rows.
+  */
+object TemporalOps {
+
+  /** Generic as-of join: for each left row, the latest right row with
+    * rightTime <= leftTime, per key. Left columns are preserved;
+    * `rightVals` are the carried-forward right-side columns (renamed).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightVals: Map[String, String]): DataFrame = {
+    val sideCol = "__graft_side"
+    val l = left.withColumn(sideCol, lit(1))
+    val r = right.select(
+      (Seq(col(key), col(rightTime).as(leftTime), lit(0).as(sideCol)) ++
+        rightVals.map { case (from, to) => col(from).as(to) }): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal timestamps → '<=' semantics
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(leftTime), col(sideCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.values.foldLeft(unioned) { (df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    carried.filter(col(sideCol) === 1).drop(sideCol)
+  }
+
+  /** As-of join on the events stream: each click matched to the same
+    * user's most recent signup at-or-before it. Oracle: DuckDB's native
+    * ASOF LEFT JOIN.
+    */
+  def q36AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts")
+    asofJoin(clicks, signups, key = "user_id", leftTime = "ts", rightTime = "ts",
+      rightVals = Map("event_id" -> "signup_id"))
+      .select($"event_id", $"user_id", $"signup_id")
+      .orderBy($"event_id")
+  }
+
+  val q36Sql: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |signups AS (
+      |  SELECT event_id AS signup_id, user_id, ts FROM events WHERE event_type = 'signup')
+      |SELECT c.event_id, c.user_id, s.signup_id
+      |FROM clicks c ASOF LEFT JOIN signups s
+      |  ON c.user_id = s.user_id AND c.ts >= s.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Distribution statistics: exact interpolated percentiles per group
+    * (both engines implement linear interpolation over the sorted set).
+    */
+  def q37Quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        round(min($"l_extendedprice"), 2).as("min_price"),
+        round(max($"l_extendedprice"), 2).as("max_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q37Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+      |  round(min(l_extendedprice), 2) AS min_price,
+      |  round(max(l_extendedprice), 2) AS max_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Fixed-width histogram via floor-bucket arithmetic (portable — no
+    * engine-specific width_bucket variants).
+    */
+  def q38Histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .groupBy(floor($"o_totalprice" / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg($"o_totalprice"), 4).as("avg_price"))
+      .orderBy($"bucket")
+  }
+
+  val q38Sql: String =
+    """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+      |  count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
+      "as-of join composed from union + last-over-window"),
+    Q("q37_quantiles", q37Quantiles, Some(q37Sql), Seq("X-stats"),
+      "exact interpolated percentiles per group"),
+    Q("q38_histogram", q38Histogram, Some(q38Sql), Seq("X-stats"),
+      "fixed-width histogram buckets"))
+}
