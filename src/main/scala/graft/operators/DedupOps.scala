@@ -15,8 +15,9 @@ import graft.Tables
   *     banded-signature join (band hash → docs), so cost is driven by
   *     posting-list sizes, and hot shingles are capped by a document-
   *     frequency filter (the classic stop-shingle cut) to kill join skew;
-  *   - SimHash is fully narrow: a per-row higher-order fold, no shuffle at
-  *     all until the final bucket grouping.
+  *   - SimHash and MinHash signatures come from exploded token/shingle
+  *     streams through codegen'd hash aggregates (partial+final), not
+  *     per-row interpreted array lambdas.
   *
   * Thresholding note: jaccard = inter/(|A|+|B|-inter) is a single division
   * of exact integers, so Spark and DuckDB compute the identical double and
@@ -68,7 +69,7 @@ object DedupOps {
   }
 
   /** Near-dup via word-3-gram Jaccard, candidates from an inverted-index
-    * self-join with a document-frequency cap (df ≤ 50 — shingles present in
+    * self-join with a document-frequency cap (df ≤ 25 — shingles present in
     * more docs are discriminative of nothing and only create skew).
     */
   def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
@@ -76,7 +77,7 @@ object DedupOps {
     val sh = shingled(spark, dir).cache()
     val counts = sh.select($"doc_id", size($"shingles").as("n_sh"))
     val post = sh.select($"doc_id", explode($"shingles").as("s"))
-    val rare = post.groupBy($"s").agg(count(lit(1)).as("df")).filter($"df" <= 50).select($"s")
+    val rare = post.groupBy($"s").agg(count(lit(1)).as("df")).filter($"df" <= 25).select($"s")
     val postRare = post.join(rare, "s")
     val inter = postRare.as("a")
       .join(postRare.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
@@ -94,7 +95,7 @@ object DedupOps {
       |  FROM toks WHERE len(t) >= 3),
       |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
       |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-      |rare AS (SELECT s FROM post GROUP BY s HAVING count(*) <= 50),
+      |rare AS (SELECT s FROM post GROUP BY s HAVING count(*) <= 25),
       |pr AS (SELECT post.doc_id, post.s FROM post JOIN rare USING (s)),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

@@ -72,17 +72,24 @@ object TemporalOps {
 
   /** Distribution statistics: exact interpolated percentiles per group
     * (both engines implement linear interpolation over the sorted set).
+    * All three quantiles come from ONE percentile buffer per group (an
+    * array-percentage call) — three separate aggs would each collect the
+    * full column.
     */
   def q37Quantiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).lineitem
       .groupBy($"l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"),
         round(min($"l_extendedprice"), 2).as("min_price"),
         round(max($"l_extendedprice"), 2).as("max_price"))
+      .select(
+        $"l_returnflag",
+        round(element_at($"ps", 1), 4).as("p50"),
+        round(element_at($"ps", 2), 4).as("p90"),
+        round(element_at($"ps", 3), 4).as("p99"),
+        $"min_price", $"max_price")
       .orderBy($"l_returnflag")
   }
 

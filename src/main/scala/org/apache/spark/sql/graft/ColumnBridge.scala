@@ -14,6 +14,16 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Catalyst plan access for tests/diagnostics (queryExecution is on the
+  * classic Dataset only).
+  */
+object PlanBridge {
+  def analyzed(df: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    org.apache.spark.sql.classic.ClassicConversions.castToImpl(df).queryExecution.analyzed
+  def optimized(df: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    org.apache.spark.sql.classic.ClassicConversions.castToImpl(df).queryExecution.optimizedPlan
+}
+
 /** Runtime function registration for an already-built session (the
   * builder-time path is graft.plans.GraftExtensions; the registry is
   * `private[sql]`, hence this shim).

@@ -32,6 +32,23 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(row == ((11.0, 25.0)))
   }
 
+  test("RewriteSelfDot turns dot_f32(x,x) into norm_sq_f32(x), value-preserving") {
+    import graft.plans.{FloatVectorExpressions, RewriteSelfDot}
+    val df = Seq(Tuple1(Seq(1.5f, -2.0f, 3.0f))).toDF("x")
+    val selfDot = df.select(VectorOps.dot(col("x"), col("x")).as("d"))
+    val before = org.apache.spark.sql.graft.PlanBridge.analyzed(selfDot)
+    val after = RewriteSelfDot(before)
+    val exprs = after.expressions.flatMap(_.collect {
+      case n: FloatVectorExpressions.NormSqF32 => n
+      case d: FloatVectorExpressions.DotF32 => d
+    })
+    assert(exprs.exists(_.isInstanceOf[FloatVectorExpressions.NormSqF32]))
+    assert(!exprs.exists(_.isInstanceOf[FloatVectorExpressions.DotF32]))
+    val d = selfDot.as[Double].head()
+    val n = df.select(VectorOps.normSq(col("x")).as("n")).as[Double].head()
+    assert(d == n)
+  }
+
   test("native expressions reject non-float arrays at analysis time") {
     val err = intercept[Exception] {
       Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("x", "y")
