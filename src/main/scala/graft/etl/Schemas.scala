@@ -12,6 +12,24 @@ import org.apache.spark.sql.types._
   */
 object Schemas {
 
+  /** Typed row of the flattened staging frame (Transform.flattenDaily
+    * output). `ds.as[StagingWeather]` gives the compile-time-checked core
+    * where transformations benefit from field safety; the untyped
+    * DataFrame path remains the default for dynamic-schema stages.
+    */
+  final case class StagingWeather(
+      city_name: String,
+      latitude: Double,
+      longitude: Double,
+      timezone: String,
+      extracted_at: String,
+      date: String,
+      temp_max: Double,
+      temp_min: Double,
+      precipitation: Option[Double],
+      wind_speed_max: Double,
+      weather_code: Double)
+
   /** Raw API payload: one record per city, daily struct of parallel arrays
     * (/root/reference/dags/weather_etl_pipeline.py:62-78).
     */

@@ -143,9 +143,38 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic stratified sampling: top-k docs per language by a
+    * content-hash priority (md5 — engine-portable, unlike rand()/xxhash).
+    * The pattern a training pipeline uses to draw reproducible per-slice
+    * samples: stable under reruns, partition layout, and retries, and
+    * plans as one window over the strata key (no global shuffle of the
+    * corpus beyond it).
+    */
+  def q39Sample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy(md5(concat($"doc_id".cast("string"), lit(":"), $"text")), $"doc_id")
+    Tables(spark, dir).documents
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"lang", $"rk".cast("long").as("rk"), $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
+  val q39Sql: String =
+    """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+      |FROM (SELECT lang, doc_id, row_number() OVER (
+      |        PARTITION BY lang
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text), doc_id) AS rk
+      |      FROM documents)
+      |WHERE rk <= 3
+      |ORDER BY lang, rk""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q15_token_stats", q15TokenStats, Some(q15Sql), Seq("F-text"),
       "per-document token/length statistics"),
+    Q("q39_sample_per_group", q39Sample, Some(q39Sql), Seq("X-sample"),
+      "deterministic hash-priority stratified sampling"),
     Q("q16_lang_id", q16LangId, Some(q16Sql), Seq("F-text"),
       "stopword-frequency language-ID heuristic"),
     Q("q17_fingerprint", q17Fingerprint, Some(q17Sql), Seq("F-text"),

@@ -110,6 +110,14 @@ class WeatherPipelineSpec extends AnyFunSuite {
     assert(dim(80) == "Rain" && out(80.0) == "Severe")
   }
 
+  test("typed Dataset core: flatten output binds to StagingWeather") {
+    val flat = Transform.flattenDaily(WeatherJson.readRaw(spark, writeRaw()))
+    val ds = flat.as[Schemas.StagingWeather]
+    val nulls = ds.filter(_.precipitation.isEmpty).count()
+    assert(nulls == 1) // Chicago 2024-01-15
+    assert(ds.map(r => r.temp_max - r.temp_min).collect().forall(_ > 0))
+  }
+
   test("A1: city summary with the reference's exact rounding") {
     val flat = Transform.flattenDaily(WeatherJson.readRaw(spark, writeRaw()))
     val enriched = Transform.addDerivedMetrics(flat, stamp = false)
