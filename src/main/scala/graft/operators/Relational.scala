@@ -476,6 +476,37 @@ object Relational {
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Group-wise top-k through the engine's custom physical operator
+    * (graft.plans.TopKPerKey — bounded per-key heaps, partial pass before
+    * the shuffle) instead of the window+filter rewrite. The DuckDB oracle
+    * is the ANSI row_number formulation — the custom exec must reproduce
+    * it row-for-row.
+    */
+  def q40TopKPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir).lineitem
+    graft.plans.TopKPerKey.topKPerKey(
+        li,
+        keys = Seq("l_returnflag"),
+        order = Seq(
+          graft.plans.TopKPerKey.SortSpec("l_extendedprice", desc = true),
+          graft.plans.TopKPerKey.SortSpec("l_orderkey"),
+          graft.plans.TopKPerKey.SortSpec("l_linenumber")),
+        k = 3)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice", 2).as("price"))
+      .orderBy($"l_returnflag", $"price".desc, $"l_orderkey", $"l_linenumber")
+  }
+
+  val q40Sql: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY l_returnflag
+      |        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+      |      FROM lineitem)
+      |WHERE rn <= 3
+      |ORDER BY l_returnflag, price DESC, l_orderkey, l_linenumber""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q1_agg", q1Agg, Some(q1Sql), Seq("A1", "A4", "A5", "F1", "F2"),
       "multi-aggregate hash group-by (pricing summary)"),
@@ -510,5 +541,7 @@ object Relational {
     Q("q34_running_sum", q34RunningSum, Some(q34Sql), Seq("W1"),
       "window frame running aggregate"),
     Q("q35_lead_lag", q35LeadLag, Some(q35Sql), Seq("W1"),
-      "lag analytics: order-to-order gaps"))
+      "lag analytics: order-to-order gaps"),
+    Q("q40_topk_per_key", q40TopKPerKey, Some(q40Sql), Seq("O2", "X-custom"),
+      "group-wise top-k via the custom TopKPerKeyExec operator"))
 }

@@ -22,6 +22,12 @@ object PlanBridge {
     org.apache.spark.sql.classic.ClassicConversions.castToImpl(df).queryExecution.analyzed
   def optimized(df: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     org.apache.spark.sql.classic.ClassicConversions.castToImpl(df).queryExecution.optimizedPlan
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark), plan)
+  def experimental(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.ExperimentalMethods =
+    org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark).experimental
 }
 
 /** Runtime function registration for an already-built session (the
