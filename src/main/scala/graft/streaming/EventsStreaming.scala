@@ -62,6 +62,36 @@ object EventsStreaming {
     df.sparkSession.table(name)
   }
 
+  /** Streaming exact dedup: duplicates arriving within the watermark
+    * horizon are dropped; state holds only ids seen inside the horizon
+    * (bounded), not the stream's history — the streaming twin of the
+    * batch dedup family.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Stream-stream interval join: each click joined to same-user signups
+    * in the preceding hour. Both sides are watermarked and the join
+    * condition bounds event-time distance, so Spark can expire state on
+    * both sides — the state-bounded form of q36's as-of shape.
+    */
+  def clickSignupJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("signup_user"),
+        col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    clicks.join(signups,
+      expr("""click_user = signup_user AND
+             |signup_ts >= click_ts - INTERVAL 1 HOUR AND
+             |signup_ts <= click_ts""".stripMargin))
+      .select(col("click_id"), col("click_user").as("user_id"), col("signup_id"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)

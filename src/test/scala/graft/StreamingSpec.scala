@@ -32,6 +32,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops watermark-window duplicates down to the distinct set") {
+    val dir = TestSpark.scratch("stream-dedup")
+    // two copies of the fixture → every event_id duplicated
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/b.parquet"))
+    val out = EventsStreaming.runToMemory(
+      EventsStreaming.dedupWithinWatermark(EventsStreaming.readEvents(spark, dir)),
+      "dedup_stream")
+    val distinctIds = Tables(spark, TestSpark.sf).events.select("event_id").distinct().count()
+    assert(out.count() == distinctIds)
+  }
+
+  test("stream-stream interval join matches its batch twin") {
+    val dir = TestSpark.scratch("stream-join")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamed = EventsStreaming.runToMemory(
+      EventsStreaming.clickSignupJoin(EventsStreaming.readEvents(spark, dir)),
+      "join_stream")
+      .as[(Long, Long, Long)].collect().toSet
+    val ev = Tables(spark, TestSpark.sf).events
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"user_id".as("su"), $"ts".as("signup_ts"))
+    val batch = clicks.join(signups,
+        $"user_id" === $"su" &&
+          $"signup_ts" >= $"click_ts" - expr("INTERVAL 1 HOUR") &&
+          $"signup_ts" <= $"click_ts")
+      .select($"click_id", $"user_id", $"signup_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("sessionize closes sessions only across the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]
