@@ -122,9 +122,29 @@ object TemporalOps {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** Approximate aggregates: HLL distinct counts next to their exact
+    * counterparts (relative error visible in the result). HLL register
+    * merges are commutative/associative → deterministic for fixed data
+    * regardless of partitioning, but engine-specific → rows-only check;
+    * the exact columns are the in-row ground truth.
+    */
+  def q41ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        approx_count_distinct($"l_orderkey").as("approx_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
+    Q("q41_approx_distinct", q41ApproxDistinct, None, Seq("X-stats"),
+      "HLL approximate distinct vs exact"),
     Q("q37_quantiles", q37Quantiles, Some(q37Sql), Seq("X-stats"),
       "exact interpolated percentiles per group"),
     Q("q38_histogram", q38Histogram, Some(q38Sql), Seq("X-stats"),
