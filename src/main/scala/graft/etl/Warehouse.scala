@@ -91,6 +91,28 @@ final case class Warehouse(spark: SparkSession, root: String) {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Small-file compaction: rewrite a table to ~targetMB output files
+    * (repartition by size estimate), preserving a partition layout if
+    * given. Daily partition-overwrite loads accrete small files; at
+    * warehouse scale compaction keeps scan task counts and file-listing
+    * pressure bounded. Run per-partition in production; whole-table here.
+    */
+  def compact(table: String, targetMB: Int = 128, partitionedBy: Seq[String] = Nil): Unit = {
+    val src = path(table)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(src)).getLength
+    val parts = math.max(1, (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
+    val tmp = path(table + "__compact")
+    val repart =
+      if (partitionedBy.isEmpty) spark.read.parquet(src).repartition(parts)
+      else spark.read.parquet(src).repartition(parts, partitionedBy.map(col): _*)
+    val writer = repart.write.mode(SaveMode.Overwrite)
+    (if (partitionedBy.isEmpty) writer else writer.partitionBy(partitionedBy: _*))
+      .parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(src)): Unit
+  }
+
   /** S9/J4 — insert-if-absent seed of the weather-code dimension
     * (ON CONFLICT DO NOTHING, /root/reference/sql/create_weather_tables.sql:60-82).
     */

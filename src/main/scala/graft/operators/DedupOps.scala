@@ -74,6 +74,8 @@ object DedupOps {
     */
   def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // cache the compact per-doc array frame (500 rows); postings re-explode
+    // from it cheaply, and counts stay a narrow size() projection
     val sh = shingled(spark, dir).cache()
     val counts = sh.select($"doc_id", size($"shingles").as("n_sh"))
     val post = sh.select($"doc_id", explode($"shingles").as("s"))
@@ -131,7 +133,7 @@ object DedupOps {
     */
   def q21MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingled(spark, dir).cache()
+    val sh = shingled(spark, dir).cache() // reused for the exact-verify sets
     val counts = sh.select($"doc_id", size($"shingles").as("n_sh"))
     val post = sh.select($"doc_id", explode($"shingles").as("s"))
     val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), $"s")).as(s"mh$i"))

