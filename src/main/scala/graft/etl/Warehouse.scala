@@ -156,6 +156,16 @@ object Views {
       .select("city_name", "date", "temp_max", "temp_min", "precipitation", "weather_category")
   }
 
+  /** Register both views in the session catalog under the reference's
+    * names (S6 — CREATE OR REPLACE VIEW,
+    * /root/reference/sql/create_weather_tables.sql:139-160), so SQL users
+    * query `v_latest_weather` / `v_weekly_trends` directly.
+    */
+  def registerSql(fact: DataFrame): Unit = {
+    latestWeather(fact).createOrReplaceTempView("v_latest_weather")
+    weeklyTrends(fact).createOrReplaceTempView("v_weekly_trends")
+  }
+
   /** P8 + A2–A4 — v_weekly_trends: trailing-7-day per-city aggregates with
     * a FILTER'd rainy-day count. `asOf` defaults to current_date (the
     * view's CURRENT_DATE); tests pin it for determinism.

@@ -192,5 +192,9 @@ class WeatherPipelineSpec extends AnyFunSuite {
     assert(trends.count() == 2)
     val chi = trends.filter($"city_name" === "Chicago")
     assert(chi.select($"rainy_days").as[Long].head() == 0) // category is NULL on fact
+    // SQL-catalog registration under the reference's view names
+    Views.registerSql(fact)
+    assert(spark.sql("SELECT * FROM v_latest_weather").count() == 2)
+    assert(spark.sql("SELECT city_name FROM v_weekly_trends").columns.sameElements(Array("city_name")))
   }
 }
