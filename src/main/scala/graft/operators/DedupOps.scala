@@ -42,17 +42,20 @@ object DedupOps {
       |GROUP BY md5(text)
       |ORDER BY keep_id""".stripMargin
 
-  /** doc_id + distinct word-3-gram shingle set (drops docs under 3 words). */
+  /** doc_id + distinct word-3-gram shingle set (drops docs under 3 words).
+    * Shingles come from ONE codegen'd regex pass — a word-boundary
+    * lookahead captures each overlapping trigram ("\\b(?=(\\S+ \\S+ \\S+))")
+    * — instead of an interpreted per-shingle transform() lambda. Same
+    * positional order and distinct-set as the naive construction.
+    */
   private[operators] def shingled(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).documents
-      .select($"doc_id", split($"text", " ").as("t"))
-      .filter(size($"t") >= 3)
+      .filter(size(split($"text", " ")) >= 3)
       .select(
         $"doc_id",
         array_distinct(
-          transform(sequence(lit(1), size($"t") - 2),
-            i => concat_ws(" ", element_at($"t", i), element_at($"t", i + 1), element_at($"t", i + 2)))
+          regexp_extract_all($"text", lit("\\b(?=(\\S+ \\S+ \\S+))"), lit(1))
         ).as("shingles"))
   }
 

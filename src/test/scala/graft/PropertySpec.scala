@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.etl.{Schemas, Transform, Warehouse}
+import graft.operators.WeatherFixture.{DailyArrays, RawCity}
+
+/** Property-based specs (SURVEY.md §5): generated inputs, one Spark pass
+  * per property (per-sample Spark jobs would be prohibitively slow, so
+  * each property materializes a generated batch and asserts over all
+  * rows).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("categorization totality: every finite weather code maps to exactly one band") {
+    val codes = sample(Gen.chooseNum(-500.0, 500.0), 300, seed = 7L) ++
+      Seq(2.999, 3.0, 49.999, 50.0, 69.999, 70.0, 79.999, 80.0) // band edges
+    def reference(c: Double): String =
+      if (c < 3) "Clear" else if (c < 50) "Cloudy"
+      else if (c < 70) "Rain" else if (c < 80) "Snow" else "Severe"
+    val out = Transform.addDerivedMetrics(
+        codes.toDF("weather_code")
+          .withColumn("temp_max", lit(1.0)).withColumn("temp_min", lit(0.0))
+          .withColumn("precipitation", lit(0.0)),
+        stamp = false)
+      .select($"weather_code", $"weather_category").as[(Double, String)].collect()
+    assert(out.length == codes.length)
+    out.foreach { case (c, cat) => assert(cat == reference(c), s"code $c") }
+  }
+
+  test("flatten cardinality: rows out = sum of daily array lengths, any shape") {
+    val cityGen = for {
+      n <- Gen.chooseNum(0, 9)
+      name <- Gen.identifier.map(_.take(8))
+      base <- Gen.chooseNum(-20.0, 40.0)
+    } yield RawCity(name, 1.0, 2.0, "UTC", "2024-01-01T00:00:00",
+      DailyArrays(
+        time = (0 until n).map(d => f"2024-02-$d%02d"),
+        temperature_2m_max = (0 until n).map(d => base + d),
+        temperature_2m_min = (0 until n).map(d => base + d - 5),
+        precipitation_sum = (0 until n).map(d => if (d % 3 == 0) None else Some(d * 0.1)),
+        windspeed_10m_max = (0 until n).map(_ * 1.5),
+        weathercode = (0 until n).map(d => (d * 13 % 100).toDouble)))
+    val cities = sample(cityGen, 40, seed = 11L)
+    val flat = Transform.flattenDaily(spark.createDataset(cities).toDF())
+    assert(flat.count() == cities.map(_.daily.time.size).sum)
+  }
+
+  test("upsert idempotency: applying the same ds twice equals applying it once") {
+    val stagingGen = for {
+      city <- Gen.oneOf("A", "B", "C", "D", "E")
+      tmax <- Gen.chooseNum(-10.0, 40.0)
+      code <- Gen.chooseNum(0, 99)
+    } yield (city, "2024-05-01", tmax, tmax - 6.0, 0.3, 12.0, code.toDouble)
+    // one staging row per city key (natural-key uniqueness precondition)
+    val rows = sample(stagingGen, 30, seed = 23L)
+      .groupBy(_._1).map(_._2.head).toSeq
+    val staging = rows.toDF("city_name", "date", "temp_max", "temp_min",
+      "precipitation", "wind_speed_max", "weather_code")
+    val wh = Warehouse(spark, TestSpark.scratch("prop-upsert"))
+    def factKeyState() = wh.read("fact_daily_weather")
+      .select($"city_name", $"date".cast("string"), $"temp_max", $"weather_code")
+      .as[(String, String, Double, Int)].collect().toSet
+    wh.upsertFacts(staging, "2024-05-01")
+    val once = factKeyState()
+    wh.upsertFacts(staging, "2024-05-01")
+    assert(factKeyState() == once)
+    assert(once.size == rows.size)
+    wh.assertUniqueKeys()
+  }
+
+  test("seed dimension is a function: one category per code, stable under re-seed") {
+    val wh = Warehouse(spark, TestSpark.scratch("prop-seed"))
+    wh.seedWeatherCodes(); wh.seedWeatherCodes(); wh.seedWeatherCodes()
+    val dim = wh.read("dim_weather_code")
+    assert(dim.count() == Schemas.weatherCodeSeed.size)
+    assert(dim.select("weather_code").distinct().count() == Schemas.weatherCodeSeed.size)
+  }
+}
