@@ -98,6 +98,47 @@ class RelationalSpec extends AnyFunSuite {
     assert(firstAgg >= 0 && exchange >= 0)
   }
 
+  test("SparkEntry.entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q31 rollup: grand total row equals the sum of leaf rows") {
+    val rows = operators.Relational.q31Rollup(spark, sf).collect()
+    val grand = rows.find(r => r.isNullAt(0) && r.isNullAt(1)).get.getAs[Long]("n_orders")
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map(_.getAs[Long]("n_orders")).sum
+    assert(grand == leaves && grand == Tables(spark, sf).orders.count())
+  }
+
+  test("q37 quantiles are monotone per group") {
+    operators.TemporalOps.q37Quantiles(spark, sf).collect().foreach { r =>
+      val (p50, p90, p99) = (r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(p50 <= p90 && p90 <= p99)
+      assert(r.getAs[Double]("min_price") <= p50 && p99 <= r.getAs[Double]("max_price"))
+    }
+  }
+
+  test("q39 samples exactly min(3, group size) docs per language, stable across runs") {
+    val a = operators.TextOps.q39Sample(spark, sf).collect().toSeq
+    val b = operators.TextOps.q39Sample(spark, sf).collect().toSeq
+    assert(a == b)
+    val perLang = a.groupBy(_.getAs[String]("lang")).view.mapValues(_.size)
+    assert(perLang.values.forall(_ <= 3) && perLang.values.exists(_ == 3))
+  }
+
+  test("q36 as-of: clicks before any signup of their user match null") {
+    import org.apache.spark.sql.Row
+    val out = operators.TemporalOps.q36AsofJoin(spark, sf)
+    val ev = Tables(spark, sf).events
+    val firstSignup = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("first_su"))
+    val joined = out.join(firstSignup, Seq("user_id"), "left")
+      .join(ev.select($"event_id", $"ts"), "event_id")
+    val wrong = joined.filter(
+      ($"signup_id".isNull && $"first_su".isNotNull && $"ts" >= $"first_su") ||
+        ($"signup_id".isNotNull && $"first_su".isNull)).count()
+    assert(wrong == 0)
+  }
+
   test("q8 returns exactly 10 rows in descending price order") {
     val prices = Relational.q8TopK(spark, sf).select($"totalprice").as[Double].collect()
     assert(prices.length == 10)
