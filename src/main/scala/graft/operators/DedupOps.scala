@@ -48,16 +48,17 @@ object DedupOps {
     * — instead of an interpreted per-shingle transform() lambda. Same
     * positional order and distinct-set as the naive construction.
     */
-  private[operators] def shingled(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables(spark, dir).documents
-      .filter(size(split($"text", " ")) >= 3)
+  private[operators] def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingledFrom(Tables(spark, dir).documents)
+
+  private[operators] def shingledFrom(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")) >= 3)
       .select(
-        $"doc_id",
+        col("doc_id"),
         array_distinct(
-          regexp_extract_all($"text", lit("\\b(?=(\\S+ \\S+ \\S+))"), lit(1))
+          regexp_extract_all(col("text"), lit("\\b(?=(\\S+ \\S+ \\S+))"), lit(1))
         ).as("shingles"))
-  }
 
   /** Exact pairwise Jaccard for a candidate-pair frame (doc_a, doc_b). */
   private def jaccardOf(pairsInter: DataFrame, counts: DataFrame, threshold: Double): DataFrame = {

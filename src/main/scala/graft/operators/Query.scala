@@ -30,7 +30,8 @@ object Registry {
       SimilarityOps.queries ++
       WeatherOps.queries ++
       MultimodalOps.queries ++
-      TemporalOps.queries
+      TemporalOps.queries ++
+      CorpusPipeline.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
