@@ -54,13 +54,14 @@ object FloatVectorExpressions {
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
         s"""
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double acc = 0.0;
+           |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  acc += ((double) $a.getFloat($i)) * $b.getFloat($i);
+           |  $acc += ((double) $a.getFloat($i)) * $b.getFloat($i);
            |}
-           |${ev.value} = acc;
+           |${ev.value} = $acc;
          """.stripMargin
       })
 
@@ -90,14 +91,15 @@ object FloatVectorExpressions {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         val x = ctx.freshName("x")
+        val acc = ctx.freshName("acc")
         s"""
            |int $n = $a.numElements();
-           |double acc = 0.0;
+           |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  double $x = (double) $a.getFloat($i);
-           |  acc += $x * $x;
+           |  $acc += $x * $x;
            |}
-           |${ev.value} = acc;
+           |${ev.value} = $acc;
          """.stripMargin
       })
 

@@ -57,6 +57,23 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("array<float>"))
   }
 
+  test("fused dot+normSq expressions survive whole-stage codegen (no janino fallback)") {
+    // Regression: doGenCode used a fixed local `acc`, so two vector
+    // expressions fused into one codegen'd method collided ("Redefinition of
+    // local variable acc") and Spark silently fell back to interpreted
+    // execution. With fallback disabled the collision surfaces as a failure.
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)), (Seq(0.5f, -1.0f), Seq(2.0f, 2.0f)))
+        .toDF("x", "y")
+        .select((VectorOps.normSq(col("x")) + VectorOps.dot(col("x"), col("y"))
+          + VectorOps.normSq(col("y")) + VectorOps.cosine(col("x"), col("y"))).as("v"))
+        .as[Double].collect()
+      assert(rows.length == 2)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("cosine of identical vectors is 1; zero vector yields null") {
     val self = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("x", "y")
       .select(VectorOps.cosine(col("x"), col("y")).as("v")).as[Double].head()
