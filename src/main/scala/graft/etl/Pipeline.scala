@@ -72,7 +72,10 @@ object Pipeline {
     retry() { wh.overwrite("agg_monthly_weather", Transform.monthlyRollup(enriched)) }
     val loaded = retry() { Checks.qualityCheck(wh.read("fact_daily_weather"), ds) }
     retry() { wh.assertUniqueKeys() }
+    // count() while still cached — counting after unpersist would re-run
+    // the whole flatten+enrich lineage (SURVEY §7 risk 6)
+    val staged = enriched.count()
     enriched.unpersist()
-    Map("staged" -> enriched.count(), "loaded" -> loaded)
+    Map("staged" -> staged, "loaded" -> loaded)
   }
 }

@@ -22,7 +22,7 @@ object Schemas {
       latitude: Double,
       longitude: Double,
       timezone: String,
-      extracted_at: String,
+      extracted_at: java.sql.Timestamp,
       date: String,
       temp_max: Double,
       temp_min: Double,
@@ -50,14 +50,15 @@ object Schemas {
   /** Flattened staging row (staging_weather,
     * /root/reference/sql/create_weather_tables.sql:9-24). `date` is still a
     * string here — the string→DATE coercion happens at the staging→fact
-    * boundary (SURVEY.md F8), matching the reference.
+    * boundary (SURVEY.md F8), matching the reference. `extracted_at` is
+    * TIMESTAMP (F9), matching the reference staging DDL (line 14).
     */
   val staging: StructType = StructType(Seq(
     StructField("city_name", StringType),
     StructField("latitude", DoubleType),
     StructField("longitude", DoubleType),
     StructField("timezone", StringType),
-    StructField("extracted_at", StringType),
+    StructField("extracted_at", TimestampType),
     StructField("date", StringType),
     StructField("temp_max", DoubleType),
     StructField("temp_min", DoubleType),

@@ -20,7 +20,9 @@ object Transform {
     * (city, day), extract struct fields to flat columns
     * (/root/reference/spark_jobs/transform_weather.py:64-113). `date`
     * stays a string here, exactly like the reference staging table;
-    * Warehouse.load coerces it (F8).
+    * Warehouse.load coerces it (F8). `extracted_at` becomes TIMESTAMP
+    * right here (F9) — the reference staging DDL types it TIMESTAMP
+    * (/root/reference/sql/create_weather_tables.sql:14).
     */
   def flattenDaily(df: DataFrame): DataFrame = {
     val zipped = df.withColumn(
@@ -38,7 +40,7 @@ object Transform {
         col("latitude"),
         col("longitude"),
         col("timezone"),
-        col("extracted_at"),
+        to_timestamp(col("extracted_at")).alias("extracted_at"),
         explode(col("daily_zipped")).alias("daily_record"))
       .select(
         col("city_name"),

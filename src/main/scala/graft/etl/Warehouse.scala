@@ -16,8 +16,14 @@ final case class Warehouse(spark: SparkSession, root: String) {
 
   def read(table: String): DataFrame = spark.read.parquet(path(table))
 
-  def exists(table: String): Boolean =
-    new java.io.File(path(table)).exists()
+  /** Existence via the Hadoop FileSystem of the warehouse root's scheme —
+    * a java.io.File check would always say "no" on hdfs:// or s3:// roots
+    * and silently turn every upsert into a partition truncate.
+    */
+  def exists(table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** S5 staging sink: overwrite-each-run
     * (/root/reference/spark_jobs/transform_weather.py:166-174).
@@ -109,8 +115,15 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val writer = repart.write.mode(SaveMode.Overwrite)
     (if (partitionedBy.isEmpty) writer else writer.partitionBy(partitionedBy: _*))
       .parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(src), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(src)): Unit
+    // swap order matters: keep a live copy at every instant. A crash
+    // between steps leaves either the backup or the new dir recoverable
+    // by rename — never a window with no table at all.
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val bak = new org.apache.hadoop.fs.Path(src + "__bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(srcPath, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), srcPath)
+    fs.delete(bak, true): Unit
   }
 
   /** S9/J4 — insert-if-absent seed of the weather-code dimension

@@ -90,7 +90,8 @@ object WeatherFixture {
   val enrichedSql: String =
     s"""WITH $valuesSql,
        |flat AS (
-       |  SELECT city AS city_name, latitude, longitude, timezone, extracted_at,
+       |  SELECT city AS city_name, latitude, longitude, timezone,
+       |         CAST(extracted_at AS TIMESTAMP) AS extracted_at,
        |         unnest(times) AS date, unnest(tmax) AS temp_max,
        |         unnest(tmin) AS temp_min, unnest(precip) AS precipitation,
        |         unnest(wind) AS wind_speed_max, unnest(code) AS weather_code

@@ -75,6 +75,10 @@ class WeatherPipelineSpec extends AnyFunSuite {
     assert(flat.columns.toSeq == Seq("city_name", "latitude", "longitude", "timezone",
       "extracted_at", "date", "temp_max", "temp_min", "precipitation",
       "wind_speed_max", "weather_code"))
+    // F9: staging types extracted_at TIMESTAMP, like the reference DDL
+    assert(flat.schema("extracted_at").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(flat.schema == Schemas.staging)
     val ny = flat.filter($"city_name" === "New York" && $"date" === "2024-01-14")
       .select($"temp_max").as[Double].head()
     assert(ny == 45.2)
