@@ -43,21 +43,26 @@ object DedupOps {
       |ORDER BY keep_id""".stripMargin
 
   /** doc_id + distinct word-3-gram shingle set (drops docs under 3 words).
-    * Shingles come from ONE codegen'd regex pass — a word-boundary
-    * lookahead captures each overlapping trigram ("\\b(?=(\\S+ \\S+ \\S+))")
-    * — instead of an interpreted per-shingle transform() lambda. Same
-    * positional order and distinct-set as the naive construction.
+    * Shingles come from ONE codegen'd regex pass — a lookahead anchored at
+    * start-of-string or a space captures each overlapping trigram —
+    * instead of an interpreted per-shingle transform() lambda. Anchoring
+    * on spaces (not `\\b`) keeps the construction identical to
+    * split-on-space trigrams when tokens contain punctuation / hyphens /
+    * apostrophes (`\\b` fires mid-token, inventing shingles a tokenizer
+    * would never produce). Matches the naive construction for any
+    * single-space-separated text; runs of consecutive spaces (empty
+    * tokens) are not expected in the corpus contract.
     */
-  private[operators] def shingled(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingled(spark: SparkSession, dir: String): DataFrame =
     shingledFrom(Tables(spark, dir).documents)
 
-  private[operators] def shingledFrom(docs: DataFrame): DataFrame =
+  private[graft] def shingledFrom(docs: DataFrame): DataFrame =
     docs
       .filter(size(split(col("text"), " ")) >= 3)
       .select(
         col("doc_id"),
         array_distinct(
-          regexp_extract_all(col("text"), lit("\\b(?=(\\S+ \\S+ \\S+))"), lit(1))
+          regexp_extract_all(col("text"), lit("(?:^| )(?=(\\S+ \\S+ \\S+))"), lit(1))
         ).as("shingles"))
 
   /** Exact pairwise Jaccard for a candidate-pair frame (doc_a, doc_b). */

@@ -109,4 +109,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.forall { case (a, b) => a / 10 == b / 10 }) // blocked by cluster
   }
+
+  test("regex shingling equals split-on-space trigrams on punctuation-heavy text") {
+    // the old \b-anchored lookahead invented shingles mid-token on
+    // hyphens/apostrophes and dropped them on leading punctuation
+    val texts = Seq(
+      "foo-bar baz qux quux",
+      "it's a fine day today",
+      "(open paren start middle end",
+      "trailing dot. next token here",
+      "a b c",
+      "one two",
+      "comma, separated, tokens, here, now",
+      "mixed foo-bar it's (p) q.r done")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupOps.shingledFrom(df)
+      .select($"doc_id", $"shingles").as[(Long, Seq[String])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ", -1).toSeq
+      if (toks.size >= 3) {
+        val want = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+        assert(got(i.toLong) == want, s"doc $i: ${got(i.toLong)} != $want")
+      } else assert(!got.contains(i.toLong))
+    }
+  }
 }
