@@ -28,19 +28,26 @@ object TemporalOps {
       leftTime: String, rightTime: String,
       rightVals: Map[String, String]): DataFrame = {
     val sideCol = "__graft_side"
+    val valsCol = "__graft_rvals"
     val l = left.withColumn(sideCol, lit(1))
+    // ALL right values travel as one struct: a single last() then carries
+    // the matched row atomically — per-column last(ignoreNulls) would
+    // back-fill a NULL field of the matched row from an older row.
     val r = right.select(
-      (Seq(col(key), col(rightTime).as(leftTime), lit(0).as(sideCol)) ++
-        rightVals.map { case (from, to) => col(from).as(to) }): _*)
+      col(key), col(rightTime).as(leftTime), lit(0).as(sideCol),
+      struct(rightVals.map { case (from, to) => col(from).as(to) }.toSeq: _*).as(valsCol))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // right rows sort before left rows at equal timestamps → '<=' semantics
+    // right rows sort before left rows at equal timestamps → '<=' semantics;
+    // the struct value is the deterministic tie-break among right rows
+    // sharing (key, ts) (left rows all have a NULL struct there)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(leftTime), col(sideCol))
+      .orderBy(col(leftTime), col(sideCol), col(valsCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.values.foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    val carried = unioned.withColumn(valsCol, last(col(valsCol), ignoreNulls = true).over(w))
+    val projected = rightVals.values.foldLeft(carried) { (df, v) =>
+      df.withColumn(v, col(valsCol).getField(v))
     }
-    carried.filter(col(sideCol) === 1).drop(sideCol)
+    projected.filter(col(sideCol) === 1).drop(sideCol, valsCol)
   }
 
   /** As-of join on the events stream: each click matched to the same

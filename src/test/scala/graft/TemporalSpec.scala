@@ -35,4 +35,22 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(103L).contains(902L))
     assert(out(104L).isEmpty)
   }
+
+  test("asofJoin carries the matched row atomically and tie-breaks duplicate right ts") {
+    val left = Seq((1L, 1L, ts(30))).toDF("event_id", "user_id", "ts")
+    // matched right row (latest, highest tie-break) has a NULL payload:
+    // it must NOT be back-filled from the older non-null row
+    val right = Seq(
+      (10L, 1L, ts(10), Option("old")),
+      (20L, 1L, ts(20), Option.empty[String]),
+      (21L, 1L, ts(20), Option.empty[String]) // duplicate (key, ts)
+    ).toDF("rid", "user_id", "ts", "payload")
+    val out = TemporalOps.asofJoin(left, right, "user_id", "ts", "ts",
+        Map("rid" -> "match_id", "payload" -> "match_payload"))
+      .select($"match_id", $"match_payload").as[(Long, Option[String])]
+      .collect().toSeq
+    // deterministic winner: max struct among the ts(20) duplicates → rid 21,
+    // and its NULL payload stays NULL (no back-fill from rid 10's "old")
+    assert(out == Seq((21L, None)))
+  }
 }
