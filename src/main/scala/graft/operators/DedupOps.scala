@@ -130,29 +130,44 @@ object DedupOps {
     * docs sharing any band signature (equi-join on (band, hash) — the LSH
     * bucket join); candidates are then verified with exact Jaccard ≥ 0.5.
     *
-    * Signatures are computed as `min(xxhash64(seed_i, shingle))` over an
+    * Signatures are computed as `min(hash(seed_i, shingle))` over an
     * exploded posting list — a plain codegen'd hash aggregate (16 min
     * accumulators per doc), instead of 16 interpreted higher-order array
     * traversals per document. One shuffle keyed by doc_id; at corpus
     * scale the posting explode is narrow and the aggregate is
     * partial+final.
     *
-    * Engine-specific hash (xxhash64) → no SQL oracle; correctness is
-    * covered by the ScalaTest spec (planted near-dups must surface).
+    * Two hash families, same plumbing:
+    *   - portable (registered, oracle-checked): minhash = lexicographic
+    *     min of `md5(seed || '|' || shingle)` hex strings, band key =
+    *     md5 of the 4 row-mins — every step reproducible in any engine
+    *     with an md5(), so the ENTIRE LSH pipeline hash-checks against
+    *     DuckDB;
+    *   - engine (portable=false, the 100 TB path): xxhash64 64-bit
+    *     integers — ~8 bytes/signature instead of a 32-char string and a
+    *     far cheaper hash per shingle. Same candidate semantics; swap is
+    *     one flag.
     */
-  def q21MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def q21MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(spark, dir, portable = true)
+
+  private[graft] def minhashLsh(spark: SparkSession, dir: String, portable: Boolean): DataFrame = {
     import spark.implicits._
     val sh = shingled(spark, dir).cache() // reused for the exact-verify sets
     val counts = sh.select($"doc_id", size($"shingles").as("n_sh"))
     val post = sh.select($"doc_id", explode($"shingles").as("s"))
-    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), $"s")).as(s"mh$i"))
+    def rowHash(i: Int): Column =
+      if (portable) md5(concat_ws("|", lit(i), $"s")) else xxhash64(lit(i), $"s")
+    def bandHash(cols: Seq[Column]): Column =
+      if (portable) md5(concat_ws("|", cols: _*)) else xxhash64(cols: _*)
+    val mins = (0 until NumHashes).map(i => min(rowHash(i)).as(s"mh$i"))
     val sigs = post.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
     val buckets = sigs.select(
       $"doc_id",
       explode(array((0 until Bands).map { b =>
         struct(
           lit(b).as("band"),
-          xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"mh$i")): _*).as("h"))
+          bandHash((b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"mh$i"))).as("h"))
       }: _*)).as("bh"))
       .select($"doc_id", $"bh.band".as("band"), $"bh.h".as("h"))
     val cand = buckets.as("a")
@@ -166,22 +181,86 @@ object DedupOps {
     jaccardOf(withSets, counts, 0.5)
   }
 
-  /** SimHash-32 per document: bit b of xxhash64(token) votes ±1 into bin
+  /** DuckDB twin of the PORTABLE q21: the same md5 row-hashes, band keys,
+    * bucket join, and exact-Jaccard verify — the full LSH pipeline is
+    * hash-checked, not just an invariant.
+    */
+  val q21Sql: String = {
+    val minsSql = (0 until NumHashes)
+      .map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(",\n      ")
+    val bandsSql = (0 until Bands).map { b =>
+      val cat = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => s"mh$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS h FROM sigs"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM toks WHERE len(t) >= 3),
+       |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+       |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |sigs AS (SELECT doc_id,
+       |      $minsSql
+       |    FROM post GROUP BY doc_id),
+       |buckets AS (
+       |      $bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |ws AS (
+       |  SELECT doc_a, doc_b, len(list_intersect(sa.shingles, sb.shingles)) AS inter
+       |  FROM cand
+       |  JOIN sh sa ON doc_a = sa.doc_id
+       |  JOIN sh sb ON doc_b = sb.doc_id),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard_raw
+       |  FROM ws
+       |  JOIN counts ca ON doc_a = ca.doc_id
+       |  JOIN counts cb ON doc_b = cb.doc_id)
+       |SELECT doc_a, doc_b, round(jaccard_raw, 4) AS jaccard
+       |FROM j WHERE jaccard_raw >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** SimHash-32 per document: bit b of hash(token) votes ±1 into bin
     * b; the signature's bit b is the vote sign. Computed as an exploded
     * token stream → 32 conditional-sum accumulators → bit reassembly —
     * all codegen'd scalar expressions (the earlier nested higher-order
-    * fold interpreted 32 lambdas per token). Engine-specific hash →
-    * rows-only check; DedupSimilaritySpec pins collision/Hamming
-    * behavior.
+    * fold interpreted 32 lambdas per token).
+    *
+    * Two hash families (same vote/reassembly plumbing):
+    *   - portable (registered, oracle-checked): the 32 bits are the first
+    *     8 hex digits of md5(token) — digit j contributes bits 4j..4j+3 —
+    *     reproducible in DuckDB with substr+strpos arithmetic, so the
+    *     whole signature hash-checks;
+    *   - engine (portable=false, the 100 TB path): low 32 bits of
+    *     xxhash64(token), one cheap hash call per token.
     */
-  def q22Simhash(spark: SparkSession, dir: String): DataFrame = {
+  def q22Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhash(spark, dir, portable = true)
+
+  private[graft] def simhash(spark: SparkSession, dir: String, portable: Boolean): DataFrame = {
     import spark.implicits._
     val bits = 32
     val toks = Tables(spark, dir).documents
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .withColumn("h", xxhash64($"tok"))
+    val withBit: Int => Column =
+      if (portable) {
+        // hex digit j (1-based) of md5 → an int 0..15; bit b lives in
+        // digit b/4+1 at position b%4
+        val digit: Int => Column =
+          j => conv(substring(md5($"tok"), j, 1), 16, 10).cast("int")
+        b => shiftright(digit(b / 4 + 1), b % 4).bitwiseAND(1)
+      } else {
+        val h = xxhash64($"tok")
+        b => shiftright(h, b).bitwiseAND(1).cast("int")
+      }
     val votes = (0 until bits).map { b =>
-      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$b")
+      sum(when(withBit(b) === 1, 1L).otherwise(-1L)).as(s"v$b")
     }
     val sim = (0 until bits)
       .map(b => when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
@@ -191,13 +270,39 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** DuckDB twin of the PORTABLE q22: identical digit/bit/vote arithmetic. */
+  val q22Sql: String = {
+    val digits = (1 to 8)
+      .map(j => s"strpos('0123456789abcdef', substr(md5(tok), $j, 1)) - 1 AS d$j")
+      .mkString(",\n      ")
+    val votes = (0 until 32).map { b =>
+      val j = b / 4 + 1
+      val div = 1 << (b % 4)
+      s"sum(CASE WHEN (d$j // $div) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n      ")
+    val reasm = (0 until 32)
+      .map(b => s"(CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |dg AS (SELECT doc_id,
+       |      $digits
+       |    FROM toks),
+       |votes AS (SELECT doc_id,
+       |      $votes
+       |    FROM dg GROUP BY doc_id)
+       |SELECT doc_id, CAST($reasm AS BIGINT) AS simhash
+       |FROM votes
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q19_dedup_exact", q19DedupExact, Some(q19Sql), Seq("X-dedup"),
       "exact dedup on md5 content fingerprint"),
     Q("q20_ngram_jaccard", q20NgramJaccard, Some(q20Sql), Seq("X-dedup"),
       "3-gram Jaccard near-dup via inverted-index join"),
-    Q("q21_minhash_lsh", q21MinhashLsh, None, Seq("X-dedup"),
+    Q("q21_minhash_lsh", q21MinhashLsh, Some(q21Sql), Seq("X-dedup"),
       "MinHash+LSH banded near-dup with exact verify"),
-    Q("q22_simhash", q22Simhash, None, Seq("X-dedup"),
+    Q("q22_simhash", q22Simhash, Some(q22Sql), Seq("X-dedup"),
       "SimHash-32 document signatures (narrow fold)"))
 }

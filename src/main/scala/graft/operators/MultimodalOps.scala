@@ -87,8 +87,10 @@ object MultimodalOps {
   }
 
   /** End-to-end multimodal query: synthesize media → batched stub decode →
-    * per-kind feature aggregate. Rows-only check (binary payloads +
-    * engine-side checksum); exactness is asserted by MultimodalSpec.
+    * per-kind feature aggregate. The aggregated features (byte counts and
+    * mean byte value of the UTF-8 payloads) are portable arithmetic, so
+    * the whole decode path hash-checks against a DuckDB twin; the
+    * non-portable rolling checksum stays spec-checked in MultimodalSpec.
     */
   def q30Multimodal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -101,7 +103,32 @@ object MultimodalOps {
       .orderBy($"kind")
   }
 
+  /** DuckDB twin of q30: the payload is the UTF-8 encoding of an
+    * all-ASCII corpus, so n_bytes = strlen and the byte values are the
+    * character codepoints — the decode stub's per-row features
+    * reconstructed in portable SQL.
+    */
+  val q30Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |mb AS (
+      |  SELECT doc_id, CAST(sum(ascii(c)) AS DOUBLE) / count(*) AS mean_byte
+      |  FROM ch GROUP BY doc_id),
+      |feats AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+      |         WHEN d.doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS kind,
+      |    CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+      |    mb.mean_byte
+      |  FROM documents d JOIN mb USING (doc_id))
+      |SELECT kind, count(*) AS n_media, sum(n_bytes) AS total_bytes,
+      |  round(avg(mean_byte), 4) AS avg_mean_byte
+      |FROM feats
+      |GROUP BY kind
+      |ORDER BY kind""".stripMargin
+
   val queries: Seq[Q] = Seq(
-    Q("q30_multimodal", q30Multimodal, None, Seq("X-multimodal"),
+    Q("q30_multimodal", q30Multimodal, Some(q30Sql), Seq("X-multimodal"),
       "binary media columns: batched stub decode + feature aggregate"))
 }

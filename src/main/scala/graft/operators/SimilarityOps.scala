@@ -61,19 +61,46 @@ object SimilarityOps {
       |ORDER BY dot / (ne * nq) DESC, vec_id
       |LIMIT 20""".stripMargin
 
-  /** IVF-style ANN: per-cell centroids (cell = `label`), probe the 2
-    * nearest cells, exact cosine within them, top-10. Rows-only check
-    * (the spec compares its recall against q24's exact answer).
+  /** IVF coarse-index build: one centroid per cell (cell = the fixture's
+    * `label` coarse-quantizer assignment), reassembled as an ordered
+    * float array. At scale this is the OFFLINE half of IVF — computed
+    * once per corpus version, persisted as a (tiny) parquet artifact, and
+    * broadcast to queries; it is never recomputed inside a lookup.
     */
-  def q25AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val e = withNorm(spark, dir)
-    // (cell, dim) mean → reassembled centroid array, ordered by dim
-    val centroids = Tables(spark, dir).embeddings
+  def buildIvfIndex(embeddings: DataFrame): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    embeddings
       .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
       .groupBy($"label", $"pos").agg(avg($"v".cast("double")).as("c"))
       .groupBy($"label")
       .agg(transform(array_sort(collect_list(struct($"pos", $"c"))), s => s("c").cast("float")).as("centroid"))
+  }
+
+  /** Local scratch path for the index artifact of a fixture dir (the
+    * fixture dirs themselves are read-only).
+    */
+  private def indexPath(dir: String): String =
+    "target/ivf-index/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Read-or-build the persisted index (build-once semantics). */
+  private def ivfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val p = indexPath(dir)
+    if (!new java.io.File(p).exists())
+      buildIvfIndex(Tables(spark, dir).embeddings)
+        .write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
+  /** IVF-style ANN lookup: probe the 2 cells whose PRECOMPUTED centroids
+    * are nearest the query, exact cosine within them, top-10. The lookup
+    * plan touches the embeddings table only for the probed-cell scan —
+    * no posexplode/groupBy index build per query (that lives in
+    * buildIvfIndex). Oracle: a DuckDB twin of build+probe+scan.
+    */
+  def q25AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+    val centroids = ivfIndex(spark, dir)
     val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
     val probed = centroids.crossJoin(broadcast(q))
       .select($"label",
@@ -90,6 +117,37 @@ object SimilarityOps {
       .limit(10)
       .select($"vec_id", $"label", round($"cos_raw", 4).as("cos_sim"))
   }
+
+  /** DuckDB twin of q25: rebuilds the same centroids (double mean per
+    * (cell, dim), cast to float like the stored index), probes the same
+    * 2 cells, and scores the same probed-cell scan.
+    */
+  val q25Sql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |cu AS (SELECT label, unnest(range(len(embedding))) AS pos,
+      |              CAST(unnest(embedding) AS DOUBLE) AS v
+      |       FROM embeddings),
+      |cent AS (SELECT label, pos, CAST(avg(v) AS FLOAT) AS c
+      |         FROM cu GROUP BY label, pos),
+      |qu AS (SELECT unnest(range(len(qe))) AS pos,
+      |              CAST(unnest(qe) AS DOUBLE) AS y FROM q),
+      |cs AS (SELECT label, sum(CAST(c AS DOUBLE) * y) AS dot,
+      |              sqrt(sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE))) AS nc,
+      |              sqrt(sum(y * y)) AS nq
+      |       FROM cent JOIN qu USING (pos) GROUP BY label),
+      |probed AS (SELECT label FROM cs ORDER BY dot / (nc * nq) DESC, label LIMIT 2),
+      |d AS (SELECT e.vec_id, e.label, e.embedding AS ee, q.qe
+      |      FROM embeddings e JOIN probed USING (label) CROSS JOIN q
+      |      WHERE e.vec_id <> 0),
+      |u AS (SELECT vec_id, label, CAST(unnest(ee) AS DOUBLE) AS x,
+      |             CAST(unnest(qe) AS DOUBLE) AS y FROM d),
+      |s AS (SELECT vec_id, label, sum(x * y) AS dot, sqrt(sum(x * x)) AS ne,
+      |             sqrt(sum(y * y)) AS nq
+      |      FROM u GROUP BY vec_id, label)
+      |SELECT vec_id, label, round(dot / (ne * nq), 4) AS cos_sim
+      |FROM s
+      |ORDER BY dot / (ne * nq) DESC, vec_id
+      |LIMIT 10""".stripMargin
 
   /** Embedding near-dup: pairs within the same cell with cosine ≥ 0.92.
     * The label blocking bounds pair count; per-pair work is one native
@@ -129,6 +187,6 @@ object SimilarityOps {
       "embedding near-dup: blocked pairwise cosine"),
     Q("q24_ann_brute", q24AnnBrute, Some(q24Sql), Seq("X-sim"),
       "brute-force cosine top-k (exact baseline)"),
-    Q("q25_ann_ivf", q25AnnIvf, None, Seq("X-sim"),
-      "IVF-style ANN: probe nearest cells only"))
+    Q("q25_ann_ivf", q25AnnIvf, Some(q25Sql), Seq("X-sim"),
+      "IVF-style ANN: precomputed index, probe nearest cells only"))
 }

@@ -129,11 +129,16 @@ object TemporalOps {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
-  /** Approximate aggregates: HLL distinct counts next to their exact
-    * counterparts (relative error visible in the result). HLL register
-    * merges are commutative/associative → deterministic for fixed data
-    * regardless of partitioning, but engine-specific → rows-only check;
-    * the exact columns are the in-row ground truth.
+  /** Approximate aggregates: HLL distinct counts checked against their
+    * exact counterparts. The raw HLL estimate is engine-specific, so the
+    * query emits the portable facts instead: the exact counts plus a
+    * within-15%-relative-error bound on each estimate (3σ of the HLL
+    * default rsd 0.05; observed max ≈ 8.6% across SFs/groups here).
+    * The oracle asserts the bounds as literal `true` — an
+    * out-of-bound estimator FAILS the correctness gate instead of hiding
+    * behind a rows-only check. HLL register merges are commutative/
+    * associative → deterministic for fixed data regardless of
+    * partitioning.
     */
   def q41ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -144,14 +149,30 @@ object TemporalOps {
         countDistinct($"l_partkey").as("exact_parts"),
         approx_count_distinct($"l_orderkey").as("approx_orders"),
         countDistinct($"l_orderkey").as("exact_orders"))
+      .select(
+        $"l_returnflag", $"exact_parts", $"exact_orders",
+        (abs($"approx_parts" - $"exact_parts") <= $"exact_parts" * 0.15)
+          .as("parts_within_15pct"),
+        (abs($"approx_orders" - $"exact_orders") <= $"exact_orders" * 0.15)
+          .as("orders_within_15pct"))
       .orderBy($"l_returnflag")
   }
+
+  val q41Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  true AS parts_within_15pct,
+      |  true AS orders_within_15pct
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
-    Q("q41_approx_distinct", q41ApproxDistinct, None, Seq("X-stats"),
-      "HLL approximate distinct vs exact"),
+    Q("q41_approx_distinct", q41ApproxDistinct, Some(q41Sql), Seq("X-stats"),
+      "HLL approximate distinct bounded against exact"),
     Q("q37_quantiles", q37Quantiles, Some(q37Sql), Seq("X-stats"),
       "exact interpolated percentiles per group"),
     Q("q38_histogram", q38Histogram, Some(q38Sql), Seq("X-stats"),

@@ -88,10 +88,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hammingFar > hammingNear, s"far $hammingFar vs near $hammingNear")
   }
 
+  test("engine-hash (xxhash64) minhash/simhash behave like the portable family") {
+    val pairs = DedupOps.minhashLsh(spark, docDir, portable = false)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    val sig = DedupOps.simhash(spark, docDir, portable = false)
+      .as[(Long, Long)].collect().toMap
+    assert(sig(0L) == sig(2L))
+    assert(java.lang.Long.bitCount(sig(0L) ^ sig(1L)) <
+      java.lang.Long.bitCount(sig(0L) ^ sig(3L)))
+  }
+
   test("ANN brute force ranks the query's own cluster first") {
     val top = SimilarityOps.q24AnnBrute(spark, embDir)
       .select($"vec_id").as[Long].collect().toSeq
     assert(top.take(9).forall(_ < 10), s"top-9 should be cluster 0: $top")
+  }
+
+  test("q25 lookup plan probes a precomputed index — no centroid build in-query") {
+    val plan = SimilarityOps.q25AnnIvf(spark, embDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("posexplode"), "centroid build leaked into the lookup plan")
+    assert(plan.contains("ivf-index"), "lookup should scan the persisted index artifact")
   }
 
   test("IVF probe of 2 cells reaches full recall vs the exact baseline") {
