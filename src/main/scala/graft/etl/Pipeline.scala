@@ -68,6 +68,7 @@ object Pipeline {
     retry() { wh.overwrite("staging_weather", enriched) }
     retry() { wh.overwrite("staging_weather_summary", Transform.computeAggregates(enriched)) }
     retry() { wh.seedWeatherCodes() }
+    retry() { wh.seedCities(enriched) }
     retry() { wh.upsertFacts(enriched, ds) }
     retry() { wh.overwrite("agg_monthly_weather", Transform.monthlyRollup(enriched)) }
     val loaded = retry() { Checks.qualityCheck(wh.read("fact_daily_weather"), ds) }

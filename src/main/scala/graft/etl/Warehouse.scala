@@ -142,6 +142,40 @@ final case class Warehouse(spark: SparkSession, root: String) {
     }
   }
 
+  /** S6/S9 — dim_city (/root/reference/sql/create_weather_tables.sql:40-48):
+    * insert-if-absent keyed on UNIQUE city_name, surrogate city_id
+    * assigned SERIAL-style (max existing id + alphabetical rank among the
+    * newcomers), created_at/updated_at stamps. The dim is one row per
+    * city — the single-partition row_number window is not a scale
+    * concern, and both reads of it downstream broadcast.
+    */
+  def seedCities(staging: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val table = "dim_city"
+    val incoming = staging
+      .select("city_name", "latitude", "longitude", "timezone").distinct()
+    val existed = exists(table)
+    val fresh =
+      if (!existed) incoming.withColumn("__base", lit(0L))
+      else {
+        val existing = read(table)
+        val base = existing.agg(max(col("city_id"))).head().getLong(0)
+        incoming.join(existing.select("city_name"), Seq("city_name"), "left_anti")
+          .withColumn("__base", lit(base))
+      }
+    if (!fresh.isEmpty) {
+      val w = Window.orderBy(col("city_name"))
+      val rows = fresh
+        .withColumn("city_id", col("__base") + row_number().over(w).cast("long"))
+        .withColumn("created_at", current_timestamp())
+        .withColumn("updated_at", current_timestamp())
+        .select("city_id", "city_name", "latitude", "longitude", "timezone",
+          "created_at", "updated_at")
+      if (existed) rows.write.mode(SaveMode.Append).parquet(path(table))
+      else overwrite(table, rows)
+    }
+  }
+
   /** Q5 — uniqueness assertion on the fact natural key. */
   def assertUniqueKeys(): Unit = {
     val dups = read("fact_daily_weather")

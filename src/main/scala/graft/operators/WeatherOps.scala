@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.etl.Transform
+import graft.etl.{Schemas, Transform}
 
 /** Deterministic weather fixture shaped exactly like the reference's raw
   * API payload (FIXTURES.md §A1): one record per city, `daily` struct of
@@ -179,9 +179,59 @@ object WeatherOps {
        |FROM enriched GROUP BY 1, 2, 3
        |ORDER BY city_name, year, month""".stripMargin
 
+  /** J1/J2 + S6: the full weather star — fact ⋈ dim_city ⋈
+    * dim_weather_code, both dims broadcast. dim_city is derived exactly
+    * as Warehouse.seedCities assigns it (surrogate city_id = alphabetical
+    * rank, reference sql/create_weather_tables.sql:40-48); the code dim
+    * is the reference's 21-row WMO seed. Note the dim's category for
+    * codes 80/81 deliberately disagrees with the enrich CASE chain
+    * (SURVEY §7 risk 4) — this query reports the DIM's category, like
+    * the reference's star joins.
+    */
+  def q43WeatherStar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = enriched(spark)
+    val dimCity = e.select($"city_name", $"timezone").distinct()
+      .withColumn("city_id", row_number().over(Window.orderBy($"city_name")).cast("long"))
+    val dimCode = Schemas.weatherCodeSeed.toDF("weather_code", "description", "category")
+    e.select($"city_name", $"weather_code".cast("int").as("wc"),
+        $"temp_max", $"precipitation")
+      .join(broadcast(dimCity), "city_name")
+      .join(broadcast(dimCode), $"wc" === dimCode("weather_code"))
+      .groupBy($"city_id", $"city_name", $"timezone", $"category")
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(avg($"temp_max"), 1).as("avg_high"),
+        round(sum($"precipitation"), 2).as("total_precip"))
+      .orderBy($"city_id", $"category")
+  }
+
+  val q43Sql: String = {
+    val codeValues = Schemas.weatherCodeSeed
+      .map { case (c, d, cat) => s"($c, '$d', '$cat')" }.mkString(",\n    ")
+    s"""${WeatherFixture.enrichedSql},
+       |dim_code(weather_code, description, category) AS (VALUES
+       |    $codeValues),
+       |dim_city AS (
+       |  SELECT city_name, timezone,
+       |         CAST(row_number() OVER (ORDER BY city_name) AS BIGINT) AS city_id
+       |  FROM (SELECT DISTINCT city_name, timezone FROM enriched))
+       |SELECT c.city_id, e.city_name, c.timezone, d.category,
+       |  count(*) AS n_days,
+       |  round(avg(e.temp_max), 1) AS avg_high,
+       |  round(sum(e.precipitation), 2) AS total_precip
+       |FROM enriched e
+       |JOIN dim_city c ON e.city_name = c.city_name
+       |JOIN dim_code d ON CAST(e.weather_code AS INTEGER) = d.weather_code
+       |GROUP BY c.city_id, e.city_name, c.timezone, d.category
+       |ORDER BY c.city_id, d.category""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q26_weather_flatten_enrich", q26FlattenEnrich, Some(q26Sql), Seq("C1", "C2", "C3", "P1", "P2", "P3", "P4", "P5", "S8"),
       "reference flatten+enrich chain on the embedded fixture"),
+    Q("q43_weather_star", q43WeatherStar, Some(q43Sql), Seq("J1", "J2", "S6", "A1"),
+      "weather star: fact joined to dim_city and dim_weather_code"),
     Q("q27_weather_city_summary", q27CitySummary, Some(q27Sql), Seq("A1", "A4", "F1"),
       "reference per-city summary aggregates"),
     Q("q28_weather_latest", q28LatestWeather, Some(q28Sql), Seq("W1", "O1"),

@@ -150,6 +150,12 @@ class WeatherPipelineSpec extends AnyFunSuite {
     // seed-if-absent (S9/J4): second seeding adds nothing
     w.seedWeatherCodes()
     assert(w.read("dim_weather_code").count() == Schemas.weatherCodeSeed.size)
+    // dim_city (S6): seeded from the payload, insert-if-absent, stable ids
+    val cities = w.read("dim_city")
+      .select($"city_id", $"city_name").as[(Long, String)].collect().toSet
+    assert(cities == Set((1L, "Chicago"), (2L, "New York"))) // alphabetical ids
+    assert(w.read("dim_city").columns.toSeq == Seq("city_id", "city_name",
+      "latitude", "longitude", "timezone", "created_at", "updated_at"))
     // staging tables exist with expected shapes
     assert(w.read("staging_weather").count() == 4)
     assert(w.read("staging_weather_summary").count() == 2)
