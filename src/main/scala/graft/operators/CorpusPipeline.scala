@@ -10,9 +10,9 @@ import graft.Tables
   *
   *   1. quality gate: drop documents under a word-count floor;
   *   2. exact dedup: keep the smallest doc_id per md5 fingerprint;
-  *   3. near-dup removal: word-3-gram Jaccard ≥ 0.5 over an
-  *      inverted-index candidate join (df-capped), greedily dropping the
-  *      higher doc_id of each surviving pair;
+  *   3. near-dup removal: word-3-gram Jaccard ≥ 0.5 over the df-capped
+  *      inverted-index join (DedupOps.jaccardPairs), greedily dropping
+  *      the higher doc_id of each surviving pair;
   *   4. deterministic stratified sample: top-3 per language by md5
   *      content priority.
   *
@@ -37,19 +37,10 @@ object CorpusPipeline {
     val exact = quality.withColumn("fp", md5($"text"))
       .withColumn("rn", row_number().over(wFp)).filter($"rn" === 1)
       .drop("fp", "rn")
-    // 3. near-dup removal over the deduped set (pairs as in q20, th 0.5)
-    val sh = DedupOps.shingledFrom(exact).cache()
-    val counts = sh.select($"doc_id", size($"shingles").as("n_sh"))
-    val post = sh.select($"doc_id", explode($"shingles").as("s"))
-    val rare = post.groupBy($"s").agg(count(lit(1)).as("df")).filter($"df" <= 25).select($"s")
-    val pr = post.join(rare, "s")
-    val pairs = pr.as("a").join(pr.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(counts.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
-      .join(counts.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
-      .filter($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter") >= 0.5)
-    val dropped = pairs.select($"doc_b".as("doc_id")).distinct()
+    // 3. near-dup removal over the deduped set (capped Jaccard ≥ 0.5, as
+    //    in q20)
+    val dropped = DedupOps.jaccardPairs(exact, 0.5)
+      .select($"doc_b".as("doc_id")).distinct()
     val survivors = exact.join(dropped, Seq("doc_id"), "left_anti")
     // 4. deterministic stratified sample, 3 per language
     val wSample = Window.partitionBy($"lang")

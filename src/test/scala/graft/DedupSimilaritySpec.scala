@@ -88,6 +88,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hammingFar > hammingNear, s"far $hammingFar vs near $hammingNear")
   }
 
+  test("prefix-filtered candidate path returns exactly the plain capped-join pairs") {
+    val docs = graft.Tables(spark, docDir).documents
+    for (t <- Seq(0.2, 0.5)) {
+      val plain = DedupOps.jaccardPairs(docs, t)
+        .as[(Long, Long, Double)].collect().toSeq
+      val prefixed = DedupOps.jaccardPairs(docs, t, prefixFilter = true)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(plain == prefixed, s"threshold $t")
+      assert(plain.nonEmpty)
+    }
+  }
+
   test("engine-hash (xxhash64) minhash/simhash behave like the portable family") {
     val pairs = DedupOps.minhashLsh(spark, docDir, portable = false)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
