@@ -153,10 +153,29 @@ object SimilarityOps {
     * The label blocking bounds pair count; per-pair work is one native
     * dot product (norms precomputed per row). The ≥ cut happens on the
     * pre-round double (portable across engines).
+    *
+    * GUARD: block sizes are corpus-dependent (the fixture's `label` is
+    * the quantizer), and the pairwise join is O(block²) — a runaway
+    * block would dominate the whole job. The operator pre-checks the
+    * block histogram (a tiny agg) and refuses blocks over `maxBlock`,
+    * pointing oversized corpora at the LSH path (q21MinhashLsh) or a
+    * finer quantizer, instead of silently running a quadratic stage.
     */
-  def q23EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def q23EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    embedNearDup(spark, dir)
+
+  private[graft] def embedNearDup(spark: SparkSession, dir: String,
+      maxBlock: Int = 4096): DataFrame = {
     import spark.implicits._
     val e = withNorm(spark, dir)
+    val oversized = e.groupBy($"label").agg(count(lit(1)).as("n"))
+      .filter($"n" > maxBlock).take(1)
+    require(oversized.isEmpty, {
+      val r = oversized.head
+      s"label block ${r.get(0)} holds ${r.get(1)} vectors (> $maxBlock): " +
+        "blocked pairwise cosine is O(block^2) per block - route oversized " +
+        "blocks through the LSH path (q21MinhashLsh) or a finer quantizer"
+    })
     e.as("a").join(e.as("b"),
         $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .select(

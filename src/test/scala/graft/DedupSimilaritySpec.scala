@@ -142,6 +142,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.forall { case (a, b) => a / 10 == b / 10 }) // blocked by cluster
   }
 
+  test("q23 refuses an oversized block and points at the LSH path") {
+    val err = intercept[IllegalArgumentException] {
+      SimilarityOps.embedNearDup(spark, embDir, maxBlock = 5) // clusters hold 10
+    }
+    assert(err.getMessage.contains("LSH"))
+  }
+
   test("regex shingling equals split-on-space trigrams on punctuation-heavy text") {
     // the old \b-anchored lookahead invented shingles mid-token on
     // hyphens/apostrophes and dropped them on leading punctuation
