@@ -186,6 +186,18 @@ object DedupOps {
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
 
+  /** Portable MinHash family: ONE md5 per shingle → 31-bit base hash h
+    * (first 8 hex digits mod 2³¹−1), then 16 affine transforms
+    * (aᵢ·h + bᵢ) mod 2³¹−1 — integer arithmetic any engine reproduces
+    * exactly (products stay < 2⁶² so int64 never overflows), at one
+    * cryptographic hash per posting instead of sixteen.
+    */
+  private val P31 = 2147483647L // 2^31 - 1 (prime)
+  private val hashA: Seq[Long] =
+    (0 until NumHashes).map(i => (2654435761L * (i + 1)) % P31)
+  private val hashB: Seq[Long] =
+    (0 until NumHashes).map(i => (2246822519L * (i + 3) + 3266489917L) % P31)
+
   /** MinHash + LSH near-dup: 16 hashes, 4 bands × 4 rows. Candidates =
     * docs sharing any band signature (equi-join on (band, hash) — the LSH
     * bucket join); candidates are then verified with exact Jaccard ≥ 0.5.
@@ -198,15 +210,14 @@ object DedupOps {
     * partial+final.
     *
     * Two hash families, same plumbing:
-    *   - portable (registered, oracle-checked): minhash = lexicographic
-    *     min of `md5(seed || '|' || shingle)` hex strings, band key =
-    *     md5 of the 4 row-mins — every step reproducible in any engine
-    *     with an md5(), so the ENTIRE LSH pipeline hash-checks against
-    *     DuckDB;
-    *   - engine (portable=false, the 100 TB path): xxhash64 64-bit
-    *     integers — ~8 bytes/signature instead of a 32-char string and a
-    *     far cheaper hash per shingle. Same candidate semantics; swap is
-    *     one flag.
+    *   - portable (registered, oracle-checked): one md5 per shingle →
+    *     31-bit base hash → 16 affine min-transforms (see P31/hashA/
+    *     hashB above), band key = md5 of the 4 row-mins — every step
+    *     integer/md5 arithmetic reproducible in any engine, so the
+    *     ENTIRE LSH pipeline hash-checks against DuckDB;
+    *   - engine (portable=false, the 100 TB path): seeded xxhash64
+    *     64-bit integers — no cryptographic hash anywhere. Same
+    *     candidate semantics; swap is one flag.
     */
   def q21MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLsh(spark, dir, portable = true)
@@ -216,12 +227,20 @@ object DedupOps {
     val sh = shingled(spark, dir).cache() // reused for the exact-verify sets
     val counts = sh.select($"doc_id", size($"shingles").as("n_sh"))
     val post = sh.select($"doc_id", explode($"shingles").as("s"))
+    // base hash projected ONCE per posting; the 16 signature lanes are
+    // cheap arithmetic over it
+    val postH =
+      if (portable)
+        post.withColumn("h",
+          conv(substring(md5($"s"), 1, 8), 16, 10).cast("long") % P31)
+      else post.withColumn("h", xxhash64($"s"))
     def rowHash(i: Int): Column =
-      if (portable) md5(concat_ws("|", lit(i), $"s")) else xxhash64(lit(i), $"s")
+      if (portable) (lit(hashA(i)) * $"h" + lit(hashB(i))) % P31
+      else xxhash64(lit(i), $"s")
     def bandHash(cols: Seq[Column]): Column =
       if (portable) md5(concat_ws("|", cols: _*)) else xxhash64(cols: _*)
     val mins = (0 until NumHashes).map(i => min(rowHash(i)).as(s"mh$i"))
-    val sigs = post.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val sigs = postH.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
     val buckets = sigs.select(
       $"doc_id",
       explode(array((0 until Bands).map { b =>
@@ -241,16 +260,23 @@ object DedupOps {
     jaccardOf(withSets, counts, 0.5)
   }
 
-  /** DuckDB twin of the PORTABLE q21: the same md5 row-hashes, band keys,
-    * bucket join, and exact-Jaccard verify — the full LSH pipeline is
-    * hash-checked, not just an invariant.
+  /** DuckDB twin of the PORTABLE q21: the same base-hash fold, affine
+    * min-lanes, band keys, bucket join, and exact-Jaccard verify — the
+    * full LSH pipeline is hash-checked, not just an invariant.
     */
   val q21Sql: String = {
+    // first 8 hex digits of md5(s) folded to an integer, exactly like
+    // conv(substring(md5(s),1,8),16,10)
+    val foldH = (1 to 8).map { j =>
+      val mult = 1L << (4 * (8 - j))
+      s"(strpos('0123456789abcdef', substr(md5(s), $j, 1)) - 1) * $mult"
+    }.mkString(" + ")
     val minsSql = (0 until NumHashes)
-      .map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(",\n      ")
+      .map(i => s"min((${hashA(i)} * h + ${hashB(i)}) % $P31) AS mh$i")
+      .mkString(",\n      ")
     val bandsSql = (0 until Bands).map { b =>
       val cat = (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(i => s"mh$i").mkString(" || '|' || ")
+        .map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cat) AS h FROM sigs"
     }.mkString("\n      UNION ALL\n      ")
     s"""WITH toks AS (
@@ -261,9 +287,10 @@ object DedupOps {
        |  FROM toks WHERE len(t) >= 3),
        |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
        |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |ph AS (SELECT doc_id, ($foldH) % $P31 AS h FROM post),
        |sigs AS (SELECT doc_id,
        |      $minsSql
-       |    FROM post GROUP BY doc_id),
+       |    FROM ph GROUP BY doc_id),
        |buckets AS (
        |      $bandsSql),
        |cand AS (
@@ -308,24 +335,24 @@ object DedupOps {
     val bits = 32
     val toks = Tables(spark, dir).documents
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    // hash each token ONCE in a projection; the 32 vote lanes only do
+    // shift/mask arithmetic over the projected value
+    val hashed =
+      if (portable)
+        // 32-bit token hash = first 8 hex digits of md5 (bit b lives in
+        // hex digit b/4+1 at in-digit position b%4, matching the twin)
+        toks.withColumn("h", conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"))
+      else toks.withColumn("h", xxhash64($"tok"))
     val withBit: Int => Column =
-      if (portable) {
-        // hex digit j (1-based) of md5 → an int 0..15; bit b lives in
-        // digit b/4+1 at position b%4
-        val digit: Int => Column =
-          j => conv(substring(md5($"tok"), j, 1), 16, 10).cast("int")
-        b => shiftright(digit(b / 4 + 1), b % 4).bitwiseAND(1)
-      } else {
-        val h = xxhash64($"tok")
-        b => shiftright(h, b).bitwiseAND(1).cast("int")
-      }
+      if (portable) b => shiftright($"h", 4 * (8 - (b / 4 + 1)) + b % 4).bitwiseAND(1)
+      else b => shiftright($"h", b).bitwiseAND(1)
     val votes = (0 until bits).map { b =>
       sum(when(withBit(b) === 1, 1L).otherwise(-1L)).as(s"v$b")
     }
     val sim = (0 until bits)
       .map(b => when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    toks.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+    hashed.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
       .select($"doc_id", sim.as("simhash"))
       .orderBy($"doc_id")
   }
