@@ -31,6 +31,19 @@ final case class Warehouse(spark: SparkSession, root: String) {
   def overwrite(table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path(table))
 
+  /** S5, relational flavor: the reference's actual load target is
+    * Postgres over JDBC (/root/reference/spark_jobs/transform_weather.py:166-174).
+    * The parquet warehouse is this engine's serving tier by design; this
+    * thin adapter completes the migration story for deployments keeping
+    * a relational serving copy. NOT exercisable in this offline build
+    * (no JDBC driver on the classpath) — the call shape is the contract:
+    * same overwrite-per-run semantics as the reference's
+    * `.mode("overwrite").jdbc(...)`.
+    */
+  def overwriteJdbc(table: String, df: DataFrame, url: String,
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+
   /** S7/J3 — the ON CONFLICT (city_name,date) DO UPDATE load
     * (/root/reference/dags/weather_etl_pipeline.py:172-192), decomposed
     * Spark-natively: within the ds partition, keep every existing row

@@ -83,4 +83,53 @@ class PropertySpec extends AnyFunSuite {
     assert(dim.count() == Schemas.weatherCodeSeed.size)
     assert(dim.select("weather_code").distinct().count() == Schemas.weatherCodeSeed.size)
   }
+
+  test("jaccardPairs: prefix-filtered path equals the plain capped join on random corpora") {
+    // random docs over a small vocabulary (forces shared shingles, dup
+    // rates, and df-cap hits); both candidate paths must agree exactly
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = for {
+      n <- Gen.chooseNum(3, 24)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val texts = sample(docGen, 120, seed = 31L)
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (t <- Seq(0.3, 0.6, 0.9)) {
+      val plain = graft.operators.DedupOps.jaccardPairs(docs, t, dfCap = 10)
+        .as[(Long, Long, Double)].collect().toSeq
+      val pref = graft.operators.DedupOps.jaccardPairs(docs, t, dfCap = 10, prefixFilter = true)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(plain == pref, s"threshold $t")
+    }
+  }
+
+  test("asofJoin matches a brute-force model on random event streams") {
+    val rowGen = for {
+      key <- Gen.chooseNum(0, 5)
+      ts <- Gen.chooseNum(0, 40)
+    } yield (key.toLong, ts.toLong)
+    val left = sample(rowGen, 80, seed = 41L).zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+    val right = sample(rowGen, 50, seed = 43L).zipWithIndex
+      .map { case ((k, t), i) => (1000L + i, k, new java.sql.Timestamp(t * 1000)) }
+    val out = graft.operators.TemporalOps.asofJoin(
+        left.toDF("event_id", "user_id", "ts"),
+        right.toDF("rid", "user_id", "ts"),
+        "user_id", "ts", "ts", Map("rid" -> "match_id"))
+      .select($"event_id", $"match_id").as[(Long, Option[Long])].collect().toMap
+    left.foreach { case (id, k, ts) =>
+      // model: latest right at-or-before; ties broken by max struct value
+      // (single carried column → max rid)
+      val matches = right.filter(r => r._2 == k && !r._3.after(ts))
+      val want =
+        if (matches.isEmpty) None
+        else {
+          val best = matches.map(_._3).max((a: java.sql.Timestamp, b: java.sql.Timestamp) => a.compareTo(b))
+          Some(matches.filter(_._3 == best).map(_._1).max)
+        }
+      assert(out(id) == want, s"left $id key $k ts $ts")
+    }
+  }
 }
