@@ -18,9 +18,9 @@ object SparkEntry {
     Registry.all.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for ops built on engine-specific
-    * hashes (minhash/simhash/IVF) → driver records a rows-only check;
-    * their correctness is asserted by ScalaTest specs instead.
+    * the same parquet tables. As of round 2 every registered query has
+    * one (portable hash families / byte arithmetic / asserted error
+    * bounds replaced the former rows-only checks).
     */
   def oracleSql: Map[String, String] =
     Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap

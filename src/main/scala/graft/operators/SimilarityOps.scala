@@ -82,10 +82,19 @@ object SimilarityOps {
   private def indexPath(dir: String): String =
     "target/ivf-index/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  /** Read-or-build the persisted index (build-once semantics). */
+  /** Read-or-build the persisted index. Rebuilds when the source table
+    * is newer than the artifact (corpus version changed), so a stale
+    * index can never serve a refreshed corpus.
+    */
   private def ivfIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val p = indexPath(dir)
-    if (!new java.io.File(p).exists())
+    val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx = new Path(p)
+    val src = new Path(s"$dir/embeddings.parquet")
+    val stale = !fs.exists(idx) ||
+      fs.getFileStatus(idx).getModificationTime < fs.getFileStatus(src).getModificationTime
+    if (stale)
       buildIvfIndex(Tables(spark, dir).embeddings)
         .write.mode("overwrite").parquet(p)
     spark.read.parquet(p)
