@@ -168,9 +168,89 @@ object TemporalOps {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Banded range join: clicks within (signup, signup + 1h] per user,
+    * counted per signup. Spark would plan the raw inequality join as a
+    * broadcast-nested-loop; instead both sides bucket into hour-wide
+    * bands and equi-join on (user, bucket) — a signup's window can only
+    * span its own bucket and the next, so the left side explodes ×2 and
+    * the exact range predicate filters inside the hash join. One
+    * compound-key shuffle, no BNLJ/cartesian at any scale.
+    */
+  def q44RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("cts"))
+      .withColumn("bucket", floor(unix_timestamp($"cts") / 3600))
+    val banded = signups
+      .withColumn("b0", floor(unix_timestamp($"ts") / 3600))
+      .withColumn("bucket", explode(array($"b0", $"b0" + 1)))
+    val matched = banded.join(clicks, Seq("user_id", "bucket"))
+      .filter($"cts" > $"ts" && $"cts" <= $"ts" + expr("INTERVAL 1 HOUR"))
+      .groupBy($"event_id").agg(count(lit(1)).as("n_clicks_1h"))
+    signups.join(matched, Seq("event_id"), "left")
+      .select($"event_id", $"user_id",
+        coalesce($"n_clicks_1h", lit(0L)).as("n_clicks_1h"))
+      .orderBy($"event_id")
+  }
+
+  /** DuckDB twin: the band expansion is lossless (a window spans at most
+    * its own hour bucket and the next), so the oracle states the plain
+    * inequality join.
+    */
+  val q44Sql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+      |c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT s.event_id, count(*) AS n
+      |  FROM s JOIN c ON s.user_id = c.user_id
+      |    AND c.cts > s.ts AND c.cts <= s.ts + INTERVAL 1 HOUR
+      |  GROUP BY s.event_id)
+      |SELECT s.event_id, s.user_id, coalesce(m.n, 0) AS n_clicks_1h
+      |FROM s LEFT JOIN m USING (event_id)
+      |ORDER BY s.event_id""".stripMargin
+
+  /** Misra–Gries heavy hitters, checked through its guarantee: every
+    * item with true frequency > n/(k+1) MUST appear in the sketch, so
+    * the query emits the exact heavy hitters with an `in_sketch` flag
+    * the oracle asserts as literal true — a sketch that drops a heavy
+    * hitter fails the gate. (Sketch counts themselves are merge-order-
+    * dependent within the error bound, hence not emitted.)
+    */
+  def q45HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 10
+    val ev = Tables(spark, dir).events
+    val sketch = ev.select(
+      graft.functions.HeavyHitters.heavyHitters($"event_type", k).as("mg"))
+    val exact = ev.groupBy($"event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum($"cnt").over())
+    exact.crossJoin(broadcast(sketch))
+      .filter($"cnt" * (k + 1) > $"total")
+      .select($"event_type", $"cnt",
+        array_contains(map_keys($"mg"), $"event_type").as("in_sketch"))
+      .orderBy($"event_type")
+  }
+
+  val q45Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
+      |t AS (SELECT sum(cnt) AS total FROM e)
+      |SELECT event_type, cnt, true AS in_sketch
+      |FROM e, t
+      |WHERE cnt * 11 > total
+      |ORDER BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
+    Q("q44_range_join", q44RangeJoin, Some(q44Sql), Seq("X-temporal"),
+      "banded range join: hour-bucket equi-join + exact band filter"),
+    Q("q45_heavy_hitters", q45HeavyHitters, Some(q45Sql), Seq("X-stats"),
+      "Misra-Gries sketch checked through its containment guarantee"),
     Q("q41_approx_distinct", q41ApproxDistinct, Some(q41Sql), Seq("X-stats"),
       "HLL approximate distinct bounded against exact"),
     Q("q37_quantiles", q37Quantiles, Some(q37Sql), Seq("X-stats"),

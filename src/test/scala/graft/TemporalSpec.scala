@@ -53,4 +53,14 @@ class TemporalSpec extends AnyFunSuite {
     // and its NULL payload stays NULL (no back-fill from rid 10's "old")
     assert(out == Seq((21L, None)))
   }
+
+  test("banded range join plans as an equi hash join, never a nested loop") {
+    val plan = TemporalOps.q44RangeJoin(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"))
+    val rows = TemporalOps.q44RangeJoin(spark, TestSpark.sf)
+    // band expansion must not duplicate signups
+    assert(rows.groupBy("event_id").count().filter($"count" > 1).isEmpty)
+  }
 }
