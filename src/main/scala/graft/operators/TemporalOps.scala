@@ -244,11 +244,58 @@ object TemporalOps {
       |WHERE cnt * 11 > total
       |ORDER BY event_type""".stripMargin
 
+  /** Batch gap-sessionization — the batch twin of the streaming
+    * flatMapGroupsWithState operator (EventsStreaming.sessionize, same
+    * 30-minute inactivity gap): a session continues while the gap to the
+    * previous event is ≤ 30 min. Composed from lag → flag → running sum
+    * (the classic sessionization rewrite): one shuffle on user, one
+    * sort — no stateful custom code needed in batch.
+    */
+  def q46Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(spark, dir).events
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("prev", lag($"ts", 1).over(wOrd))
+      .withColumn("is_new",
+        when($"prev".isNull || $"ts" > $"prev" + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum($"is_new").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(
+        min($"ts").as("started"), max($"ts").as("ended"),
+        count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  val q46Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+      |                 THEN 1 ELSE 0 END AS is_new
+      |  FROM f),
+      |h AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM g)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  min(ts) AS started, max(ts) AS ended,
+      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM h
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
     Q("q44_range_join", q44RangeJoin, Some(q44Sql), Seq("X-temporal"),
       "banded range join: hour-bucket equi-join + exact band filter"),
+    Q("q46_sessionize", q46Sessionize, Some(q46Sql), Seq("X-temporal"),
+      "batch gap-sessionization: lag -> flag -> running sum"),
     Q("q45_heavy_hitters", q45HeavyHitters, Some(q45Sql), Seq("X-stats"),
       "Misra-Gries sketch checked through its containment guarantee"),
     Q("q41_approx_distinct", q41ApproxDistinct, Some(q41Sql), Seq("X-stats"),

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.lit
 import graft.operators.TemporalOps
 
 /** Edge semantics of the composed as-of join: equal-timestamp inclusion,
@@ -52,6 +53,24 @@ class TemporalSpec extends AnyFunSuite {
     // deterministic winner: max struct among the ts(20) duplicates → rid 21,
     // and its NULL payload stays NULL (no back-fill from rid 10's "old")
     assert(out == Seq((21L, None)))
+  }
+
+  test("batch sessionization: exact 30-minute gap continues, a second more splits") {
+    val dir = TestSpark.scratch("sessionize-batch")
+    def ns(min: Long): Long = min * 60000L * 1000000L // driver fixtures carry nanos
+    val rows = Seq(
+      (1L, 7L, ns(0), 1.0),   // session 1
+      (2L, 7L, ns(30), 2.0),  // exactly 30 min later → same session
+      (3L, 7L, ns(61), 3.0),  // 31 min later → new session
+      (4L, 8L, ns(5), 4.0)    // other user → own session
+    ).toDF("event_id", "user_id", "ts", "value")
+      .withColumn("event_type", lit("click"))
+      .withColumn("props", lit("{}"))
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TemporalOps.q46Sessionize(spark, dir)
+      .select($"user_id", $"session_idx", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
   test("banded range join plans as an equi hash join, never a nested loop") {
