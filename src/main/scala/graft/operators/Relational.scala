@@ -507,6 +507,30 @@ object Relational {
       |WHERE rn <= 3
       |ORDER BY l_returnflag, price DESC, l_orderkey, l_linenumber""".stripMargin
 
+  /** Hot-key mitigation surface: the same fact⋈dim join routed through
+    * Skew.saltedJoin (deterministic row-hash salt spreads each key over 8
+    * sub-partitions; the dim side replicates ×8). Results are identical
+    * to the plain join BY CONSTRUCTION — the oracle states the plain
+    * join, so the salting machinery itself is what the gate checks.
+    */
+  def q47SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val orders = t.orders.select($"o_custkey".as("c_custkey"), $"o_totalprice")
+    val cust = t.customer.select($"c_custkey", $"c_mktsegment")
+    graft.functions.Skew.saltedJoin(orders, cust, "c_custkey", salt = 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total_price"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q47Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q1_agg", q1Agg, Some(q1Sql), Seq("A1", "A4", "A5", "F1", "F2"),
       "multi-aggregate hash group-by (pricing summary)"),
@@ -543,5 +567,7 @@ object Relational {
     Q("q35_lead_lag", q35LeadLag, Some(q35Sql), Seq("W1"),
       "lag analytics: order-to-order gaps"),
     Q("q40_topk_per_key", q40TopKPerKey, Some(q40Sql), Seq("O2", "X-custom"),
-      "group-wise top-k via the custom TopKPerKeyExec operator"))
+      "group-wise top-k via the custom TopKPerKeyExec operator"),
+    Q("q47_salted_join", q47SaltedJoin, Some(q47Sql), Seq("J1", "X-scale"),
+      "hot-key salted join: deterministic salt spread, plain-join oracle"))
 }
