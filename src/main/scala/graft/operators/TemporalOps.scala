@@ -235,6 +235,35 @@ object TemporalOps {
       .orderBy($"event_type")
   }
 
+  /** Approximate percentile (KLL-style sketch, accuracy 1000 → rank error
+    * ≤ 0.1%) checked against exact quantiles at ±1% rank — the same
+    * bound-assertion pattern as q41/q45: the sketch's guarantee becomes
+    * an oracle-checked literal, alongside the exact p90 (which parities
+    * DuckDB's quantile_cont directly).
+    */
+  def q48ApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_extendedprice", lit(0.9), lit(1000)).as("approx"),
+        expr("percentile(l_extendedprice, array(0.89D, 0.9D, 0.91D))").as("ex"))
+      .select(
+        $"l_returnflag",
+        round(element_at($"ex", 2), 4).as("p90"),
+        ($"approx" >= element_at($"ex", 1) && $"approx" <= element_at($"ex", 3))
+          .as("approx_within_bounds"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q48Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  true AS approx_within_bounds
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val q45Sql: String =
     """WITH e AS (
       |  SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
@@ -298,6 +327,8 @@ object TemporalOps {
       "batch gap-sessionization: lag -> flag -> running sum"),
     Q("q45_heavy_hitters", q45HeavyHitters, Some(q45Sql), Seq("X-stats"),
       "Misra-Gries sketch checked through its containment guarantee"),
+    Q("q48_approx_quantile", q48ApproxQuantile, Some(q48Sql), Seq("X-stats"),
+      "approx percentile checked against exact rank-error bounds"),
     Q("q41_approx_distinct", q41ApproxDistinct, Some(q41Sql), Seq("X-stats"),
       "HLL approximate distinct bounded against exact"),
     Q("q37_quantiles", q37Quantiles, Some(q37Sql), Seq("X-stats"),

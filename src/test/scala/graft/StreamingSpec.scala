@@ -72,6 +72,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming sessionizer agrees with the q46 batch twin on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    def ev(id: Long, user: Long, minute: Long, v: Double) =
+      Event(id, new java.sql.Timestamp(minute * 60000), user, "click", v)
+    // user 7: three sessions (two closed); user 8: two sessions (one closed)
+    val all = Seq(
+      ev(1, 7, 0, 1.0), ev(2, 7, 10, 2.0), ev(3, 7, 41, 3.0),  // 31-min gap splits
+      ev(4, 7, 200, 4.0),
+      ev(5, 8, 0, 5.0), ev(6, 8, 30, 6.0),                     // exactly 30 → same
+      ev(7, 8, 500, 7.0))
+    source.addData(all: _*)
+    val q = EventsStreaming.sessionize(source.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_eq").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions_eq").as[UserSession].collect()
+      .map(s => (s.user_id, s.start.getTime, s.end.getTime, s.n_events)).toSet
+    // batch twin over the same rows written as a nanos events fixture
+    val dir = TestSpark.scratch("sessionize-eq")
+    all.map(e => (e.event_id, e.user_id, e.ts.getTime * 1000000L, e.value))
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("event_type", lit("click")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batchAll = operators.TemporalOps.q46Sessionize(spark, dir)
+      .select($"user_id", $"started", $"ended", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+      .map(r => (r._1, r._2.getTime, r._3.getTime, r._4)).toSet
+    // streaming emits only CLOSED sessions; batch emits all → the last
+    // session per user (max start) is the still-open one
+    val open = batchAll.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
+    assert(streamed == batchAll -- open)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionize closes sessions only across the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]
