@@ -44,6 +44,10 @@ class ScaleSpec extends AnyFunSuite {
     val after = spark.read.parquet(wh.path("ev"))
     assert(after.count() == rows)
     assert(after.columns.contains("day")) // partition layout preserved
+    // crash-safe swap order (backup-rename → tmp-rename → delete-backup)
+    // leaves neither scratch dir behind on success
+    assert(!new java.io.File(wh.path("ev__bak")).exists())
+    assert(!new java.io.File(wh.path("ev__compact")).exists())
   }
 
   test("GraftSession builder installs the SQL functions and optimizer rule") {
