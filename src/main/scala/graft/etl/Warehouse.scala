@@ -118,8 +118,11 @@ final case class Warehouse(spark: SparkSession, root: String) {
     */
   def compact(table: String, targetMB: Int = 128, partitionedBy: Seq[String] = Nil): Unit = {
     val src = path(table)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(src)).getLength
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    // FileSystem of the warehouse root's scheme, NOT the default FS —
+    // same reasoning as exists()
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(srcPath).getLength
     val parts = math.max(1, (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
     val tmp = path(table + "__compact")
     val repart =
@@ -130,12 +133,20 @@ final case class Warehouse(spark: SparkSession, root: String) {
       .parquet(tmp)
     // swap order matters: keep a live copy at every instant. A crash
     // between steps leaves either the backup or the new dir recoverable
-    // by rename — never a window with no table at all.
-    val srcPath = new org.apache.hadoop.fs.Path(src)
+    // by rename — never a window with no table at all. Hadoop rename
+    // reports most failures by RETURNING FALSE, so every step is
+    // checked: an unchecked false on the second rename followed by the
+    // backup delete would destroy the only remaining copy.
     val bak = new org.apache.hadoop.fs.Path(src + "__bak")
     if (fs.exists(bak)) fs.delete(bak, true)
-    fs.rename(srcPath, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), srcPath)
+    require(fs.rename(srcPath, bak),
+      s"compact $table: could not move live dir aside ($srcPath -> $bak); table untouched")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), srcPath)) {
+      // roll back: restore the live dir before failing
+      fs.rename(bak, srcPath)
+      throw new IllegalStateException(
+        s"compact $table: could not swap in compacted dir ($tmp -> $srcPath); original restored")
+    }
     fs.delete(bak, true): Unit
   }
 
@@ -165,14 +176,22 @@ final case class Warehouse(spark: SparkSession, root: String) {
   def seedCities(staging: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
     val table = "dim_city"
+    // one row per city_name even if the batch carries drifted coords or
+    // timezone for the same city (UNIQUE(city_name) is the dim contract);
+    // deterministic winner = first by (lat, lon, tz)
+    val wName = Window.partitionBy(col("city_name"))
+      .orderBy(col("latitude"), col("longitude"), col("timezone"))
     val incoming = staging
       .select("city_name", "latitude", "longitude", "timezone").distinct()
+      .withColumn("__rn", row_number().over(wName)).filter(col("__rn") === 1)
+      .drop("__rn")
     val existed = exists(table)
     val fresh =
       if (!existed) incoming.withColumn("__base", lit(0L))
       else {
         val existing = read(table)
-        val base = existing.agg(max(col("city_id"))).head().getLong(0)
+        // coalesce: an existing-but-empty table has NULL max(city_id)
+        val base = existing.agg(coalesce(max(col("city_id")), lit(0L))).head().getLong(0)
         incoming.join(existing.select("city_name"), Seq("city_name"), "left_anti")
           .withColumn("__base", lit(base))
       }

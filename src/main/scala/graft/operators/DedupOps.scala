@@ -112,7 +112,11 @@ object DedupOps {
       dfCap: Int = 25, prefixFilter: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val sh = shingledFrom(docs).cache()
+    // deliberately NOT cached: the frame is consumed by two branches, but
+    // a .cache() here would leak one pinned copy per invocation for the
+    // session lifetime (bench/specs call this repeatedly), and at corpus
+    // scale you recompute a projection rather than pin the shingle set
+    val sh = shingledFrom(docs)
     val counts = sh.select($"doc_id", size($"shingles").as("n_sh"))
     val post = sh.select($"doc_id", explode($"shingles").as("s"))
     val dfreq = post.groupBy($"s").agg(count(lit(1)).as("df"))
@@ -139,9 +143,11 @@ object DedupOps {
         val ranked = postRare
           .withColumn("rn", row_number().over(wDoc))
           .withColumn("n_rare", count(lit(1)).over(wAll))
-          .cache()
+        // ceil over double arithmetic can overestimate (25 * 0.28 =
+        // 7.000000000000001 → ceil 8, true α 7), which would SHORTEN the
+        // prefix and break losslessness — shave an epsilon first
         val prefix = ranked
-          .filter($"rn" <= $"n_rare" - ceil($"n_rare" * threshold) + 1)
+          .filter($"rn" <= $"n_rare" - ceil($"n_rare" * threshold - lit(1e-9)) + 1)
           .select($"doc_id", $"s")
         val cand = prefix.as("a")
           .join(prefix.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")

@@ -77,10 +77,15 @@ object SimilarityOps {
   }
 
   /** Local scratch path for the index artifact of a fixture dir (the
-    * fixture dirs themselves are read-only).
+    * fixture dirs themselves are read-only). The readable slug alone can
+    * collide ('/a b' vs '/a_b'), so the FULL path is also md5-hashed
+    * into the name.
     */
-  private def indexPath(dir: String): String =
-    "target/ivf-index/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+  private def indexPath(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    "target/ivf-index/" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
+  }
 
   /** Read-or-build the persisted index. Rebuilds when the source table
     * is newer than the artifact (corpus version changed), so a stale
@@ -92,8 +97,10 @@ object SimilarityOps {
     val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val idx = new Path(p)
     val src = new Path(s"$dir/embeddings.parquet")
+    // <= : a source rewritten within the same mtime tick as the build
+    // (coarse filesystem clocks) must count as stale, not fresh
     val stale = !fs.exists(idx) ||
-      fs.getFileStatus(idx).getModificationTime < fs.getFileStatus(src).getModificationTime
+      fs.getFileStatus(idx).getModificationTime <= fs.getFileStatus(src).getModificationTime
     if (stale)
       buildIvfIndex(Tables(spark, dir).embeddings)
         .write.mode("overwrite").parquet(p)

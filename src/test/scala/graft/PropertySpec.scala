@@ -96,7 +96,9 @@ class PropertySpec extends AnyFunSuite {
     val docs = texts.zipWithIndex
       .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    for (t <- Seq(0.3, 0.6, 0.9)) {
+    // 0.28 / 0.14 exercise the ceil-over-double hazard (n*t landing just
+    // above an integer, e.g. 25*0.28 = 7.000000000000001)
+    for (t <- Seq(0.14, 0.28, 0.3, 0.6, 0.9)) {
       val plain = graft.operators.DedupOps.jaccardPairs(docs, t, dfCap = 10)
         .as[(Long, Long, Double)].collect().toSeq
       val pref = graft.operators.DedupOps.jaccardPairs(docs, t, dfCap = 10, prefixFilter = true)
