@@ -22,7 +22,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up pass outside timing: JIT + parquet footer caches
+    // warm-up outside timing: parquet footers + page cache for every
+    // table, then one full query for JIT — so the first timed queries
+    // don't pay one-off IO/compile costs the rest never see
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    tables.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect(): Unit
+      catch { case _: Throwable => () }
+    }
     try SparkEntry.queries.head._2(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
