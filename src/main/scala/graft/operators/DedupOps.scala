@@ -397,9 +397,48 @@ object DedupOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Benchmark-contamination flagging — the pretraining hygiene pass:
+    * corpus docs sharing ≥ 3 distinct word-3-gram shingles with a
+    * benchmark/eval set are flagged (n-gram-overlap decontamination as
+    * described in public LM training reports). The fixture's benchmark
+    * side is doc_id < 5. Scale shape: eval suites are KBs–MBs, so the
+    * benchmark shingle set BROADCASTS and the corpus is scanned once
+    * through a broadcast hash join — no shuffle of the corpus postings.
+    */
+  def q49Contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val bsh = shingledFrom(docs.filter($"doc_id" < 5))
+      .select(explode($"shingles").as("s")).distinct()
+    val psh = shingledFrom(docs.filter($"doc_id" >= 5))
+      .select($"doc_id", explode($"shingles").as("s"))
+    psh.join(broadcast(bsh), "s")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 3)
+      .orderBy($"doc_id")
+  }
+
+  val q49Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |bsh AS (
+      |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 5),
+      |psh AS (
+      |  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 5)
+      |SELECT doc_id, count(*) AS n_shared
+      |FROM psh JOIN bsh USING (s)
+      |GROUP BY doc_id
+      |HAVING count(*) >= 3
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q19_dedup_exact", q19DedupExact, Some(q19Sql), Seq("X-dedup"),
       "exact dedup on md5 content fingerprint"),
+    Q("q49_contamination", q49Contamination, Some(q49Sql), Seq("X-dedup"),
+      "benchmark-contamination flags via broadcast shingle overlap"),
     Q("q20_ngram_jaccard", q20NgramJaccard, Some(q20Sql), Seq("X-dedup"),
       "3-gram Jaccard near-dup via inverted-index join"),
     Q("q21_minhash_lsh", q21MinhashLsh, Some(q21Sql), Seq("X-dedup"),

@@ -170,9 +170,44 @@ object TextOps {
       |WHERE rk <= 3
       |ORDER BY lang, rk""".stripMargin
 
+  /** Intra-document repetition score: the most-repeated trigram's share
+    * of ALL trigram occurrences (multiset, not distinct) — the standard
+    * boilerplate/template/spam signal in pretraining quality filters.
+    * Narrow: one regex pass, one explode, two doc-keyed aggregations.
+    */
+  def q50Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tri = graft.Tables(spark, dir).documents
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id",
+        explode(regexp_extract_all($"text",
+          lit("(?:^| )(?=(\\S+ \\S+ \\S+))"), lit(1))).as("s"))
+    tri.groupBy($"doc_id", $"s").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(max($"cnt").as("top_cnt"), sum($"cnt").as("n_tri"))
+      .select($"doc_id", $"top_cnt", $"n_tri",
+        round($"top_cnt".cast("double") / $"n_tri", 4).as("top_share"))
+      .orderBy($"doc_id")
+  }
+
+  val q50Sql: String =
+    """WITH tri AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |pc AS (SELECT doc_id, s, count(*) AS cnt FROM tri GROUP BY doc_id, s)
+      |SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_tri,
+      |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top_share
+      |FROM pc
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q15_token_stats", q15TokenStats, Some(q15Sql), Seq("F-text"),
       "per-document token/length statistics"),
+    Q("q50_repetition", q50Repetition, Some(q50Sql), Seq("F-text"),
+      "intra-document repetition: top trigram share of occurrences"),
     Q("q39_sample_per_group", q39Sample, Some(q39Sql), Seq("X-sample"),
       "deterministic hash-priority stratified sampling"),
     Q("q16_lang_id", q16LangId, Some(q16Sql), Seq("F-text"),
