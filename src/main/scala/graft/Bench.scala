@@ -22,13 +22,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up outside timing: parquet footers + page cache for every
-    // table, then one full query for JIT — so the first timed queries
-    // don't pay one-off IO/compile costs the rest never see
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "documents", "embeddings")
-    tables.foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect(): Unit
+    // warm-up outside timing: parquet footers (+ first row group) of
+    // every table, then one full query for JIT — so the first timed
+    // queries don't pay one-off IO/compile costs the rest never see.
+    // events MUST go through Tables (nanos-timestamp handling).
+    val t = Tables(spark, sfDir)
+    Seq(t.region, t.nation, t.customer, t.supplier, t.part, t.orders,
+      t.lineitem, t.events, t.documents, t.embeddings).foreach { df =>
+      try df.limit(1).collect(): Unit
       catch { case _: Throwable => () }
     }
     try SparkEntry.queries.head._2(spark, sfDir).write.format("noop").mode("overwrite").save()

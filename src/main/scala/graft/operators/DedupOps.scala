@@ -57,13 +57,28 @@ object DedupOps {
   private[graft] def shingled(spark: SparkSession, dir: String): DataFrame =
     shingledFrom(Tables(spark, dir).documents)
 
+  /** The ONE trigram definition every shingle consumer shares (q20/q21/
+    * q42/q49/q50 + their DuckDB twins) — duplicate copies of this literal
+    * would silently diverge on a tokenization change.
+    */
+  private[graft] val TrigramRegex = "(?:^| )(?=(\\S+ \\S+ \\S+))"
+
+  /** Multiset trigram stream: one row per overlapping word-3-gram
+    * occurrence (no dedup). Same tokenization contract as shingledFrom.
+    */
+  private[graft] def trigramStream(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(TrigramRegex), lit(1))).as("s"))
+
   private[graft] def shingledFrom(docs: DataFrame): DataFrame =
     docs
       .filter(size(split(col("text"), " ")) >= 3)
       .select(
         col("doc_id"),
         array_distinct(
-          regexp_extract_all(col("text"), lit("(?:^| )(?=(\\S+ \\S+ \\S+))"), lit(1))
+          regexp_extract_all(col("text"), lit(TrigramRegex), lit(1))
         ).as("shingles"))
 
   /** Exact pairwise Jaccard for a candidate-pair frame (doc_a, doc_b). */

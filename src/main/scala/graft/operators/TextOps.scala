@@ -177,11 +177,9 @@ object TextOps {
     */
   def q50Repetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tri = graft.Tables(spark, dir).documents
-      .filter(size(split($"text", " ")) >= 3)
-      .select($"doc_id",
-        explode(regexp_extract_all($"text",
-          lit("(?:^| )(?=(\\S+ \\S+ \\S+))"), lit(1))).as("s"))
+    // shared trigram definition (single-space tokenization contract —
+    // see DedupOps.shingledFrom scaladoc); the DuckDB twin mirrors it
+    val tri = DedupOps.trigramStream(graft.Tables(spark, dir).documents)
     tri.groupBy($"doc_id", $"s").agg(count(lit(1)).as("cnt"))
       .groupBy($"doc_id")
       .agg(max($"cnt").as("top_cnt"), sum($"cnt").as("n_tri"))

@@ -149,6 +149,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(err.getMessage.contains("LSH"))
   }
 
+  test("contamination flags exactly the docs at/over the shared-shingle threshold") {
+    val dir = TestSpark.scratch("contam-docs")
+    val bench = "b1 b2 b3 b4 b5" // benchmark shingles: b1b2b3, b2b3b4, b3b4b5
+    Seq(
+      (0L, bench, "en", "s", 1L),                     // benchmark side (doc_id < 5)
+      (1L, "f1 f2 f3 f4", "en", "s", 1L),             // filler benchmark, unrelated
+      (10L, bench, "en", "s", 1L),                    // shares 3 → flagged
+      (11L, "b1 b2 b3 b4 x1", "en", "s", 1L),         // shares 2 → below threshold
+      (12L, "z1 z2 z3 z4 z5", "en", "s", 1L))         // shares 0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupOps.q49Contamination(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 3L))
+  }
+
+  test("repetition score: planted repetitive doc scores its top-trigram share") {
+    val dir = TestSpark.scratch("repetition-docs")
+    Seq(
+      // "x y x y x y x y": 6 trigram occurrences, "x y x" ×3 → share 0.5
+      (0L, "x y x y x y x y", "en", "s", 1L),
+      // all-distinct trigrams: top share = 1/3
+      (1L, "a b c d e", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextOps.q50Repetition(spark, dir)
+      .select($"doc_id", $"top_cnt", $"n_tri", $"top_share")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(out(0L) == ((3L, 6L, 0.5)))
+    assert(out(1L) == ((1L, 3L, 0.3333)))
+  }
+
   test("regex shingling equals split-on-space trigrams on punctuation-heavy text") {
     // the old \b-anchored lookahead invented shingles mid-token on
     // hyphens/apostrophes and dropped them on leading punctuation
