@@ -52,7 +52,7 @@ object CorpusPipeline {
   }
 
   val q42Sql: String =
-    """WITH quality AS (
+    s"""WITH quality AS (
       |  SELECT doc_id, lang, text,
       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words
       |  FROM documents
@@ -64,8 +64,7 @@ object CorpusPipeline {
       |        FROM quality)
       |  WHERE rn = 1),
       |sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      |  SELECT doc_id, list_distinct(${DedupOps.TrigramSqlExpr}) AS shingles
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM exact)
       |  WHERE len(t) >= 3),
       |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),

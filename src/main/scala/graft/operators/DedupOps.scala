@@ -58,10 +58,17 @@ object DedupOps {
     shingledFrom(Tables(spark, dir).documents)
 
   /** The ONE trigram definition every shingle consumer shares (q20/q21/
-    * q42/q49/q50 + their DuckDB twins) — duplicate copies of this literal
-    * would silently diverge on a tokenization change.
+    * q42/q49/q50) — duplicate copies of this literal would silently
+    * diverge on a tokenization change.
     */
   private[graft] val TrigramRegex = "(?:^| )(?=(\\S+ \\S+ \\S+))"
+
+  /** Its DuckDB twin, over `t = string_split(text, ' ')` — interpolated
+    * into every oracle that shingles, for the same single-definition
+    * reason.
+    */
+  private[graft] val TrigramSqlExpr =
+    "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
 
   /** Multiset trigram stream: one row per overlapping word-3-gram
     * occurrence (no dedup). Same tokenization contract as shingledFrom.
@@ -187,11 +194,10 @@ object DedupOps {
     * join (both candidate paths in jaccardPairs produce exactly this).
     */
   val q20Sql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      |  SELECT doc_id, list_distinct($TrigramSqlExpr) AS shingles
       |  FROM toks WHERE len(t) >= 3),
       |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
       |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -253,7 +259,10 @@ object DedupOps {
 
   private[graft] def minhashLsh(spark: SparkSession, dir: String, portable: Boolean): DataFrame = {
     import spark.implicits._
-    val sh = shingled(spark, dir).cache() // reused for the exact-verify sets
+    // reused for the exact-verify sets; NOT cached — same per-invocation
+    // leak rationale as jaccardPairs (recompute a narrow projection
+    // rather than pin the shingle set for the session lifetime)
+    val sh = shingled(spark, dir)
     val counts = sh.select($"doc_id", size($"shingles").as("n_sh"))
     val post = sh.select($"doc_id", explode($"shingles").as("s"))
     // base hash projected ONCE per posting; the 16 signature lanes are
@@ -311,8 +320,7 @@ object DedupOps {
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  SELECT doc_id, list_distinct($TrigramSqlExpr) AS shingles
        |  FROM toks WHERE len(t) >= 3),
        |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
        |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -434,9 +442,8 @@ object DedupOps {
   }
 
   val q49Sql: String =
-    """WITH sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+    s"""WITH sh AS (
+      |  SELECT doc_id, list_distinct($TrigramSqlExpr) AS shingles
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |  WHERE len(t) >= 3),
       |bsh AS (

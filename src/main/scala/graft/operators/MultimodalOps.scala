@@ -104,9 +104,13 @@ object MultimodalOps {
   }
 
   /** DuckDB twin of q30: the payload is the UTF-8 encoding of an
-    * all-ASCII corpus, so n_bytes = strlen and the byte values are the
-    * character codepoints — the decode stub's per-row features
-    * reconstructed in portable SQL.
+    * all-ASCII corpus (a CONTRACT of this oracle: one multi-byte char
+    * would break strlen/ascii byte reconstruction — the oracle then
+    * fails closed rather than silently diverging), so n_bytes = strlen
+    * and the byte values are the character codepoints — the decode
+    * stub's per-row features reconstructed in portable SQL. The LEFT
+    * JOIN + coalesce keeps an empty-text doc in the aggregate with
+    * mean_byte 0.0, matching decodeStub.
     */
   val q30Sql: String =
     """WITH ch AS (
@@ -120,8 +124,8 @@ object MultimodalOps {
       |         WHEN d.doc_id % 3 = 1 THEN 'audio'
       |         ELSE 'video' END AS kind,
       |    CAST(strlen(d.text) AS BIGINT) AS n_bytes,
-      |    mb.mean_byte
-      |  FROM documents d JOIN mb USING (doc_id))
+      |    coalesce(mb.mean_byte, 0.0) AS mean_byte
+      |  FROM documents d LEFT JOIN mb USING (doc_id))
       |SELECT kind, count(*) AS n_media, sum(n_bytes) AS total_bytes,
       |  round(avg(mean_byte), 4) AS avg_mean_byte
       |FROM feats

@@ -93,18 +93,21 @@ object SimilarityOps {
     */
   private def ivfIndex(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val p = indexPath(dir)
-    val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val idx = new Path(p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idx = new Path(indexPath(dir))
     val src = new Path(s"$dir/embeddings.parquet")
+    // each path through ITS OWN filesystem — the local index FS cannot
+    // stat an hdfs://|s3:// source dir ("Wrong FS").
     // <= : a source rewritten within the same mtime tick as the build
     // (coarse filesystem clocks) must count as stale, not fresh
-    val stale = !fs.exists(idx) ||
-      fs.getFileStatus(idx).getModificationTime <= fs.getFileStatus(src).getModificationTime
+    val idxFs = idx.getFileSystem(conf)
+    val srcFs = src.getFileSystem(conf)
+    val stale = !idxFs.exists(idx) ||
+      idxFs.getFileStatus(idx).getModificationTime <= srcFs.getFileStatus(src).getModificationTime
     if (stale)
       buildIvfIndex(Tables(spark, dir).embeddings)
-        .write.mode("overwrite").parquet(p)
-    spark.read.parquet(p)
+        .write.mode("overwrite").parquet(idx.toString)
+    spark.read.parquet(idx.toString)
   }
 
   /** IVF-style ANN lookup: probe the 2 cells whose PRECOMPUTED centroids

@@ -67,11 +67,17 @@ object TemporalOps {
       .orderBy($"event_id")
   }
 
+  // CAST(ts AS TIMESTAMP) floors the fixture's nanosecond timestamps to
+  // microseconds — the SAME truncation Tables.events applies on the
+  // Spark side — so boundary comparisons agree even when related events
+  // land in the same microsecond (most fixture rows carry sub-µs nanos).
   val q36Sql: String =
     """WITH clicks AS (
-      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'click'),
       |signups AS (
-      |  SELECT event_id AS signup_id, user_id, ts FROM events WHERE event_type = 'signup')
+      |  SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'signup')
       |SELECT c.event_id, c.user_id, s.signup_id
       |FROM clicks c ASOF LEFT JOIN signups s
       |  ON c.user_id = s.user_id AND c.ts >= s.ts
@@ -200,10 +206,13 @@ object TemporalOps {
     * its own hour bucket and the next), so the oracle states the plain
     * inequality join.
     */
+  // micro-truncated ts on both sides — see q36Sql note
   val q44Sql: String =
     """WITH s AS (
-      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
-      |c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'signup'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+      |      FROM events WHERE event_type = 'click'),
       |m AS (
       |  SELECT s.event_id, count(*) AS n
       |  FROM s JOIN c ON s.user_id = c.user_id
@@ -298,11 +307,15 @@ object TemporalOps {
       .orderBy($"user_id", $"session_idx")
   }
 
+  // micro-truncated ts BEFORE the window — gap comparisons and tie-break
+  // ordering must run at the same precision as the Spark side (q36Sql note)
   val q46Sql: String =
-    """WITH f AS (
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |f AS (
       |  SELECT user_id, event_id, ts, value,
       |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-      |  FROM events),
+      |  FROM e),
       |g AS (
       |  SELECT *, CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
       |                 THEN 1 ELSE 0 END AS is_new

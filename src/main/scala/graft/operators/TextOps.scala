@@ -189,9 +189,8 @@ object TextOps {
   }
 
   val q50Sql: String =
-    """WITH tri AS (
-      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
-      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    s"""WITH tri AS (
+      |  SELECT doc_id, unnest(${DedupOps.TrigramSqlExpr}) AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |  WHERE len(t) >= 3),
       |pc AS (SELECT doc_id, s, count(*) AS cnt FROM tri GROUP BY doc_id, s)
