@@ -11,11 +11,11 @@ import graft.Tables
   *   - exact dedup is a hash group-by on a 128-bit content fingerprint —
   *     one shuffle keyed by digest, map-side partial aggregation;
   *   - n-gram Jaccard and MinHash-LSH both avoid the O(n²) cross join:
-  *     candidates come from an inverted-index self-join (shingle → docs) /
-  *     banded-signature join (band hash → docs), so cost is driven by
-  *     posting-list sizes; the Jaccard path joins PPJoin-style prefix
-  *     postings only (rarest-first order), which is lossless for the
-  *     threshold and starves globally-hot shingles out of the join;
+  *     candidates come from a df-capped inverted index (pairs via bounded
+  *     combination explode) / banded-signature join (band hash → docs),
+  *     so cost is bounded by posting-list caps; an optional lossless
+  *     PPJoin prefix filter exists for pair-volume-dominated corpora
+  *     (see jaccardPairs);
   *   - SimHash and MinHash signatures come from exploded token/shingle
   *     streams through codegen'd hash aggregates (partial+final), not
   *     per-row interpreted array lambdas.

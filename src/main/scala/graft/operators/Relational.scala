@@ -34,9 +34,12 @@ object Relational {
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).as("sum_base_price"),
+        sum(($"l_extendedprice".cast("decimal(18,2)")
+          * (lit(1) - $"l_discount".cast("decimal(4,2)"))).cast("decimal(24,4)")).as("sum_disc_price"),
+        sum((($"l_extendedprice".cast("decimal(18,2)")
+          * (lit(1) - $"l_discount".cast("decimal(4,2)"))).cast("decimal(24,4)")
+          * (lit(1) + $"l_tax".cast("decimal(4,2)"))).cast("decimal(30,6)")).as("sum_charge"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
         round(avg($"l_extendedprice"), 4).as("avg_price"),
         round(avg($"l_discount"), 4).as("avg_disc"),
@@ -47,9 +50,12 @@ object Relational {
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,4))) AS sum_disc_price,
+      |  sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,4))
+      |      * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(30,6))) AS sum_charge,
       |  round(avg(l_quantity), 4) AS avg_qty,
       |  round(avg(l_extendedprice), 4) AS avg_price,
       |  round(avg(l_discount), 4) AS avg_disc,
@@ -114,7 +120,7 @@ object Relational {
       .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        round(sum($"o_totalprice"), 2).as("revenue"),
+        sum($"o_totalprice".cast("decimal(18,2)")).as("revenue"),
         count(lit(1)).as("n_orders"),
         round(avg($"c_acctbal"), 4).as("avg_acctbal"))
       .orderBy($"r_name", $"n_name")
@@ -122,7 +128,7 @@ object Relational {
 
   val q3Sql: String =
     """SELECT r_name, n_name,
-      |  round(sum(o_totalprice), 2) AS revenue,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
       |  count(*) AS n_orders,
       |  round(avg(c_acctbal), 4) AS avg_acctbal
       |FROM orders
@@ -143,13 +149,13 @@ object Relational {
     t.orders
       .join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
       .groupBy($"o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("revenue"))
+      .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice".cast("decimal(18,2)")).as("revenue"))
       .orderBy($"o_orderpriority")
   }
 
   val q4Sql: String =
     """SELECT o_orderpriority, count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS revenue
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
       |FROM orders
       |WHERE EXISTS (SELECT 1 FROM lineitem
       |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
@@ -187,24 +193,32 @@ object Relational {
     import spark.implicits._
     val li = Tables(spark, dir).lineitem
     val cut = lit("2000-01-01").cast("timestamp")
+    // prices are exact 2-decimal values: cast BEFORE the uplift and
+    // multiply in decimal (exact in any engine) — casting the double
+    // product instead would round a binary value on a decimal half-point
     val staging = li.filter($"l_shipdate" >= cut)
-      .withColumn("l_extendedprice", $"l_extendedprice" * 1.1)
+      .withColumn("l_extendedprice",
+        ($"l_extendedprice".cast("decimal(18,2)")
+          * lit(new java.math.BigDecimal("1.1"))).cast("decimal(19,3)"))
     val fact = li.filter($"l_shipdate" < cut)
+      .withColumn("l_extendedprice", $"l_extendedprice".cast("decimal(19,3)"))
     val keys = Seq("l_orderkey", "l_linenumber")
     val merged = fact.join(staging.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(staging)
     merged.agg(
       count(lit(1)).as("n_rows"),
-      round(sum($"l_extendedprice"), 2).as("total_price"),
+      sum($"l_extendedprice").as("total_price"),
       countDistinct($"l_orderkey" * 8 + $"l_linenumber").as("n_keys"))
   }
 
   val q6Sql: String =
     """WITH staging AS (
-      |  SELECT l_orderkey, l_linenumber, l_extendedprice * 1.1 AS l_extendedprice
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 1.1 AS DECIMAL(19,3)) AS l_extendedprice
       |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'),
       |fact AS (
-      |  SELECT l_orderkey, l_linenumber, l_extendedprice
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(l_extendedprice AS DECIMAL(19,3)) AS l_extendedprice
       |  FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'),
       |merged AS (
       |  SELECT * FROM fact f
@@ -213,7 +227,7 @@ object Relational {
       |                      AND s.l_linenumber = f.l_linenumber)
       |  UNION ALL SELECT * FROM staging)
       |SELECT count(*) AS n_rows,
-      |  round(sum(l_extendedprice), 2) AS total_price,
+      |  sum(l_extendedprice) AS total_price,
       |  count(DISTINCT l_orderkey * 8 + l_linenumber) AS n_keys
       |FROM merged""".stripMargin
 
@@ -273,7 +287,7 @@ object Relational {
         month($"o_orderdate").cast("long").as("o_month"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum($"o_totalprice"), 2).as("revenue"),
+        sum($"o_totalprice".cast("decimal(18,2)")).as("revenue"),
         round(avg($"o_totalprice"), 4).as("avg_price"),
         count(when($"o_orderstatus" === "F", 1)).as("n_finished"),
         round(max($"o_totalprice"), 2).as("max_price"))
@@ -284,7 +298,7 @@ object Relational {
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
       |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
       |  count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS revenue,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
       |  round(avg(o_totalprice), 4) AS avg_price,
       |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
       |  round(max(o_totalprice), 2) AS max_price
@@ -372,13 +386,13 @@ object Relational {
     import spark.implicits._
     Tables(spark, dir).orders
       .rollup($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("revenue"))
+      .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice".cast("decimal(18,2)")).as("revenue"))
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
   val q31Sql: String =
     """SELECT o_orderstatus, o_orderpriority,
-      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |  count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
       |FROM orders
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
@@ -520,13 +534,13 @@ object Relational {
     val cust = t.customer.select($"c_custkey", $"c_mktsegment")
     graft.functions.Skew.saltedJoin(orders, cust, "c_custkey", salt = 8)
       .groupBy($"c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice".cast("decimal(18,2)")).as("total_price"))
       .orderBy($"c_mktsegment")
   }
 
   val q47Sql: String =
     """SELECT c_mktsegment, count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS total_price
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
