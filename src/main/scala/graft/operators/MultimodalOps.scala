@@ -126,7 +126,8 @@ object MultimodalOps {
       |    CAST(strlen(d.text) AS BIGINT) AS n_bytes,
       |    coalesce(mb.mean_byte, 0.0) AS mean_byte
       |  FROM documents d LEFT JOIN mb USING (doc_id))
-      |SELECT kind, count(*) AS n_media, sum(n_bytes) AS total_bytes,
+      |SELECT kind, count(*) AS n_media,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
       |  round(avg(mean_byte), 4) AS avg_mean_byte
       |FROM feats
       |GROUP BY kind

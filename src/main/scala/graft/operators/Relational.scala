@@ -22,6 +22,34 @@ import graft.Tables
   */
 object Relational {
 
+  import org.apache.spark.sql.Column
+
+  /** Money aggregates: sum in DECIMAL (exact, order-independent — the fix
+    * for cross-engine fp drift at 1e9+ magnitudes), then emit as DOUBLE.
+    * The final cast matters for the gate: a DECIMAL output column keeps its
+    * scale ("261914319.80") while the oracle harness reads DuckDB decimals
+    * as float64 ("261914319.8") — value-equal, string-different. Casting the
+    * exact decimal to double on BOTH sides yields bit-identical doubles and
+    * identical strings. Unscaled values stay < 2^53 through sf10+, so the
+    * cast is exact. Output schemas must stay "pandas-stable": string /
+    * bigint / double / bool / timestamp only — never decimal, and oracle
+    * SQL must CAST integer sums to BIGINT (DuckDB's HUGEINT reads back as
+    * float64).
+    */
+  private def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact mean of a 2-decimal money column: exact decimal sum → double →
+    * divide by count. Order-independent, unlike avg(double) whose
+    * partial-merge order varies run to run. Deliberately NOT rounded: both
+    * engines divide bit-identical doubles, so the quotient is already
+    * bit-identical — while round(x, 4) on a value that lands exactly on a
+    * 4th-decimal half (common for money/count ratios, e.g. 227673.41875)
+    * resolves differently in Spark (decimal-string HALF_UP) vs DuckDB
+    * (binary rounding) and flips the last digit.
+    */
+  private def moneyAvg(c: Column): Column =
+    (sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1)))
+
   /** A1/A4/F1 — multi-aggregate hash group-by (the reference's city summary,
     * /root/reference/spark_jobs/transform_weather.py:151-163), expressed as
     * the classic pricing-summary shape over lineitem. One shuffle; partial
@@ -34,15 +62,17 @@ object Relational {
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
-        sum($"l_extendedprice".cast("decimal(18,2)")).as("sum_base_price"),
-        sum(($"l_extendedprice".cast("decimal(18,2)")
-          * (lit(1) - $"l_discount".cast("decimal(4,2)"))).cast("decimal(24,4)")).as("sum_disc_price"),
-        sum((($"l_extendedprice".cast("decimal(18,2)")
+        moneySum($"l_extendedprice").as("sum_base_price"),
+        round(sum(($"l_extendedprice".cast("decimal(18,2)")
+          * (lit(1) - $"l_discount".cast("decimal(4,2)"))).cast("decimal(24,4)")), 2)
+          .cast("double").as("sum_disc_price"),
+        round(sum((($"l_extendedprice".cast("decimal(18,2)")
           * (lit(1) - $"l_discount".cast("decimal(4,2)"))).cast("decimal(24,4)")
-          * (lit(1) + $"l_tax".cast("decimal(4,2)"))).cast("decimal(30,6)")).as("sum_charge"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_extendedprice"), 4).as("avg_price"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
+          * (lit(1) + $"l_tax".cast("decimal(4,2)"))).cast("decimal(30,6)")), 2)
+          .cast("double").as("sum_charge"),
+        moneyAvg($"l_quantity").as("avg_qty"),
+        moneyAvg($"l_extendedprice").as("avg_price"),
+        moneyAvg($"l_discount").as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -50,15 +80,15 @@ object Relational {
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-      |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,4))) AS sum_disc_price,
-      |  sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,4))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
       |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,4))
-      |      * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(30,6))) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |      * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -120,17 +150,17 @@ object Relational {
       .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        sum($"o_totalprice".cast("decimal(18,2)")).as("revenue"),
+        moneySum($"o_totalprice").as("revenue"),
         count(lit(1)).as("n_orders"),
-        round(avg($"c_acctbal"), 4).as("avg_acctbal"))
+        moneyAvg($"c_acctbal").as("avg_acctbal"))
       .orderBy($"r_name", $"n_name")
   }
 
   val q3Sql: String =
     """SELECT r_name, n_name,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
       |  count(*) AS n_orders,
-      |  round(avg(c_acctbal), 4) AS avg_acctbal
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_acctbal
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -149,13 +179,13 @@ object Relational {
     t.orders
       .join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
       .groupBy($"o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice".cast("decimal(18,2)")).as("revenue"))
+      .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("revenue"))
       .orderBy($"o_orderpriority")
   }
 
   val q4Sql: String =
     """SELECT o_orderpriority, count(*) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders
       |WHERE EXISTS (SELECT 1 FROM lineitem
       |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
@@ -207,7 +237,9 @@ object Relational {
       .unionByName(staging)
     merged.agg(
       count(lit(1)).as("n_rows"),
-      sum($"l_extendedprice").as("total_price"),
+      // exact decimal(,3) sum; emitted as double (pandas-stable schema) —
+      // unscaled < 2^53 through sf10, so the cast is exact on both engines
+      sum($"l_extendedprice").cast("double").as("total_price"),
       countDistinct($"l_orderkey" * 8 + $"l_linenumber").as("n_keys"))
   }
 
@@ -227,7 +259,7 @@ object Relational {
       |                      AND s.l_linenumber = f.l_linenumber)
       |  UNION ALL SELECT * FROM staging)
       |SELECT count(*) AS n_rows,
-      |  sum(l_extendedprice) AS total_price,
+      |  CAST(sum(l_extendedprice) AS DOUBLE) AS total_price,
       |  count(DISTINCT l_orderkey * 8 + l_linenumber) AS n_keys
       |FROM merged""".stripMargin
 
@@ -287,8 +319,8 @@ object Relational {
         month($"o_orderdate").cast("long").as("o_month"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum($"o_totalprice".cast("decimal(18,2)")).as("revenue"),
-        round(avg($"o_totalprice"), 4).as("avg_price"),
+        moneySum($"o_totalprice").as("revenue"),
+        moneyAvg($"o_totalprice").as("avg_price"),
         count(when($"o_orderstatus" === "F", 1)).as("n_finished"),
         round(max($"o_totalprice"), 2).as("max_price"))
       .orderBy($"o_year", $"o_month")
@@ -298,8 +330,8 @@ object Relational {
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
       |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
       |  count(*) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
-      |  round(avg(o_totalprice), 4) AS avg_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
       |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
       |  round(max(o_totalprice), 2) AS max_price
       |FROM orders
@@ -386,13 +418,14 @@ object Relational {
     import spark.implicits._
     Tables(spark, dir).orders
       .rollup($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice".cast("decimal(18,2)")).as("revenue"))
+      .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("revenue"))
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
   val q31Sql: String =
     """SELECT o_orderstatus, o_orderpriority,
-      |  count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
@@ -534,13 +567,13 @@ object Relational {
     val cust = t.customer.select($"c_custkey", $"c_mktsegment")
     graft.functions.Skew.saltedJoin(orders, cust, "c_custkey", salt = 8)
       .groupBy($"c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice".cast("decimal(18,2)")).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("total_price"))
       .orderBy($"c_mktsegment")
   }
 
   val q47Sql: String =
     """SELECT c_mktsegment, count(*) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin

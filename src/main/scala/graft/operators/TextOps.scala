@@ -194,7 +194,8 @@ object TextOps {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |  WHERE len(t) >= 3),
       |pc AS (SELECT doc_id, s, count(*) AS cnt FROM tri GROUP BY doc_id, s)
-      |SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_tri,
+      |SELECT doc_id, max(cnt) AS top_cnt,
+      |  CAST(sum(cnt) AS BIGINT) AS n_tri,
       |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top_share
       |FROM pc
       |GROUP BY doc_id
