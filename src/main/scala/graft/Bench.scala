@@ -50,8 +50,13 @@ object Bench {
       "\"" + k + "\":\"" + m.replaceAll("""[\\"\n\r\t]""", " ").take(200) + "\""
     }
     val errField =
-      if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
+      if (errs.isEmpty) ""
+      else errs.mkString(""","errors":{""", ",", "}") + s""","failed":${errs.size}"""
+    // a crashed query contributes 0s of work — a summed total would READ
+    // AS FASTER on a broken build, so the headline goes to -1 whenever
+    // anything failed (per-query times stay available above)
+    val total =
+      if (errs.isEmpty) results.map(_._2).sum else -1.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)

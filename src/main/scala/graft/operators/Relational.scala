@@ -353,16 +353,18 @@ object Relational {
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum($"value"), 2).as("total_value"),
-        round(avg($"value"), 4).as("avg_value"),
+        // event values are exact 2-decimal money: decimal sum → double
+        // (order-independent; see moneySum scaladoc)
+        moneySum($"value").as("total_value"),
+        moneyAvg($"value").as("avg_value"),
         count(when($"value" > 100, 1)).as("n_big"))
       .orderBy($"event_type")
   }
 
   val q10Sql: String =
     """SELECT event_type, count(*) AS n_events,
-      |  round(sum(value), 2) AS total_value,
-      |  round(avg(value), 4) AS avg_value,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
       |  count(*) FILTER (WHERE value > 100) AS n_big
       |FROM events
       |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'
@@ -378,13 +380,14 @@ object Relational {
     import spark.implicits._
     Tables(spark, dir).events
       .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
-      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total_value"))
       .orderBy($"hour", $"event_type")
   }
 
   val q11Sql: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
-      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin

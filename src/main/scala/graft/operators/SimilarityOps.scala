@@ -76,25 +76,54 @@ object SimilarityOps {
       .agg(transform(array_sort(collect_list(struct($"pos", $"c"))), s => s("c").cast("float")).as("centroid"))
   }
 
-  /** Local scratch path for the index artifact of a fixture dir (the
-    * fixture dirs themselves are read-only). The readable slug alone can
-    * collide ('/a b' vs '/a_b'), so the FULL path is also md5-hashed
-    * into the name.
+  /** Scratch root for index artifacts: `spark.graft.scratch` if set (an
+    * absolute shared/scratch location in production), else an ABSOLUTE
+    * form of ./target — never a raw CWD-relative path, which would move
+    * with the caller's working directory.
     */
-  private def indexPath(dir: String): String = {
+  private def scratchRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.scratch")
+      .getOrElse(new java.io.File("target").getAbsolutePath)
+
+  /** Index artifact path for a fixture dir (the fixture dirs themselves
+    * are read-only). The readable slug alone can collide ('/a b' vs
+    * '/a_b'), so the FULL path is also md5-hashed into the name.
+    */
+  private def indexPath(spark: SparkSession, dir: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    "target/ivf-index/" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
+    scratchRoot(spark) + "/ivf-index/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
   }
 
-  /** Read-or-build the persisted index. Rebuilds when the source table
-    * is newer than the artifact (corpus version changed), so a stale
-    * index can never serve a refreshed corpus.
+  /** Newest data-file mtime under a source path. Object stores expose no
+    * meaningful mtime for a directory PREFIX, so staleness must compare
+    * against the files themselves, not the directory entry.
+    */
+  private def maxFileMtime(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Long = {
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) st.getModificationTime
+    else {
+      val children = fs.listStatus(p)
+      if (children.isEmpty) st.getModificationTime
+      else children.map(c =>
+        if (c.isDirectory) maxFileMtime(fs, c.getPath) else c.getModificationTime).max
+    }
+  }
+
+  /** Read-or-build the persisted index. Rebuilds when any source data
+    * file is newer than the artifact (corpus version changed), so a
+    * stale index can never serve a refreshed corpus. The build lands in
+    * a temp dir and RENAMES into place: readers never observe a
+    * half-written artifact, and of two racing builders exactly one
+    * rename wins (the loser discards its temp and serves the winner's
+    * equally-fresh artifact).
     */
   private def ivfIndex(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
-    val idx = new Path(indexPath(dir))
+    val idx = new Path(indexPath(spark, dir))
     val src = new Path(s"$dir/embeddings.parquet")
     // each path through ITS OWN filesystem — the local index FS cannot
     // stat an hdfs://|s3:// source dir ("Wrong FS").
@@ -102,11 +131,21 @@ object SimilarityOps {
     // (coarse filesystem clocks) must count as stale, not fresh
     val idxFs = idx.getFileSystem(conf)
     val srcFs = src.getFileSystem(conf)
+    val srcMtime = maxFileMtime(srcFs, src)
     val stale = !idxFs.exists(idx) ||
-      idxFs.getFileStatus(idx).getModificationTime <= srcFs.getFileStatus(src).getModificationTime
-    if (stale)
+      maxFileMtime(idxFs, idx) <= srcMtime
+    if (stale) {
+      val tmp = new Path(idx.toString + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
       buildIvfIndex(Tables(spark, dir).embeddings)
-        .write.mode("overwrite").parquet(idx.toString)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (idxFs.exists(idx)) idxFs.delete(idx, true)
+      if (!idxFs.rename(tmp, idx)) {
+        // a concurrent builder published first — its artifact is fresh too
+        idxFs.delete(tmp, true)
+        require(idxFs.exists(idx), s"IVF index publish failed for $idx")
+      }
+    }
     spark.read.parquet(idx.toString)
   }
 

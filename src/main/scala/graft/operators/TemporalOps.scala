@@ -59,8 +59,13 @@ object TemporalOps {
     val ev = Tables(spark, dir).events
     val clicks = ev.filter($"event_type" === "click")
       .select($"event_id", $"user_id", $"ts")
+    // pre-dedup to ONE signup per (user_id, µs): DuckDB's ASOF JOIN (the
+    // oracle) leaves tie selection among equal timestamps unspecified,
+    // and the µs truncation of the nanos fixture can land two signups on
+    // the same instant — resolving the tie to max event_id BEFORE the
+    // as-of join makes both engines deterministic by construction
     val signups = ev.filter($"event_type" === "signup")
-      .select($"event_id", $"user_id", $"ts")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("event_id"))
     asofJoin(clicks, signups, key = "user_id", leftTime = "ts", rightTime = "ts",
       rightVals = Map("event_id" -> "signup_id"))
       .select($"event_id", $"user_id", $"signup_id")
@@ -76,8 +81,9 @@ object TemporalOps {
       |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
       |  FROM events WHERE event_type = 'click'),
       |signups AS (
-      |  SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-      |  FROM events WHERE event_type = 'signup')
+      |  SELECT max(event_id) AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'signup'
+      |  GROUP BY user_id, CAST(ts AS TIMESTAMP))
       |SELECT c.event_id, c.user_id, s.signup_id
       |FROM clicks c ASOF LEFT JOIN signups s
       |  ON c.user_id = s.user_id AND c.ts >= s.ts
@@ -303,7 +309,10 @@ object TemporalOps {
       .groupBy($"user_id", $"session_idx")
       .agg(
         min($"ts").as("started"), max($"ts").as("ended"),
-        count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+        count(lit(1)).as("n_events"),
+        // event values are exact 2-decimal money → decimal sum, double out
+        // (order-independent; same policy as Relational.moneySum)
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
       .orderBy($"user_id", $"session_idx")
   }
 
@@ -326,7 +335,8 @@ object TemporalOps {
       |  FROM g)
       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
       |  min(ts) AS started, max(ts) AS ended,
-      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM h
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin

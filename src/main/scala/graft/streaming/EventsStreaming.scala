@@ -45,7 +45,11 @@ object EventsStreaming {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      // exact decimal sum emitted as double — MUST stay in lockstep with
+      // the batch twin (Relational.q11EventsHourly / moneySum): the
+      // StreamingSpec equality test compares total_value bit-for-bit
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"), col("total_value"))
 
   /** Run a streaming frame to completion against a finite source and
