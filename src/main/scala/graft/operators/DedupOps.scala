@@ -88,16 +88,26 @@ object DedupOps {
           regexp_extract_all(col("text"), lit(TrigramRegex), lit(1))
         ).as("shingles"))
 
+  /** Threshold + rounding + ordering for a pair frame that already
+    * carries (inter, n_a, n_b).
+    */
+  private def jaccardFromSized(pairs: DataFrame, threshold: Double): DataFrame = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .withColumn("jaccard_raw", $"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"))
+      .filter($"jaccard_raw" >= threshold)
+      .select($"doc_a", $"doc_b", round($"jaccard_raw", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Exact pairwise Jaccard for a candidate-pair frame (doc_a, doc_b). */
   private def jaccardOf(pairsInter: DataFrame, counts: DataFrame, threshold: Double): DataFrame = {
     import pairsInter.sparkSession.implicits._
-    val raw = pairsInter
-      .join(counts.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
-      .join(counts.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
-      .withColumn("jaccard_raw", $"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"))
-    raw.filter($"jaccard_raw" >= threshold)
-      .select($"doc_a", $"doc_b", round($"jaccard_raw", 4).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
+    jaccardFromSized(
+      pairsInter
+        .join(counts.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
+        .join(counts.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b"),
+      threshold)
   }
 
   /** Near-dup pairs at a Jaccard threshold over a df-capped inverted
@@ -139,25 +149,47 @@ object DedupOps {
     // session lifetime (bench/specs call this repeatedly), and at corpus
     // scale you recompute a projection rather than pin the shingle set
     val sh = shingledFrom(docs)
+    if (!prefixFilter) {
+      // One-pass default path. The posting stream carries each doc's
+      // full set size alongside the shingle, so pair rows come out of
+      // the combination explode ALREADY sized — no join back to a
+      // per-doc counts frame. That matters because every consumer of
+      // `sh` re-executes the regex shingling of the whole upstream
+      // (nothing is cached, see above): the sized stream cuts the
+      // upstream recomputes from 4 (post, dfreq, counts×2) to 2
+      // (stream, dfreq) and drops two joins from the plan. dfreq stays
+      // a separate partial+final aggregate rather than a count-over-
+      // window: a window by shingle would shuffle EVERY posting of a
+      // hot shingle to one task (exactly the skew the df cap exists to
+      // kill), while the aggregate merges per-task partial counts.
+      val postN = sh.select(
+        $"doc_id", size($"shingles").as("n_sh"), explode($"shingles").as("s"))
+      val dfreq = postN.groupBy($"s").agg(count(lit(1)).as("df"))
+      val rare = postN.join(dfreq.filter($"df" <= dfCap), "s")
+      // posting lists are bounded by the cap (df ≤ dfCap ⇒ ≤ dfCap ids
+      // per shingle), so pairs come from a bounded combination explode:
+      // one by-shingle shuffle + two narrow Generates. Measured ~2.5×
+      // faster than the postings self-join at sf0.1, and the shuffle
+      // carries one row per shingle instead of one per posting twice.
+      // The sorted struct list keeps doc_a < doc_b by construction
+      // (struct ordering compares doc_id first).
+      val pairs = rare
+        .groupBy($"s")
+        .agg(sort_array(collect_list(struct($"doc_id", $"n_sh"))).as("ds"))
+        .select(posexplode($"ds").as(Seq("i", "a")), $"ds")
+        .select($"i", $"a", posexplode($"ds").as(Seq("j", "b")))
+        .filter($"i" < $"j")
+        .groupBy(
+          $"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          $"a.n_sh".as("n_a"), $"b.n_sh".as("n_b"))
+        .agg(count(lit(1)).as("inter"))
+      return jaccardFromSized(pairs, threshold)
+    }
     val counts = sh.select($"doc_id", size($"shingles").as("n_sh"))
     val post = sh.select($"doc_id", explode($"shingles").as("s"))
     val dfreq = post.groupBy($"s").agg(count(lit(1)).as("df"))
     val postRare = post.join(dfreq.filter($"df" <= dfCap), "s")
-    val inter =
-      if (!prefixFilter) {
-        // posting lists are bounded by the cap (df ≤ dfCap ⇒ ≤ dfCap ids
-        // per shingle), so pairs come from a bounded combination explode:
-        // one by-shingle shuffle + two narrow Generates. Measured ~2.5×
-        // faster than the postings self-join at sf0.1, and the shuffle
-        // carries one row per shingle instead of one per posting twice.
-        // The sorted list keeps doc_a < doc_b by construction.
-        postRare.groupBy($"s").agg(sort_array(collect_list($"doc_id")).as("ds"))
-          .select(posexplode($"ds").as(Seq("i", "doc_a")), $"ds")
-          .select($"i", $"doc_a", posexplode($"ds").as(Seq("j", "doc_b")))
-          .filter($"i" < $"j")
-          .groupBy($"doc_a", $"doc_b")
-          .agg(count(lit(1)).as("inter"))
-      } else {
+    val inter = {
         // one doc-keyed shuffle carries both the prefix rank and the
         // rare-set size (row_number + count share the window exchange)
         val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"s")
@@ -263,7 +295,6 @@ object DedupOps {
     // leak rationale as jaccardPairs (recompute a narrow projection
     // rather than pin the shingle set for the session lifetime)
     val sh = shingled(spark, dir)
-    val counts = sh.select($"doc_id", size($"shingles").as("n_sh"))
     val post = sh.select($"doc_id", explode($"shingles").as("s"))
     // base hash projected ONCE per posting; the 16 signature lanes are
     // cheap arithmetic over it
@@ -290,12 +321,18 @@ object DedupOps {
     val cand = buckets.as("a")
       .join(buckets.as("b"), $"a.band" === $"b.band" && $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-    // verify candidates exactly
+    // verify candidates exactly — each side's join carries the shingle
+    // ARRAY and its size together, so no separate counts joins (and two
+    // fewer recomputes of the uncached shingling upstream)
     val withSets = cand
-      .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), "doc_a")
-      .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), "doc_b")
-      .select($"doc_a", $"doc_b", size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"))
-    jaccardOf(withSets, counts, 0.5)
+      .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"),
+        size($"shingles").as("n_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"),
+        size($"shingles").as("n_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"),
+        $"n_a", $"n_b")
+    jaccardFromSized(withSets, 0.5)
   }
 
   /** DuckDB twin of the PORTABLE q21: the same base-hash fold, affine
