@@ -31,6 +31,7 @@ object Registry {
       WeatherOps.queries ++
       MultimodalOps.queries ++
       TemporalOps.queries ++
+      Profiling.queries ++
       CorpusPipeline.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -341,9 +341,75 @@ object TemporalOps {
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Keep-first temporal dedup: within each (key..., tumbling window)
+    * bucket, only the earliest row survives — the standard log/event
+    * dedup of an ingestion pipeline (repeated beacons, retried posts).
+    * One shuffle on (keys, bucket); per-bucket state is a row_number,
+    * so partitions stay bounded by the window width no matter how long
+    * the stream history is. The tie-break column makes the winner
+    * deterministic when two rows share the key and timestamp.
+    */
+  def dedupFirstInWindow(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieBreak: String, windowSec: Long): DataFrame = {
+    val bucket = floor(unix_timestamp(col(tsCol)) / windowSec)
+    val w = Window
+      .partitionBy(keys.map(col) :+ bucket.as("__bucket"): _*)
+      .orderBy(col(tsCol), col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Registered surface: dedup clicks per (user, event_type, 5-minute
+    * bucket), reported as per-type kept/total counts. Sub-second
+    * fractions can never flip a bucket (buckets are whole-second
+    * aligned and the fraction is < the 1 s gap to the next boundary),
+    * so Spark's integer unix_timestamp and DuckDB's fractional epoch()
+    * agree on every assignment.
+    */
+  def q52TemporalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+    val bucket = floor(unix_timestamp($"ts") / 300)
+    val w = Window.partitionBy($"user_id", $"event_type", bucket)
+      .orderBy($"ts", $"event_id")
+    ev.withColumn("is_first", when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"is_first").as("n_kept"))
+      .select($"event_type", $"n_events", $"n_kept",
+        // unrounded exact-int ratio (identical doubles both engines)
+        ($"n_kept".cast("double") / $"n_events").as("kept_ratio"))
+      .orderBy($"event_type")
+  }
+
+  // micro-truncated ts for ordering ties (q36Sql note); epoch() keeps
+  // sub-second fractions but those cannot cross a whole-second-aligned
+  // bucket boundary, so the assignment matches unix_timestamp exactly
+  val q52Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |f AS (
+      |  SELECT event_type,
+      |    CASE WHEN row_number() OVER (
+      |      PARTITION BY user_id, event_type,
+      |                   CAST(floor(epoch(ts) / 300) AS BIGINT)
+      |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+      |  FROM e)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(is_first) AS BIGINT) AS n_kept,
+      |  CAST(sum(is_first) AS DOUBLE) / count(*) AS kept_ratio
+      |FROM f
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
+    Q("q52_temporal_dedup", q52TemporalDedup, Some(q52Sql), Seq("X-temporal", "X-dedup"),
+      "keep-first dedup per key within tumbling time buckets"),
     Q("q44_range_join", q44RangeJoin, Some(q44Sql), Seq("X-temporal"),
       "banded range join: hour-bucket equi-join + exact band filter"),
     Q("q46_sessionize", q46Sessionize, Some(q46Sql), Seq("X-temporal"),

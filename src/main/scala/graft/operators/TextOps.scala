@@ -201,9 +201,52 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** BPE-style pre-tokenization counts. The regex is the GPT-2-shaped
+    * pre-tokenizer alternation (contraction suffixes | space-prefixed
+    * letter runs | digit runs | punctuation runs) restricted to
+    * constructs RE2 and java.util.regex interpret identically: no
+    * lookarounds, no unicode classes — both engines use leftmost-first
+    * alternation, so the token boundaries agree byte-for-byte. Token
+    * counting is what a pipeline sizes corpora with before the real
+    * (stateful, merge-table) BPE runs; the regex pass is the portable,
+    * codegen-friendly 99% of it.
+    */
+  private val BpeTokenRegex =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def q51BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = regexp_extract_all($"text", lit(BpeTokenRegex), lit(0))
+    val nToks = size(toks).cast("long")
+    Tables(spark, dir).documents
+      .select(
+        $"doc_id",
+        nToks.as("n_tokens"),
+        size(regexp_extract_all($"text", lit("[A-Za-z]+"), lit(0))).cast("long").as("n_alpha"),
+        size(regexp_extract_all($"text", lit("[0-9]+"), lit(0))).cast("long").as("n_digit"),
+        // unrounded ratio of exact ints: both engines divide identical
+        // operands, and skipping round() avoids the half-point hazard
+        (length($"text").cast("double") / nToks).as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  val q51Sql: String = {
+    val re = BpeTokenRegex.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
+       |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit,
+       |  CAST(length(text) AS DOUBLE)
+       |    / len(regexp_extract_all(text, '$re')) AS chars_per_token
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q15_token_stats", q15TokenStats, Some(q15Sql), Seq("F-text"),
       "per-document token/length statistics"),
+    Q("q51_bpe_tokens", q51BpeTokens, Some(q51Sql), Seq("F-text"),
+      "BPE-style pre-tokenizer counts (GPT-2-shaped regex alternation)"),
     Q("q50_repetition", q50Repetition, Some(q50Sql), Seq("F-text"),
       "intra-document repetition: top trigram share of occurrences"),
     Q("q39_sample_per_group", q39Sample, Some(q39Sql), Seq("X-sample"),

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Profiling
+
+/** Planted-fixture semantics for the profiling and pre-tokenizer
+  * operators (their corpus-level behavior is pinned by the DuckDB
+  * oracle gate; these cover the edge cases a uniform fixture never
+  * hits).
+  */
+class ProfilingTextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("keySkew reports uniform keys as ratio 1 and a hot key as its multiple") {
+    // 4 keys × 2 rows → uniform; then key 9 gets 6 more rows:
+    // max=8, n_keys=4... wait: keys 1..3 have 2, key 9 has 8 → rows 14,
+    // skew = 8 * 4 / 14
+    val uniform = (1 to 4).flatMap(k => Seq(k, k)).toDF("k")
+    val u = Profiling.keySkew(uniform, "k", "u").collect().head
+    assert(u.getAs[Long]("n_rows") == 8L)
+    assert(u.getAs[Long]("n_keys") == 4L)
+    assert(u.getAs[Long]("max_cnt") == 2L)
+    assert(u.getAs[Double]("skew_ratio") == 1.0)
+    val hot = ((1 to 3).flatMap(k => Seq(k, k)) ++ Seq.fill(8)(9)).toDF("k")
+    val h = Profiling.keySkew(hot, "k", "h").collect().head
+    assert(h.getAs[Long]("max_cnt") == 8L)
+    assert(h.getAs[Double]("skew_ratio") == 8.0 * 4 / 14)
+  }
+
+  test("BPE pre-tokenizer splits contractions, digit runs, and punctuation runs") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("bpe-docs")
+    Seq((0L, "en", "don't stop 42 now!!"), (1L, "en", "a1b2"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.TextOps.q51BpeTokens(spark, dir)
+      .select($"doc_id", $"n_tokens", $"n_alpha", $"n_digit")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    // don|'t|<sp>stop|<sp>42|<sp>now|!! → 6 tokens, alpha runs: don,t,stop,now
+    assert(out(0L) == ((6L, 4L, 1L)))
+    // a|1|b|2 → 4 tokens, 2 alpha runs, 2 digit runs
+    assert(out(1L) == ((4L, 2L, 2L)))
+  }
+}

@@ -82,4 +82,22 @@ class TemporalSpec extends AnyFunSuite {
     // band expansion must not duplicate signups
     assert(rows.groupBy("event_id").count().filter($"count" > 1).isEmpty)
   }
+
+  test("dedupFirstInWindow keeps the earliest row per key and bucket, ties by id") {
+    // 300 s buckets: [0,300) and [300,600). user 1 has three rows in the
+    // first bucket (two tied at t=10) and one in the second; user 2 is
+    // untouched in its own bucket.
+    def sec(s: Long) = new java.sql.Timestamp(s * 1000)
+    val df = Seq(
+      (5L, 1L, sec(10)),  // tie at t=10 → lower event_id wins
+      (4L, 1L, sec(10)),
+      (6L, 1L, sec(299)), // same bucket → dropped
+      (7L, 1L, sec(300)), // next bucket boundary → kept
+      (8L, 2L, sec(10))   // other key → kept
+    ).toDF("event_id", "user_id", "ts")
+    val kept = TemporalOps.dedupFirstInWindow(
+        df, Seq("user_id"), "ts", "event_id", 300)
+      .select($"event_id").as[Long].collect().toSet
+    assert(kept == Set(4L, 7L, 8L))
+  }
 }
