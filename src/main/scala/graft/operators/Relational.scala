@@ -24,22 +24,36 @@ object Relational {
 
   import org.apache.spark.sql.Column
 
-  /** Money aggregates: sum in DECIMAL (exact, order-independent — the fix
-    * for cross-engine fp drift at 1e9+ magnitudes), then emit as DOUBLE.
-    * The final cast matters for the gate: a DECIMAL output column keeps its
-    * scale ("261914319.80") while the oracle harness reads DuckDB decimals
-    * as float64 ("261914319.8") — value-equal, string-different. Casting the
-    * exact decimal to double on BOTH sides yields bit-identical doubles and
-    * identical strings. Unscaled values stay < 2^53 through sf10+, so the
-    * cast is exact. Output schemas must stay "pandas-stable": string /
-    * bigint / double / bool / timestamp only — never decimal, and oracle
-    * SQL must CAST integer sums to BIGINT (DuckDB's HUGEINT reads back as
-    * float64).
+  /** Money aggregates in fixed-point LONG cents.
+    *
+    * Money columns in the fixtures are exact 2-decimal values, so
+    * `round(c * 100)` recovers the integer cent count exactly (the true
+    * value IS an integer; the double product sits within ~1e-10 of it,
+    * never near a rounding boundary) on both engines. Summing longs keeps
+    * the whole hot path in whole-stage-codegen primitives — a decimal sum
+    * accumulates BigDecimal objects through the partial and final
+    * aggregates, which measured ~0.6–1s of boxing on q1's 600k rows —
+    * while staying exact and order-independent (the fix for cross-engine
+    * fp drift at 1e9+ magnitudes; a cent sum overflows long only past
+    * ~9e16 dollars).
+    *
+    * The final cents→double conversion (exact below 2^53 cents ≈ $90T)
+    * matters for the gate: a DECIMAL output column keeps its scale
+    * ("261914319.80") while the oracle harness reads DuckDB decimals as
+    * float64 ("261914319.8") — value-equal, string-different. Both
+    * engines convert the identical long and divide by 100.0, giving
+    * bit-identical doubles and identical strings. Output schemas must
+    * stay "pandas-stable": string / bigint / double / bool / timestamp
+    * only — never decimal, and oracle SQL must CAST integer sums to
+    * BIGINT (DuckDB's HUGEINT reads back as float64).
     */
-  private def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private[graft] def cents(c: Column): Column = round(c * 100).cast("long")
 
-  /** Exact mean of a 2-decimal money column: exact decimal sum → double →
-    * divide by count. Order-independent, unlike avg(double) whose
+  private def moneySum(c: Column): Column =
+    sum(cents(c)).cast("double") / 100.0
+
+  /** Exact mean of a 2-decimal money column: exact cent sum → double →
+    * /100 → divide by count. Order-independent, unlike avg(double) whose
     * partial-merge order varies run to run. Deliberately NOT rounded: both
     * engines divide bit-identical doubles, so the quotient is already
     * bit-identical — while round(x, 4) on a value that lands exactly on a
@@ -48,7 +62,7 @@ object Relational {
     * (binary rounding) and flips the last digit.
     */
   private def moneyAvg(c: Column): Column =
-    (sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1)))
+    (sum(cents(c)).cast("double") / 100.0) / count(lit(1))
 
   /** A1/A4/F1 — multi-aggregate hash group-by (the reference's city summary,
     * /root/reference/spark_jobs/transform_weather.py:151-163), expressed as
@@ -63,32 +77,40 @@ object Relational {
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
         moneySum($"l_extendedprice").as("sum_base_price"),
-        round(sum(($"l_extendedprice".cast("decimal(18,2)")
-          * (lit(1) - $"l_discount".cast("decimal(4,2)"))).cast("decimal(24,4)")), 2)
-          .cast("double").as("sum_disc_price"),
-        round(sum((($"l_extendedprice".cast("decimal(18,2)")
-          * (lit(1) - $"l_discount".cast("decimal(4,2)"))).cast("decimal(24,4)")
-          * (lit(1) + $"l_tax".cast("decimal(4,2)"))).cast("decimal(30,6)")), 2)
-          .cast("double").as("sum_charge"),
+        // price·(1−disc)[·(1+tax)] in integer cent units (×1e4 / ×1e6):
+        // every per-row product and the sums are exact longs; the
+        // half-up rounding back to cents happens in integer `div`
+        // arithmetic, never on a double (where a true .xx50 value is
+        // unrepresentable and the two engines round it differently)
+        sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+          .as("_disc_u4"),
+        sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))
+          * (lit(100L) + cents($"l_tax"))).as("_charge_u6"),
         moneyAvg($"l_quantity").as("avg_qty"),
         moneyAvg($"l_extendedprice").as("avg_price"),
         moneyAvg($"l_discount").as("avg_disc"),
         count(lit(1)).as("count_order"))
+      .select($"l_returnflag", $"l_linestatus", $"sum_qty", $"sum_base_price",
+        (expr("(_disc_u4 + 50) div 100").cast("double") / 100.0).as("sum_disc_price"),
+        (expr("(_charge_u6 + 5000) div 10000").cast("double") / 100.0).as("sum_charge"),
+        $"avg_qty", $"avg_price", $"avg_disc", $"count_order")
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-      |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,4))), 2) AS DOUBLE) AS sum_disc_price,
-      |  CAST(round(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-      |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,4))
-      |      * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_charge,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+      |  CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE)
+      |    / 100.0 AS sum_disc_price,
+      |  CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |      * (100 + CAST(round(l_tax * 100) AS BIGINT))) + 5000) // 10000 AS DOUBLE)
+      |    / 100.0 AS sum_charge,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+      |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -158,9 +180,9 @@ object Relational {
 
   val q3Sql: String =
     """SELECT r_name, n_name,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
       |  count(*) AS n_orders,
-      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_acctbal
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_acctbal
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -185,7 +207,7 @@ object Relational {
 
   val q4Sql: String =
     """SELECT o_orderpriority, count(*) AS n_orders,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
       |FROM orders
       |WHERE EXISTS (SELECT 1 FROM lineitem
       |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
@@ -223,34 +245,32 @@ object Relational {
     import spark.implicits._
     val li = Tables(spark, dir).lineitem
     val cut = lit("2000-01-01").cast("timestamp")
-    // prices are exact 2-decimal values: cast BEFORE the uplift and
-    // multiply in decimal (exact in any engine) — casting the double
-    // product instead would round a binary value on a decimal half-point
+    // prices are exact 2-decimal values: recover integer cents, apply
+    // the ×1.1 uplift as ×11 in integer MILS (cents·11 = mils of the
+    // uplifted price, exact in any engine) — multiplying the raw double
+    // instead would round a binary value on a decimal half-point
     val staging = li.filter($"l_shipdate" >= cut)
-      .withColumn("l_extendedprice",
-        ($"l_extendedprice".cast("decimal(18,2)")
-          * lit(new java.math.BigDecimal("1.1"))).cast("decimal(19,3)"))
+      .withColumn("mils", cents($"l_extendedprice") * 11)
     val fact = li.filter($"l_shipdate" < cut)
-      .withColumn("l_extendedprice", $"l_extendedprice".cast("decimal(19,3)"))
+      .withColumn("mils", cents($"l_extendedprice") * 10)
     val keys = Seq("l_orderkey", "l_linenumber")
     val merged = fact.join(staging.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(staging)
     merged.agg(
       count(lit(1)).as("n_rows"),
-      // exact decimal(,3) sum; emitted as double (pandas-stable schema) —
-      // unscaled < 2^53 through sf10, so the cast is exact on both engines
-      sum($"l_extendedprice").cast("double").as("total_price"),
+      // exact long mils sum → double (exact below 2^53 mils ≈ $9T)
+      (sum($"mils").cast("double") / 1000.0).as("total_price"),
       countDistinct($"l_orderkey" * 8 + $"l_linenumber").as("n_keys"))
   }
 
   val q6Sql: String =
     """WITH staging AS (
       |  SELECT l_orderkey, l_linenumber,
-      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 1.1 AS DECIMAL(19,3)) AS l_extendedprice
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) * 11 AS mils
       |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'),
       |fact AS (
       |  SELECT l_orderkey, l_linenumber,
-      |    CAST(l_extendedprice AS DECIMAL(19,3)) AS l_extendedprice
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) * 10 AS mils
       |  FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'),
       |merged AS (
       |  SELECT * FROM fact f
@@ -259,7 +279,7 @@ object Relational {
       |                      AND s.l_linenumber = f.l_linenumber)
       |  UNION ALL SELECT * FROM staging)
       |SELECT count(*) AS n_rows,
-      |  CAST(sum(l_extendedprice) AS DOUBLE) AS total_price,
+      |  CAST(sum(mils) AS DOUBLE) / 1000.0 AS total_price,
       |  count(DISTINCT l_orderkey * 8 + l_linenumber) AS n_keys
       |FROM merged""".stripMargin
 
@@ -330,8 +350,8 @@ object Relational {
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
       |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
       |  count(*) AS n_orders,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
       |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
       |  round(max(o_totalprice), 2) AS max_price
       |FROM orders
@@ -363,8 +383,8 @@ object Relational {
 
   val q10Sql: String =
     """SELECT event_type, count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_value,
       |  count(*) FILTER (WHERE value > 100) AS n_big
       |FROM events
       |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'
@@ -387,7 +407,7 @@ object Relational {
   val q11Sql: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       |  count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
@@ -428,7 +448,7 @@ object Relational {
   val q31Sql: String =
     """SELECT o_orderstatus, o_orderpriority,
       |  count(*) AS n_orders,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
       |FROM orders
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
@@ -576,7 +596,7 @@ object Relational {
 
   val q47Sql: String =
     """SELECT c_mktsegment, count(*) AS n_orders,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin

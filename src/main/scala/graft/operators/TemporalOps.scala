@@ -310,9 +310,9 @@ object TemporalOps {
       .agg(
         min($"ts").as("started"), max($"ts").as("ended"),
         count(lit(1)).as("n_events"),
-        // event values are exact 2-decimal money → decimal sum, double out
-        // (order-independent; same policy as Relational.moneySum)
-        sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+        // event values are exact 2-decimal money → long-cents sum, double
+        // out (order-independent; same policy as Relational.moneySum)
+        (sum(Relational.cents($"value")).cast("double") / 100.0).as("total_value"))
       .orderBy($"user_id", $"session_idx")
   }
 
@@ -336,7 +336,7 @@ object TemporalOps {
       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
       |  min(ts) AS started, max(ts) AS ended,
       |  count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
       |FROM h
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin

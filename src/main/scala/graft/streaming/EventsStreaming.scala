@@ -45,11 +45,12 @@ object EventsStreaming {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      // exact decimal sum emitted as double — MUST stay in lockstep with
-      // the batch twin (Relational.q11EventsHourly / moneySum): the
+      // exact long-cents sum emitted as double — MUST stay in lockstep
+      // with the batch twin (Relational.q11EventsHourly / moneySum): the
       // StreamingSpec equality test compares total_value bit-for-bit
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        (sum(graft.operators.Relational.cents(col("value"))).cast("double") / 100.0)
+          .as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"), col("total_value"))
 
   /** Run a streaming frame to completion against a finite source and
