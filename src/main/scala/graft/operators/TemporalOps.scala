@@ -130,13 +130,19 @@ object TemporalOps {
     import spark.implicits._
     Tables(spark, dir).orders
       .groupBy(floor($"o_totalprice" / 50000).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n"), round(avg($"o_totalprice"), 4).as("avg_price"))
+      .agg(count(lit(1)).as("n"),
+        // exact long-cents mean (order-independent; Relational.moneyAvg
+        // policy) — avg(double) merge order varies run to run
+        (sum(Relational.cents($"o_totalprice")).cast("double") / 100.0
+          / count(lit(1))).as("avg_price"))
       .orderBy($"bucket")
   }
 
   val q38Sql: String =
     """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
-      |  count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |    / count(*) AS avg_price
       |FROM orders
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin

@@ -52,7 +52,7 @@ object TextOps {
         $"doc_id",
         length($"text").cast("long").as("n_chars"),
         wordCount($"text").as("n_words"),
-        round(length($"text").cast("double") / wordCount($"text"), 4).as("chars_per_word"))
+        (length($"text").cast("double") / wordCount($"text")).as("chars_per_word"))
       .orderBy($"doc_id")
   }
 
@@ -60,7 +60,7 @@ object TextOps {
     s"""SELECT doc_id,
        |  CAST(length(text) AS BIGINT) AS n_chars,
        |  $wordCountSql AS n_words,
-       |  round(CAST(length(text) AS DOUBLE) / $wordCountSql, 4) AS chars_per_word
+       |  CAST(length(text) AS DOUBLE) / $wordCountSql AS chars_per_word
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
@@ -127,8 +127,8 @@ object TextOps {
       .select(
         $"doc_id",
         words.as("n_words"),
-        round(stopRatio, 4).as("stop_ratio"),
-        round(lengthCredit * (lit(1.0) - stopRatio), 4).as("quality"))
+        stopRatio.as("stop_ratio"),
+        (lengthCredit * (lit(1.0) - stopRatio)).as("quality"))
       .orderBy($"doc_id")
   }
 
@@ -136,9 +136,9 @@ object TextOps {
     val stop = enStopwords.map(occurrencesSql(paddedSql, _)).mkString("(", " + ", ")")
     s"""SELECT doc_id,
        |  $wordCountSql AS n_words,
-       |  round(CAST($stop AS DOUBLE) / $wordCountSql, 4) AS stop_ratio,
-       |  round(least(1.0, CAST($wordCountSql AS DOUBLE) / 60.0)
-       |        * (1.0 - CAST($stop AS DOUBLE) / $wordCountSql), 4) AS quality
+       |  CAST($stop AS DOUBLE) / $wordCountSql AS stop_ratio,
+       |  least(1.0, CAST($wordCountSql AS DOUBLE) / 60.0)
+       |    * (1.0 - CAST($stop AS DOUBLE) / $wordCountSql) AS quality
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
@@ -184,7 +184,7 @@ object TextOps {
       .groupBy($"doc_id")
       .agg(max($"cnt").as("top_cnt"), sum($"cnt").as("n_tri"))
       .select($"doc_id", $"top_cnt", $"n_tri",
-        round($"top_cnt".cast("double") / $"n_tri", 4).as("top_share"))
+        ($"top_cnt".cast("double") / $"n_tri").as("top_share"))
       .orderBy($"doc_id")
   }
 
@@ -196,7 +196,7 @@ object TextOps {
       |pc AS (SELECT doc_id, s, count(*) AS cnt FROM tri GROUP BY doc_id, s)
       |SELECT doc_id, max(cnt) AS top_cnt,
       |  CAST(sum(cnt) AS BIGINT) AS n_tri,
-      |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top_share
+      |  CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_share
       |FROM pc
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin

@@ -179,7 +179,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect()
       .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
     assert(out(0L) == ((3L, 6L, 0.5)))
-    assert(out(1L) == ((1L, 3L, 0.3333)))
+    // unrounded exact-int ratio (identical doubles in both engines —
+    // see the moneyAvg no-round rationale in Relational)
+    assert(out(1L) == ((1L, 3L, 1.0 / 3)))
   }
 
   test("regex shingling equals split-on-space trigrams on punctuation-heavy text") {
