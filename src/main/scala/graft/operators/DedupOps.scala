@@ -70,23 +70,32 @@ object DedupOps {
   private[graft] val TrigramSqlExpr =
     "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
 
+  /** Word count via length arithmetic (single-space contract) — the
+    * ≥3-words gate without a split() array materialization.
+    */
+  private def wordsGe3(c: Column): Column =
+    (length(c) - length(translate(c, " ", ""))) >= 2
+
   /** Multiset trigram stream: one row per overlapping word-3-gram
     * occurrence (no dedup). Same tokenization contract as shingledFrom.
+    * Trigrams come from the native byte-scan expression
+    * (graft.plans.TextExpressions.WordTrigrams) — one pass, no regex
+    * engine; equivalence with TrigramRegex and the naive split+transform
+    * construction is pinned by DedupSimilaritySpec.
     */
   private[graft] def trigramStream(docs: DataFrame): DataFrame =
     docs
-      .filter(size(split(col("text"), " ")) >= 3)
+      .filter(wordsGe3(col("text")))
       .select(col("doc_id"),
-        explode(regexp_extract_all(col("text"), lit(TrigramRegex), lit(1))).as("s"))
+        explode(graft.plans.TextExpressions.wordTrigrams(col("text"))).as("s"))
 
   private[graft] def shingledFrom(docs: DataFrame): DataFrame =
     docs
-      .filter(size(split(col("text"), " ")) >= 3)
+      .filter(wordsGe3(col("text")))
       .select(
         col("doc_id"),
-        array_distinct(
-          regexp_extract_all(col("text"), lit(TrigramRegex), lit(1))
-        ).as("shingles"))
+        array_distinct(graft.plans.TextExpressions.wordTrigrams(col("text")))
+          .as("shingles"))
 
   /** Threshold + rounding + ordering for a pair frame that already
     * carries (inter, n_a, n_b).

@@ -1,0 +1,88 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expression for word-trigram extraction — the shared shingling
+  * primitive of the dedup/contamination/repetition family (q20/q21/q42/
+  * q49/q50).
+  *
+  * The regexp_extract_all formulation runs a regex engine with a
+  * lookahead + capture per overlapping match and materializes each
+  * trigram through the matcher. But over single-space-separated text a
+  * word trigram is exactly the SUBSTRING from token i's first byte to
+  * token i+2's last byte — so one pass over the UTF-8 bytes collecting
+  * space positions (0x20 never occurs inside a multi-byte sequence)
+  * yields every trigram as a byte-range slice: no regex, no
+  * concatenation, O(text + output) and zero per-match machinery.
+  *
+  * Semantics contract (same as DedupOps.TrigramRegex and the DuckDB
+  * `string_split` twin): tokens are split on EVERY single space; fewer
+  * than 3 tokens → empty array. Pinned against the regex and the naive
+  * split+transform constructions by DedupSimilaritySpec.
+  */
+object TextExpressions {
+
+  /** Static entry point for both eval and generated code. */
+  def trigrams(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // token start offsets (token k starts after the k-th space)
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (bytes(i) == 0x20) spaces += 1; i += 1 }
+    val nTok = spaces + 1
+    if (nTok < 3) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nTok)
+    starts(0) = 0
+    var k = 1
+    i = 0
+    while (i < n) {
+      if (bytes(i) == 0x20) { starts(k) = i + 1; k += 1 }
+      i += 1
+    }
+    val out = new Array[Any](nTok - 2)
+    var t = 0
+    while (t < nTok - 2) {
+      val start = starts(t)
+      // end = byte before the space that precedes token t+3 (or EOS)
+      val end = if (t + 3 < nTok) starts(t + 3) - 1 else n
+      out(t) = UTF8String.fromBytes(bytes, start, end - start)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class WordTrigrams(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_trigrams"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${other.sql}")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      trigrams(v.asInstanceOf[UTF8String])
+
+    // one static call into the byte-scan above: the expression itself
+    // participates in whole-stage codegen (no interpreted fallback for
+    // the surrounding projection), and the helper does the work without
+    // regex/matcher allocation
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.TextExpressions.trigrams($c);")
+
+    override protected def withNewChildInternal(c: Expression): WordTrigrams =
+      copy(child = c)
+  }
+
+  def wordTrigrams(c: Column): Column =
+    ColumnBridge.column(WordTrigrams(ColumnBridge.expression(c)))
+}

@@ -195,7 +195,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "a b c",
       "one two",
       "comma, separated, tokens, here, now",
-      "mixed foo-bar it's (p) q.r done")
+      "mixed foo-bar it's (p) q.r done",
+      "héllo wörld ünïcode trigräm test", // byte-scan must respect multi-byte chars
+      "")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val got = DedupOps.shingledFrom(df)
@@ -207,5 +209,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
         assert(got(i.toLong) == want, s"doc $i: ${got(i.toLong)} != $want")
       } else assert(!got.contains(i.toLong))
     }
+    // the native byte-scan expression and the documented regex agree on
+    // single-space text (the corpus contract both state)
+    import org.apache.spark.sql.functions._
+    val cmp = df.filter(length($"text") > 0).select(
+        graft.plans.TextExpressions.wordTrigrams($"text").as("native"),
+        regexp_extract_all($"text", lit(DedupOps.TrigramRegex), lit(1)).as("regex"))
+      .as[(Seq[String], Seq[String])].collect()
+    cmp.foreach { case (n, r) => assert(n == r, s"native $n != regex $r") }
   }
 }
