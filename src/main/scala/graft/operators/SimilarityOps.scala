@@ -135,16 +135,26 @@ object SimilarityOps {
     val stale = !idxFs.exists(idx) ||
       maxFileMtime(idxFs, idx) <= srcMtime
     if (stale) {
-      val tmp = new Path(idx.toString + ".tmp-" +
-        java.util.UUID.randomUUID().toString.take(8))
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new Path(idx.toString + ".tmp-" + nonce)
       buildIvfIndex(Tables(spark, dir).embeddings)
         .write.mode("overwrite").parquet(tmp.toString)
-      if (idxFs.exists(idx)) idxFs.delete(idx, true)
+      // same publish order as Warehouse.compact: move the old artifact
+      // ASIDE (rename, not delete) before renaming the fresh one in, so
+      // a crash in the window leaves a recoverable artifact and the
+      // missing-path gap for concurrent readers is one rename wide
+      val backup = new Path(idx.toString + ".old-" + nonce)
+      val hadOld = idxFs.exists(idx)
+      if (hadOld && !idxFs.rename(idx, backup))
+        throw new java.io.IOException(s"could not move stale IVF index aside: $idx")
       if (!idxFs.rename(tmp, idx)) {
-        // a concurrent builder published first — its artifact is fresh too
+        // a concurrent builder published first — its artifact is fresh
+        // too; restore whichever old copy we moved aside if needed
         idxFs.delete(tmp, true)
-        require(idxFs.exists(idx), s"IVF index publish failed for $idx")
+        if (!idxFs.exists(idx) && hadOld && !idxFs.rename(backup, idx))
+          throw new java.io.IOException(s"IVF index publish failed for $idx")
       }
+      if (hadOld) idxFs.delete(backup, true)
     }
     spark.read.parquet(idx.toString)
   }
