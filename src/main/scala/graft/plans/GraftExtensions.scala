@@ -41,7 +41,10 @@ object GraftExtensions {
       "dot_f32(x, y) - ordered-fold dot product over two array<float> columns"),
     ("norm_sq_f32",
       es => FloatVectorExpressions.NormSqF32(es.head),
-      "norm_sq_f32(x) - squared L2 norm of an array<float> column"))
+      "norm_sq_f32(x) - squared L2 norm of an array<float> column"),
+    ("word_trigrams",
+      es => TextExpressions.WordTrigrams(es.head),
+      "word_trigrams(s) - overlapping word 3-grams of a single-space-separated string"))
 
   def inject(e: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, builder, usage) =>

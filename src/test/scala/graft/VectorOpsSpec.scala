@@ -22,7 +22,7 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(math.abs(one(VectorOps.l2Norm(col("x"))) - math.sqrt(14.0)) < 1e-12)
   }
 
-  test("SQL surface: dot_f32 / norm_sq_f32 register and evaluate") {
+  test("SQL surface: dot_f32 / norm_sq_f32 / word_trigrams register and evaluate") {
     graft.plans.GraftExtensions.registerRuntime(spark)
     val row = spark.sql(
       """SELECT dot_f32(array(cast(1.0 as float), cast(2.0 as float)),
@@ -30,6 +30,9 @@ class VectorOpsSpec extends AnyFunSuite {
         |       norm_sq_f32(array(cast(3.0 as float), cast(4.0 as float))) AS n""".stripMargin)
       .as[(Double, Double)].head()
     assert(row == ((11.0, 25.0)))
+    val tri = spark.sql("SELECT word_trigrams('a b c d') AS t")
+      .as[Seq[String]].head()
+    assert(tri == Seq("a b c", "b c d"))
   }
 
   test("RewriteSelfDot turns dot_f32(x,x) into norm_sq_f32(x), value-preserving") {
