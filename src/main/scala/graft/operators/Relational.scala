@@ -577,6 +577,58 @@ object Relational {
       |WHERE rn <= 3
       |ORDER BY l_returnflag, price DESC, l_orderkey, l_linenumber""".stripMargin
 
+  /** Full CUBE over (status, priority): every grouping set including the
+    * cross-slices q31's ROLLUP omits. NULL markers match ANSI on both
+    * engines; revenue uses the long-cents path like every money
+    * aggregate.
+    */
+  def q54Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("revenue"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val q54Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** ntile quartile bucketing per group — the stratification shape a
+    * training pipeline uses to balance samples by a difficulty/size
+    * score. ntile's deterministic tie handling needs a total order, so
+    * the window sorts by (price, orderkey).
+    */
+  def q55Ntile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables(spark, dir).orders
+      .select($"o_orderpriority", $"o_totalprice",
+        ntile(4).over(w).cast("long").as("quartile"))
+      .groupBy($"o_orderpriority", $"quartile")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(cents($"o_totalprice")).cast("double") / 100.0 / count(lit(1)))
+          .as("avg_price"))
+      .orderBy($"o_orderpriority", $"quartile")
+  }
+
+  val q55Sql: String =
+    """SELECT o_orderpriority, quartile, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |    / count(*) AS avg_price
+      |FROM (SELECT o_orderpriority, o_totalprice,
+      |        CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+      |      FROM orders)
+      |GROUP BY o_orderpriority, quartile
+      |ORDER BY o_orderpriority, quartile""".stripMargin
+
   /** Hot-key mitigation surface: the same fact⋈dim join routed through
     * Skew.saltedJoin (deterministic row-hash salt spreads each key over 8
     * sub-partitions; the dim side replicates ×8). Results are identical
@@ -628,6 +680,10 @@ object Relational {
       "JSON-path extraction from payload column"),
     Q("q31_rollup", q31Rollup, Some(q31Sql), Seq("A6"),
       "hierarchical ROLLUP with subtotals and grand total"),
+    Q("q54_cube", q54Cube, Some(q54Sql), Seq("A6"),
+      "full CUBE grouping sets incl. cross-slices"),
+    Q("q55_ntile", q55Ntile, Some(q55Sql), Seq("W1", "X-sample"),
+      "ntile quartile bucketing per group (stratification shape)"),
     Q("q32_setops", q32SetOps, Some(q32Sql), Seq("J3"),
       "INTERSECT/EXCEPT cohort analysis"),
     Q("q33_pivot", q33Pivot, Some(q33Sql), Seq("A1"),
