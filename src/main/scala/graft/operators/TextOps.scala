@@ -216,14 +216,15 @@ object TextOps {
 
   def q51BpeTokens(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = regexp_extract_all($"text", lit(BpeTokenRegex), lit(0))
-    val nToks = size(toks).cast("long")
+    // regexp_count: counting without materializing the match array
+    // (the oracle's regexp_extract_all+len produces the same counts)
+    val nToks = regexp_count($"text", lit(BpeTokenRegex)).cast("long")
     Tables(spark, dir).documents
       .select(
         $"doc_id",
         nToks.as("n_tokens"),
-        size(regexp_extract_all($"text", lit("[A-Za-z]+"), lit(0))).cast("long").as("n_alpha"),
-        size(regexp_extract_all($"text", lit("[0-9]+"), lit(0))).cast("long").as("n_digit"),
+        regexp_count($"text", lit("[A-Za-z]+")).cast("long").as("n_alpha"),
+        regexp_count($"text", lit("[0-9]+")).cast("long").as("n_digit"),
         // unrounded ratio of exact ints: both engines divide identical
         // operands, and skipping round() avoids the half-point hazard
         (length($"text").cast("double") / nToks).as("chars_per_token"))
