@@ -43,23 +43,22 @@ object DedupOps {
       |GROUP BY md5(text)
       |ORDER BY keep_id""".stripMargin
 
-  /** doc_id + distinct word-3-gram shingle set (drops docs under 3 words).
-    * Shingles come from ONE codegen'd regex pass — a lookahead anchored at
-    * start-of-string or a space captures each overlapping trigram —
-    * instead of an interpreted per-shingle transform() lambda. Anchoring
-    * on spaces (not `\\b`) keeps the construction identical to
-    * split-on-space trigrams when tokens contain punctuation / hyphens /
-    * apostrophes (`\\b` fires mid-token, inventing shingles a tokenizer
-    * would never produce). Matches the naive construction for any
-    * single-space-separated text; runs of consecutive spaces (empty
+  /** doc_id + distinct word-3-gram shingle set (drops docs under 3
+    * words). Shingles come from the native byte-scan expression
+    * (graft.plans.TextExpressions.WordTrigrams, see its scaladoc);
+    * construction is identical to split-on-space trigrams for any
+    * single-space-separated text — runs of consecutive spaces (empty
     * tokens) are not expected in the corpus contract.
     */
   private[graft] def shingled(spark: SparkSession, dir: String): DataFrame =
     shingledFrom(Tables(spark, dir).documents)
 
-  /** The ONE trigram definition every shingle consumer shares (q20/q21/
-    * q42/q49/q50) — duplicate copies of this literal would silently
-    * diverge on a tokenization change.
+  /** The regex formulation of the shared trigram definition — retained
+    * as documentation and as the independent construction the
+    * equivalence spec checks the native expression against (a lookahead
+    * anchored at start-of-string or a space, NOT `\\b`, which fires
+    * mid-token on punctuation and invents shingles a tokenizer would
+    * never produce).
     */
   private[graft] val TrigramRegex = "(?:^| )(?=(\\S+ \\S+ \\S+))"
 
@@ -97,15 +96,21 @@ object DedupOps {
         array_distinct(graft.plans.TextExpressions.wordTrigrams(col("text")))
           .as("shingles"))
 
-  /** Threshold + rounding + ordering for a pair frame that already
-    * carries (inter, n_a, n_b).
+  /** Threshold + ordering for a pair frame that already carries
+    * (inter, n_a, n_b). The jaccard column is the UNROUNDED quotient:
+    * both engines divide identical exact integers, so the doubles are
+    * bit-identical — while round(x, 4) on a ratio that lands on a
+    * 4th-decimal half (e.g. 631/800 = 0.78875) resolves differently in
+    * Spark (decimal-string HALF_UP → 0.7888) vs DuckDB (binary →
+    * 0.7887). Same no-round-on-exact-ratios policy as
+    * Relational.moneyAvg.
     */
   private def jaccardFromSized(pairs: DataFrame, threshold: Double): DataFrame = {
     import pairs.sparkSession.implicits._
     pairs
       .withColumn("jaccard_raw", $"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"))
       .filter($"jaccard_raw" >= threshold)
-      .select($"doc_a", $"doc_b", round($"jaccard_raw", 4).as("jaccard"))
+      .select($"doc_a", $"doc_b", $"jaccard_raw".as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -254,7 +259,7 @@ object DedupOps {
       |  FROM inter
       |  JOIN counts ca ON doc_a = ca.doc_id
       |  JOIN counts cb ON doc_b = cb.doc_id)
-      |SELECT doc_a, doc_b, round(jaccard_raw, 4) AS jaccard
+      |SELECT doc_a, doc_b, jaccard_raw AS jaccard
       |FROM j WHERE jaccard_raw >= 0.2
       |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -391,7 +396,7 @@ object DedupOps {
        |  FROM ws
        |  JOIN counts ca ON doc_a = ca.doc_id
        |  JOIN counts cb ON doc_b = cb.doc_id)
-       |SELECT doc_a, doc_b, round(jaccard_raw, 4) AS jaccard
+       |SELECT doc_a, doc_b, jaccard_raw AS jaccard
        |FROM j WHERE jaccard_raw >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
   }

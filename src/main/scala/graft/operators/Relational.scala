@@ -49,7 +49,7 @@ object Relational {
     */
   private[graft] def cents(c: Column): Column = round(c * 100).cast("long")
 
-  private def moneySum(c: Column): Column =
+  private[graft] def moneySum(c: Column): Column =
     sum(cents(c)).cast("double") / 100.0
 
   /** Exact mean of a 2-decimal money column: exact cent sum → double →
@@ -61,7 +61,7 @@ object Relational {
     * resolves differently in Spark (decimal-string HALF_UP) vs DuckDB
     * (binary rounding) and flips the last digit.
     */
-  private def moneyAvg(c: Column): Column =
+  private[graft] def moneyAvg(c: Column): Column =
     (sum(cents(c)).cast("double") / 100.0) / count(lit(1))
 
   /** A1/A4/F1 — multi-aggregate hash group-by (the reference's city summary,
@@ -73,47 +73,50 @@ object Relational {
     import spark.implicits._
     Tables(spark, dir).lineitem
       .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp"))
+      // price·(1−disc)[·(1+tax)] in integer cent units (×1e4 / ×1e6),
+      // settled to cents PER LINE with integer `div` — never on a
+      // double, where a true .xx50 value is unrepresentable and the
+      // two engines round it differently. Line-level settling is both
+      // the ledger semantic (each line is a monetary amount) and the
+      // overflow-safe one: a settled line is ≤ ~1.3e7 cents, so the
+      // long sum has ~7e11 rows of headroom PER GROUP, where summing
+      // raw 1e-6-dollar units would overflow around 8e7 rows/group.
+      .withColumn("pc", cents($"l_extendedprice"))
+      .withColumn("disc_u4", $"pc" * (lit(100L) - cents($"l_discount")))
+      .withColumn("disc_cents", expr("(disc_u4 + 50) div 100"))
+      .withColumn("charge_cents",
+        expr(s"(disc_u4 * (100 + CAST(round(l_tax * 100) AS BIGINT)) + 5000) div 10000"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
         moneySum($"l_extendedprice").as("sum_base_price"),
-        // price·(1−disc)[·(1+tax)] in integer cent units (×1e4 / ×1e6):
-        // every per-row product and the sums are exact longs; the
-        // half-up rounding back to cents happens in integer `div`
-        // arithmetic, never on a double (where a true .xx50 value is
-        // unrepresentable and the two engines round it differently)
-        sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
-          .as("_disc_u4"),
-        sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))
-          * (lit(100L) + cents($"l_tax"))).as("_charge_u6"),
+        (sum($"disc_cents").cast("double") / 100.0).as("sum_disc_price"),
+        (sum($"charge_cents").cast("double") / 100.0).as("sum_charge"),
         moneyAvg($"l_quantity").as("avg_qty"),
         moneyAvg($"l_extendedprice").as("avg_price"),
         moneyAvg($"l_discount").as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .select($"l_returnflag", $"l_linestatus", $"sum_qty", $"sum_base_price",
-        (expr("(_disc_u4 + 50) div 100").cast("double") / 100.0).as("sum_disc_price"),
-        (expr("(_charge_u6 + 5000) div 10000").cast("double") / 100.0).as("sum_charge"),
-        $"avg_qty", $"avg_price", $"avg_disc", $"count_order")
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
   val q1Sql: String =
-    """SELECT l_returnflag, l_linestatus,
+    """WITH li AS (
+      |  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice, l_discount,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS disc_u4,
+      |    CAST(round(l_tax * 100) AS BIGINT) AS t100
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '2001-09-02')
+      |SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
       |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
-      |  CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE)
-      |    / 100.0 AS sum_disc_price,
-      |  CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
-      |      * (100 + CAST(round(l_tax * 100) AS BIGINT))) + 5000) // 10000 AS DOUBLE)
-      |    / 100.0 AS sum_charge,
+      |  CAST(sum((disc_u4 + 50) // 100) AS DOUBLE) / 100.0 AS sum_disc_price,
+      |  CAST(sum((disc_u4 * (100 + t100) + 5000) // 10000) AS DOUBLE) / 100.0 AS sum_charge,
       |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
       |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
       |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
       |  count(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+      |FROM li
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
@@ -611,10 +614,7 @@ object Relational {
       .select($"o_orderpriority", $"o_totalprice",
         ntile(4).over(w).cast("long").as("quartile"))
       .groupBy($"o_orderpriority", $"quartile")
-      .agg(
-        count(lit(1)).as("n"),
-        (sum(cents($"o_totalprice")).cast("double") / 100.0 / count(lit(1)))
-          .as("avg_price"))
+      .agg(count(lit(1)).as("n"), moneyAvg($"o_totalprice").as("avg_price"))
       .orderBy($"o_orderpriority", $"quartile")
   }
 

@@ -142,19 +142,21 @@ object SimilarityOps {
       // same publish order as Warehouse.compact: move the old artifact
       // ASIDE (rename, not delete) before renaming the fresh one in, so
       // a crash in the window leaves a recoverable artifact and the
-      // missing-path gap for concurrent readers is one rename wide
+      // missing-path gap for concurrent readers is one rename wide.
+      // Losing the move-aside race to a concurrent builder is fine —
+      // whoever wins is publishing an equally fresh artifact, so the
+      // result of this rename is deliberately ignored.
       val backup = new Path(idx.toString + ".old-" + nonce)
-      val hadOld = idxFs.exists(idx)
-      if (hadOld && !idxFs.rename(idx, backup))
-        throw new java.io.IOException(s"could not move stale IVF index aside: $idx")
+      if (idxFs.exists(idx)) idxFs.rename(idx, backup): Unit
       if (!idxFs.rename(tmp, idx)) {
-        // a concurrent builder published first — its artifact is fresh
-        // too; restore whichever old copy we moved aside if needed
         idxFs.delete(tmp, true)
-        if (!idxFs.exists(idx) && hadOld && !idxFs.rename(backup, idx))
+        // our publish lost: accept the winner's artifact, or restore the
+        // copy we moved aside; only a still-missing index is an error
+        if (!idxFs.exists(idx) &&
+            !(idxFs.exists(backup) && idxFs.rename(backup, idx)))
           throw new java.io.IOException(s"IVF index publish failed for $idx")
       }
-      if (hadOld) idxFs.delete(backup, true)
+      idxFs.delete(backup, true): Unit // no-op when we never took it
     }
     spark.read.parquet(idx.toString)
   }

@@ -130,11 +130,9 @@ object TemporalOps {
     import spark.implicits._
     Tables(spark, dir).orders
       .groupBy(floor($"o_totalprice" / 50000).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n"),
-        // exact long-cents mean (order-independent; Relational.moneyAvg
-        // policy) — avg(double) merge order varies run to run
-        (sum(Relational.cents($"o_totalprice")).cast("double") / 100.0
-          / count(lit(1))).as("avg_price"))
+      // exact long-cents mean (order-independent) — avg(double) merge
+      // order varies run to run
+      .agg(count(lit(1)).as("n"), Relational.moneyAvg($"o_totalprice").as("avg_price"))
       .orderBy($"bucket")
   }
 
@@ -316,9 +314,8 @@ object TemporalOps {
       .agg(
         min($"ts").as("started"), max($"ts").as("ended"),
         count(lit(1)).as("n_events"),
-        // event values are exact 2-decimal money → long-cents sum, double
-        // out (order-independent; same policy as Relational.moneySum)
-        (sum(Relational.cents($"value")).cast("double") / 100.0).as("total_value"))
+        // event values are exact 2-decimal money (Relational.moneySum)
+        Relational.moneySum($"value").as("total_value"))
       .orderBy($"user_id", $"session_idx")
   }
 

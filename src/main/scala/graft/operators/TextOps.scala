@@ -226,8 +226,12 @@ object TextOps {
         regexp_count($"text", lit("[A-Za-z]+")).cast("long").as("n_alpha"),
         regexp_count($"text", lit("[0-9]+")).cast("long").as("n_digit"),
         // unrounded ratio of exact ints: both engines divide identical
-        // operands, and skipping round() avoids the half-point hazard
-        (length($"text").cast("double") / nToks).as("chars_per_token"))
+        // operands, and skipping round() avoids the half-point hazard.
+        // NULL when no token matched — Spark's x/0 is NaN/Infinity but
+        // DuckDB's is NULL, so the zero case must be settled before the
+        // division to keep the engines aligned
+        when(nToks > 0, length($"text").cast("double") / nToks)
+          .as("chars_per_token"))
       .orderBy($"doc_id")
   }
 

@@ -49,8 +49,7 @@ object EventsStreaming {
       // with the batch twin (Relational.q11EventsHourly / moneySum): the
       // StreamingSpec equality test compares total_value bit-for-bit
       .agg(count(lit(1)).as("n_events"),
-        (sum(graft.operators.Relational.cents(col("value"))).cast("double") / 100.0)
-          .as("total_value"))
+        graft.operators.Relational.moneySum(col("value")).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"), col("total_value"))
 
   /** Run a streaming frame to completion against a finite source and

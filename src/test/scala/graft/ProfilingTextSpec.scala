@@ -13,9 +13,9 @@ class ProfilingTextSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("keySkew reports uniform keys as ratio 1 and a hot key as its multiple") {
-    // 4 keys × 2 rows → uniform; then key 9 gets 6 more rows:
-    // max=8, n_keys=4... wait: keys 1..3 have 2, key 9 has 8 → rows 14,
-    // skew = 8 * 4 / 14
+    // uniform fixture: 4 keys × 2 rows → skew ratio exactly 1.
+    // hot fixture: keys 1..3 with 2 rows each plus 8 rows of key 9 →
+    // 14 rows over 4 keys, max 8 → skew = 8·4/14
     val uniform = (1 to 4).flatMap(k => Seq(k, k)).toDF("k")
     val u = Profiling.keySkew(uniform, "k", "u").collect().head
     assert(u.getAs[Long]("n_rows") == 8L)
