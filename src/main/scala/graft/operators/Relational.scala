@@ -511,7 +511,11 @@ object Relational {
     Tables(spark, dir).lineitem
       .filter($"l_suppkey" <= 2)
       .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
-        round(sum($"l_extendedprice").over(w), 2).as("running_revenue"),
+        // exact long-cents running sum (moneySum policy): the frame
+        // order makes both engines sum identically, so the old
+        // round(, 2) was pure half-point risk on an exact value
+        (sum(cents($"l_extendedprice")).over(w).cast("double") / 100.0)
+          .as("running_revenue"),
         row_number().over(
           Window.partitionBy($"l_suppkey")
             .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")).as("rn"))
@@ -520,10 +524,11 @@ object Relational {
 
   val q34Sql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
-      |  round(sum(l_extendedprice) OVER (
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER (
       |    PARTITION BY l_suppkey
       |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue,
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / 100.0 AS running_revenue,
       |  row_number() OVER (
       |    PARTITION BY l_suppkey
       |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
