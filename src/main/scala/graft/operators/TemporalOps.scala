@@ -408,9 +408,42 @@ object TemporalOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** RANGE-interval window frame: each order's trailing-7-day revenue
+    * for its customer — the time-based sibling of q34's ROWS frame
+    * (a ROWS frame counts rows; a RANGE frame bounds by VALUE distance,
+    * here 7 days of epoch seconds, so gaps and same-instant neighbors
+    * behave correctly). Money in exact long cents end to end; the frame
+    * gives both engines the same summation order.
+    */
+  def q56RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sec = unix_timestamp($"o_orderdate")
+    val w = Window.partitionBy($"o_custkey").orderBy(sec)
+      .rangeBetween(-7L * 86400, 0)
+    Tables(spark, dir).orders
+      .filter($"o_custkey" <= 100)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        (sum(Relational.cents($"o_totalprice")).over(w).cast("double") / 100.0)
+          .as("trailing_7d_revenue"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  // epoch() on a DATE-derived timestamp is whole seconds on both sides
+  val q56Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+      |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / 100.0 AS trailing_7d_revenue
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
+    Q("q56_range_frame", q56RangeFrame, Some(q56Sql), Seq("W1", "X-temporal"),
+      "RANGE-interval window frame: trailing 7-day revenue per customer"),
     Q("q52_temporal_dedup", q52TemporalDedup, Some(q52Sql), Seq("X-temporal", "X-dedup"),
       "keep-first dedup per key within tumbling time buckets"),
     Q("q44_range_join", q44RangeJoin, Some(q44Sql), Seq("X-temporal"),
