@@ -74,6 +74,13 @@ class VectorOpsSpec extends AnyFunSuite {
           + VectorOps.normSq(col("y")) + VectorOps.cosine(col("x"), col("y"))).as("v"))
         .as[Double].collect()
       assert(rows.length == 2)
+      // WordTrigrams generates through the same nullSafeCodeGen path —
+      // fused twice so a name collision would also surface here
+      val tri = Seq(("a b c d", "x y z w")).toDF("s", "t")
+        .select((size(graft.plans.TextExpressions.wordTrigrams(col("s")))
+          + size(graft.plans.TextExpressions.wordTrigrams(col("t")))).as("n"))
+        .as[Int].collect()
+      assert(tri.toSeq == Seq(4))
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
