@@ -86,6 +86,53 @@ object MultimodalOps {
     }.toDF("media_id", "frame_idx", "frame_bytes")
   }
 
+  /** Resize stub for image payloads: keep every `stride`-th byte and
+    * scale the metadata (a real codec re-encodes pixels; the
+    * binary-in/binary-out batch shape, metadata rewrite, and
+    * narrow/no-shuffle execution are what's exercised). Batched like
+    * decodeStub so a native resizer amortizes setup per batch.
+    */
+  def resizeStub(media: Dataset[MediaRow], stride: Int = 4): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val out = m.payload.indices.collect {
+          case i if i % stride == 0 => m.payload(i)
+        }.toArray
+        m.copy(payload = out,
+          width = math.max(1, m.width / stride),
+          height = math.max(1, m.height / stride))
+      })
+    }
+  }
+
+  /** Registered frame-sampling surface: every 4th 64-byte slice of each
+    * video payload. Pure byte arithmetic over the UTF-8 fixture
+    * payloads, so the whole row-explosion path hash-checks against a
+    * DuckDB twin (same ASCII-corpus contract as q30).
+    */
+  def q57FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(mediaFromDocuments(spark, dir))
+      .select($"media_id", $"frame_idx".cast("long").as("frame_idx"), $"frame_bytes")
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  val q57Sql: String =
+    s"""WITH media AS (
+      |  SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (
+      |  SELECT media_id,
+      |    unnest(range(0, CAST(ceil(CAST(n AS DOUBLE) / $BatchSize) AS BIGINT))) AS frame_idx,
+      |    n
+      |  FROM media)
+      |SELECT media_id, frame_idx,
+      |  least($BatchSize, n - frame_idx * $BatchSize) AS frame_bytes
+      |FROM f
+      |WHERE frame_idx % 4 = 0
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   /** End-to-end multimodal query: synthesize media → batched stub decode →
     * per-kind feature aggregate. The aggregated features (byte counts and
     * mean byte value of the UTF-8 payloads) are portable arithmetic, so
@@ -135,5 +182,7 @@ object MultimodalOps {
 
   val queries: Seq[Q] = Seq(
     Q("q30_multimodal", q30Multimodal, Some(q30Sql), Seq("X-multimodal"),
-      "binary media columns: batched stub decode + feature aggregate"))
+      "binary media columns: batched stub decode + feature aggregate"),
+    Q("q57_frame_sample", q57FrameSample, Some(q57Sql), Seq("X-multimodal"),
+      "video frame sampling: every k-th fixed-size payload slice"))
 }

@@ -44,4 +44,17 @@ class MultimodalSpec extends AnyFunSuite {
     val idx = frames.select($"frame_idx").distinct().as[Int].collect().toSet
     assert(idx.forall(_ % 4 == 0))
   }
+
+  test("resize stub keeps every stride-th byte and rescales metadata") {
+    import MultimodalOps.MediaRow
+    val media = Seq(
+      MediaRow(1L, "image", "abcdefghij".getBytes("UTF-8"), 640, 360),
+      MediaRow(2L, "image", Array.empty[Byte], 320, 180)).toDS()
+    val out = MultimodalOps.resizeStub(media, stride = 4).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(new String(out(1L).payload, "UTF-8") == "aei") // bytes 0, 4, 8
+    assert(out(1L).width == 160 && out(1L).height == 90)
+    assert(out(2L).payload.isEmpty)
+    assert(out(2L).width == 80 && out(2L).height == 45)
+  }
 }
