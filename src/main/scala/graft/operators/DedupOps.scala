@@ -507,9 +507,46 @@ object DedupOps {
       |HAVING count(*) >= 3
       |ORDER BY doc_id""".stripMargin
 
+  /** Exact dedup keyed by the cheap Rabin–Karp rolling hash (the
+    * native RollingHash32 expression) instead of md5 — the production
+    * fingerprint for shift-tolerant/content-defined dedup: one
+    * multiply-add-mod per byte, no block cipher. 31-bit range means
+    * birthday collisions are plausible at corpus scale; a collision
+    * UNDER-dedups (distinct texts share a group and min-id wins), so
+    * production pairs it with an exact-byte verify — here the oracle
+    * twin recomputes the identical fold, so the gate checks the hash
+    * semantics themselves.
+    */
+  def q58RollingDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .groupBy(graft.plans.TextExpressions.rollingHash32($"text").as("rh"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_id")
+  }
+
+  // ascii() folds codepoints == bytes on the ASCII corpus (q30 contract);
+  // list_reduce with no init seeds from the first element, which equals
+  // the zero-seeded fold because 0*257 + b1 = b1
+  val q58Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) = 0 THEN 0
+      |         ELSE list_reduce(
+      |           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |           (a, b) -> (a * 257 + b) % 2147483647)
+      |    END AS rh
+      |  FROM documents)
+      |SELECT rh, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM h
+      |GROUP BY rh
+      |ORDER BY keep_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q19_dedup_exact", q19DedupExact, Some(q19Sql), Seq("X-dedup"),
       "exact dedup on md5 content fingerprint"),
+    Q("q58_rolling_dedup", q58RollingDedup, Some(q58Sql), Seq("X-dedup"),
+      "dedup keyed by the native Rabin-Karp rolling-hash expression"),
     Q("q49_contamination", q49Contamination, Some(q49Sql), Seq("X-dedup"),
       "benchmark-contamination flags via broadcast shingle overlap"),
     Q("q20_ngram_jaccard", q20NgramJaccard, Some(q20Sql), Seq("X-dedup"),

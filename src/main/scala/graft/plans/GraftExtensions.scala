@@ -44,7 +44,10 @@ object GraftExtensions {
       "norm_sq_f32(x) - squared L2 norm of an array<float> column"),
     ("word_trigrams",
       es => TextExpressions.WordTrigrams(es.head),
-      "word_trigrams(s) - overlapping word 3-grams of a single-space-separated string"))
+      "word_trigrams(s) - overlapping word 3-grams of a single-space-separated string"),
+    ("rolling_hash32",
+      es => TextExpressions.RollingHash32(es.head),
+      "rolling_hash32(s) - Rabin-Karp polynomial hash of the UTF-8 bytes mod 2^31-1"))
 
   def inject(e: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, builder, usage) =>

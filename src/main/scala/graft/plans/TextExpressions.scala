@@ -85,4 +85,52 @@ object TextExpressions {
 
   def wordTrigrams(c: Column): Column =
     ColumnBridge.column(WordTrigrams(ColumnBridge.expression(c)))
+
+  /** Rabin–Karp polynomial rolling hash over the UTF-8 bytes:
+    * h = fold(0)((acc, b) => (acc·257 + b) mod (2³¹−1)). Static entry
+    * point shared by eval and generated code. The per-step product stays
+    * under 2³⁹, so the arithmetic never overflows a long.
+    */
+  def rollingHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 257 + (bytes(i) & 0xff)) % 2147483647L
+      i += 1
+    }
+    acc
+  }
+
+  /** The production content-hash of a dedup pass: one multiply-add-mod
+    * per byte (no block cipher), incrementally extendable — the hash a
+    * content-defined-chunking or shift-tolerant dedup builds on, where
+    * md5 (q17/q19) is the content-ADDRESS. Portable contract: the
+    * DuckDB twin folds ascii() codepoints, which equals the byte fold
+    * on an ASCII corpus (the q30 contract); non-ASCII text hashes by
+    * BYTE here and by CODEPOINT there, so oracles must stay on ASCII
+    * fixtures.
+    */
+  case class RollingHash32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "rolling_hash32"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${other.sql}")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      rollingHash(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.TextExpressions.rollingHash($c);")
+
+    override protected def withNewChildInternal(c: Expression): RollingHash32 =
+      copy(child = c)
+  }
+
+  def rollingHash32(c: Column): Column =
+    ColumnBridge.column(RollingHash32(ColumnBridge.expression(c)))
 }

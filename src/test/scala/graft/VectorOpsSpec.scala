@@ -33,6 +33,10 @@ class VectorOpsSpec extends AnyFunSuite {
     val tri = spark.sql("SELECT word_trigrams('a b c d') AS t")
       .as[Seq[String]].head()
     assert(tri == Seq("a b c", "b c d"))
+    val rh = spark.sql("SELECT rolling_hash32('abc') AS h, rolling_hash32('') AS e")
+      .as[(Long, Long)].head()
+    // ((97*257 + 98)*257 + 99) mod (2^31-1), zero for empty input
+    assert(rh == ((6432038L, 0L)))
   }
 
   test("RewriteSelfDot turns dot_f32(x,x) into norm_sq_f32(x), value-preserving") {
