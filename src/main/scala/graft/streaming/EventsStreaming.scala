@@ -105,36 +105,58 @@ object EventsStreaming {
   /** Custom stateful operator: gap-based sessionization per user via
     * flatMapGroupsWithState (30-minute inactivity gap). State per user is
     * one open session (constant size); closed sessions are emitted and
-    * dropped, so state never grows with the stream. This is the
-    * mapGroupsWithState surface the engine exposes for semantics Spark's
-    * built-in windows can't express.
+    * dropped.
+    *
+    * EventTimeTimeout + the watermark is what makes the state BOUNDED at
+    * stream scale: once the watermark passes a session's end + gap, no
+    * on-time event can extend it, so the timeout callback emits the
+    * session and REMOVES the key's state. With NoTimeout a dormant
+    * user's open session would sit in the state store forever — state
+    * growing with total user cardinality instead of active users.
     */
-  def sessionize(events: Dataset[Event], gapMinutes: Long = 30): Dataset[UserSession] = {
+  def sessionize(events: Dataset[Event], gapMinutes: Long = 30,
+      watermarkDelay: String = "1 hour"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60 * 1000
     events
+      .withWatermark("ts", watermarkDelay)
+      .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], UserSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, evs: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          var open = state.getOption.flatMap(_.headOption)
-          val closed = scala.collection.mutable.ListBuffer.empty[UserSession]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            open match {
-              case Some(s) if t - s.end <= gapMs =>
-                open = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
-              case Some(s) =>
-                closed += UserSession(userId, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.end), s.n, s.total)
-                open = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                open = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the session can never extend
+            val out = state.getOption.flatMap(_.headOption).map(s =>
+              UserSession(userId, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.end), s.n, s.total)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption.flatMap(_.headOption)
+            val closed = scala.collection.mutable.ListBuffer.empty[UserSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += UserSession(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.total)
+                  open = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            state.update(open.toList)
+            // the timeout must sit strictly beyond the current watermark
+            // or Spark rejects it (a very old open session times out on
+            // the next trigger instead)
+            open.foreach(s => state.setTimeoutTimestamp(
+              math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1)))
+            closed.iterator
           }
-          state.update(open.toList)
-          closed.iterator
       }
   }
 }

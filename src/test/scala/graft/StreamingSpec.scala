@@ -72,12 +72,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  // fixture minutes sit on a year-2000 base: a minute-0 event is epoch 0,
+  // which the INITIAL watermark (also 0) already classifies as late and
+  // silently drops before the stateful operator
+  private val SessBase = 946684800000L / 60000 // 2000-01-01 in minutes
+
   test("streaming sessionizer agrees with the q46 batch twin on closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]
     def ev(id: Long, user: Long, minute: Long, v: Double) =
-      Event(id, new java.sql.Timestamp(minute * 60000), user, "click", v)
-    // user 7: three sessions (two closed); user 8: two sessions (one closed)
+      Event(id, new java.sql.Timestamp((SessBase + minute) * 60000), user, "click", v)
+    // user 7: three sessions (two gap-closed, one watermark-timed-out);
+    // user 8: two sessions (one gap-closed, one open inside the horizon)
     val all = Seq(
       ev(1, 7, 0, 1.0), ev(2, 7, 10, 2.0), ev(3, 7, 41, 3.0),  // 31-min gap splits
       ev(4, 7, 200, 4.0),
@@ -101,17 +107,28 @@ class StreamingSpec extends AnyFunSuite {
       .select($"user_id", $"started", $"ended", $"n_events")
       .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
       .map(r => (r._1, r._2.getTime, r._3.getTime, r._4)).toSet
-    // streaming emits only CLOSED sessions; batch emits all → the last
-    // session per user (max start) is the still-open one
-    val open = batchAll.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
-    assert(streamed == batchAll -- open)
+    // streaming emits gap-closed sessions PLUS event-time-timed-out ones:
+    // the final watermark is max event time − 1 h, and any open session
+    // whose end + gap is at or before it has been closed and its state
+    // removed. Only sessions still inside the horizon are absent.
+    val wmFinal = all.map(_.ts.getTime).max - 3600 * 1000L
+    val gapMs = 30 * 60 * 1000L
+    val lastPerUser = batchAll.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
+    val stillOpen = lastPerUser.filter(s => s._3 + gapMs > wmFinal)
+    assert(streamed == batchAll -- stillOpen)
+    // the fixture exercises BOTH absences and timeouts: user 8's last
+    // session stays open, user 7's last session timed out and emitted
+    assert(stillOpen.map(_._1) == Set(8L))
+    assert(streamed.exists(s => s._1 == 7L && s._4 == 1L &&
+      s._2 == (SessBase + 200) * 60000))
     assert(streamed.nonEmpty)
   }
 
   test("sessionize closes sessions only across the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]
-    def ev(id: Long, minute: Long) = Event(id, new java.sql.Timestamp(minute * 60000), 7L, "click", 1.0)
+    def ev(id: Long, minute: Long) =
+      Event(id, new java.sql.Timestamp((SessBase + minute) * 60000), 7L, "click", 1.0)
     // session 1: minutes 0,10,20; gap > 30min; session 2: minutes 100,105
     source.addData(ev(1, 0), ev(2, 10), ev(3, 20))
     source.addData(ev(4, 100), ev(5, 105))
@@ -121,10 +138,12 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     val sessions = spark.table("sessions").as[UserSession].collect()
-    // only the first session is closed (second stays open in state)
+    // only the first session is closed; the second stays open in state
+    // (its end + gap is beyond the final watermark of maxTs − 1 h, so no
+    // event-time timeout fires for it)
     assert(sessions.length == 1)
     val s = sessions.head
     assert(s.n_events == 3 && s.total_value == 3.0)
-    assert(s.start.getTime == 0L && s.end.getTime == 20 * 60000)
+    assert(s.start.getTime == SessBase * 60000 && s.end.getTime == (SessBase + 20) * 60000)
   }
 }
