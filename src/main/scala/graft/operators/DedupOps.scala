@@ -167,29 +167,27 @@ object DedupOps {
       // One-pass default path. The posting stream carries each doc's
       // full set size alongside the shingle, so pair rows come out of
       // the combination explode ALREADY sized — no join back to a
-      // per-doc counts frame. That matters because every consumer of
-      // `sh` re-executes the regex shingling of the whole upstream
-      // (nothing is cached, see above): the sized stream cuts the
-      // upstream recomputes from 4 (post, dfreq, counts×2) to 2
-      // (stream, dfreq) and drops two joins from the plan. dfreq stays
-      // a separate partial+final aggregate rather than a count-over-
-      // window: a window by shingle would shuffle EVERY posting of a
-      // hot shingle to one task (exactly the skew the df cap exists to
-      // kill), while the aggregate merges per-task partial counts.
+      // per-doc counts frame. The df cap is enforced INSIDE the
+      // collection (functions.BoundedCollect): a group past the cap
+      // would be discarded by the df filter anyway, so the aggregate
+      // keeps ≤ cap+1 postings per shingle and finishes overflowed
+      // groups as null. One by-shingle shuffle total — the classic
+      // dfreq-aggregate + join-back plan costs a second shuffle and a
+      // second pass over the (uncached) shingling upstream — and
+      // per-group state is capped at every stage, so a stop-shingle in
+      // millions of docs ships ≤ cap+1 rows per map task. The
+      // PropertySpec path-equivalence tests pin this against the
+      // dfreq-join formulation the prefix branch still uses.
       val postN = sh.select(
-        $"doc_id", size($"shingles").as("n_sh"), explode($"shingles").as("s"))
-      val dfreq = postN.groupBy($"s").agg(count(lit(1)).as("df"))
-      val rare = postN.join(dfreq.filter($"df" <= dfCap), "s")
-      // posting lists are bounded by the cap (df ≤ dfCap ⇒ ≤ dfCap ids
-      // per shingle), so pairs come from a bounded combination explode:
-      // one by-shingle shuffle + two narrow Generates. Measured ~2.5×
-      // faster than the postings self-join at sf0.1, and the shuffle
-      // carries one row per shingle instead of one per posting twice.
-      // The sorted struct list keeps doc_a < doc_b by construction
-      // (struct ordering compares doc_id first).
-      val pairs = rare
+        $"doc_id", size($"shingles").cast("long").as("n_sh"),
+        explode($"shingles").as("s"))
+      // position order downstream is doc_id order (finish sorts), so
+      // i < j keeps doc_a < doc_b by construction
+      val pairs = postN
         .groupBy($"s")
-        .agg(sort_array(collect_list(struct($"doc_id", $"n_sh"))).as("ds"))
+        .agg(graft.functions.BoundedCollect
+          .boundedPostings($"doc_id", $"n_sh", dfCap).as("ds"))
+        .filter($"ds".isNotNull)
         .select(posexplode($"ds").as(Seq("i", "a")), $"ds")
         .select($"i", $"a", posexplode($"ds").as(Seq("j", "b")))
         .filter($"i" < $"j")
