@@ -134,4 +134,52 @@ class PropertySpec extends AnyFunSuite {
       assert(out(id) == want, s"left $id key $k ts $ts")
     }
   }
+
+  test("cents recovers the integer cent count of any 2-decimal money value") {
+    // random cent counts (incl. negatives and large magnitudes) rendered
+    // as doubles: the round(x*100) fold must invert exactly — this is
+    // the primitive every money aggregate stands on
+    val centGen = Gen.oneOf(
+      Gen.chooseNum(-100000000L, 100000000L),
+      Gen.chooseNum(-10000000000000L, 10000000000000L))
+    val centsIn = sample(centGen, 500, seed = 41L) ++
+      Seq(0L, 1L, -1L, 5L, -5L, 999999999999999L)
+    val out = centsIn.map(c => (c, c / 100.0)).toDF("want", "money")
+      .select($"want", graft.operators.Relational.cents($"money").as("got"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (want, got) => assert(got == want, s"cents($want/100)") }
+  }
+
+  test("WordTrigrams equals the naive sliding construction on random corpora") {
+    val tokGen = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.oneOf("it's", "a", "x.y", "(z)", "42!")))
+      .map(_.take(12))
+    val texts = sample(tokGen, 300, seed = 43L).map(_.mkString(" "))
+    val out = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"id", graft.plans.TextExpressions.wordTrigrams($"text").as("tri"))
+      .as[(Long, Seq[String])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ", -1).toSeq
+      val want = if (toks.size < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      assert(out(i.toLong) == want, s"text '$t'")
+    }
+  }
+
+  test("dedupFirstInWindow matches the per-(key,bucket) earliest-row model") {
+    val rowGen = for {
+      user <- Gen.chooseNum(1L, 4L)
+      sec <- Gen.chooseNum(0L, 2000L)
+    } yield (user, sec)
+    val rows = sample(rowGen, 400, seed = 47L).zipWithIndex
+      .map { case ((u, s), i) => (i.toLong, u, new java.sql.Timestamp(s * 1000)) }
+    val kept = operators.TemporalOps.dedupFirstInWindow(
+        rows.toDF("event_id", "user_id", "ts"),
+        Seq("user_id"), "ts", "event_id", windowSec = 300)
+      .select($"event_id").as[Long].collect().toSet
+    val want = rows.groupBy(r => (r._2, r._3.getTime / 1000 / 300)).values
+      .map(g => g.minBy(r => (r._3.getTime, r._1))._1).toSet
+    assert(kept == want)
+  }
 }
