@@ -56,4 +56,28 @@ class DelimitedTextSpec extends AnyFunSuite {
     assert(bad.map(_.getAs[String](DelimitedText.CorruptColumn)).toSeq ==
       Seq("oops,b,not_a_number"))
   }
+
+  test("format conversion roundtrips parquet -> orc -> csv -> parquet exactly") {
+    import graft.sources.Convert
+    val base = TestSpark.scratch("convert")
+    val src = Tables(spark, TestSpark.sf).orders
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    src.write.mode("overwrite").parquet(s"$base/p0")
+    Convert.convert(spark, s"$base/p0", "parquet", s"$base/orc", "orc")
+    Convert.convert(spark, s"$base/orc", "orc", s"$base/csv", "csv",
+      repartitionTo = Some(2))
+    // csv re-ingestion takes the enforced schema back
+    Convert.convert(spark, s"$base/csv", "csv", s"$base/p1", "parquet",
+      schema = Some(src.schema))
+    val back = spark.read.parquet(s"$base/p1")
+    assert(back.schema == src.schema)
+    val a = src.orderBy("o_orderkey").collect().toSeq
+    val b = back.orderBy("o_orderkey").collect().toSeq
+    assert(a == b)
+    // text sources without a schema are refused, not inferred
+    val err = intercept[IllegalArgumentException] {
+      Convert.read(spark, s"$base/csv", "csv")
+    }
+    assert(err.getMessage.contains("enforced schema"))
+  }
 }
