@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every registered query at the env-selected scale
-  * factor, one JSON line to stdout.
+  * factor, one JSON line to stdout. Each query runs median-of-3 (override
+  * via SPARK_GRAFT_BENCH_REPS) so host variance cannot masquerade as a
+  * regression.
   *
   * Each query is forced through a `noop`-format write — unlike `count()`,
   * that materializes every output column (no Catalyst shortcut where the
@@ -34,14 +36,25 @@ object Bench {
     }
     try SparkEntry.queries.head._2(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // median-of-N per query: a single-shot timing cannot distinguish host
+    // variance from a real regression (the r3 q4/q50 "regressions" were
+    // exactly this), so each query runs N times and reports its median;
+    // the headline total is the sum of medians.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // a crashing query must NOT score as a fast pass: record -1 and the
       // error, and exit nonzero after reporting
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case t: Throwable => Some(t.toString) }
-      val secs = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case t: Throwable => Some(t.toString) }
+        (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+      }
+      val err = runs.collectFirst { case (_, Some(m)) => m }
+      val secs =
+        if (err.isDefined) -1.0
+        else runs.map(_._1).sorted.apply(reps / 2)
       (name, secs, err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
