@@ -35,10 +35,10 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * Postgres over JDBC (/root/reference/spark_jobs/transform_weather.py:166-174).
     * The parquet warehouse is this engine's serving tier by design; this
     * thin adapter completes the migration story for deployments keeping
-    * a relational serving copy. NOT exercisable in this offline build
-    * (no JDBC driver on the classpath) — the call shape is the contract:
-    * same overwrite-per-run semantics as the reference's
-    * `.mode("overwrite").jdbc(...)`.
+    * a relational serving copy — same overwrite-per-run semantics as the
+    * reference's `.mode("overwrite").jdbc(...)`. Exercised offline against
+    * embedded Derby (ExternalIoSpec), mirroring the reference's
+    * live-Postgres CI job (.github/workflows/ci.yml:105-134).
     */
   def overwriteJdbc(table: String, df: DataFrame, url: String,
       props: java.util.Properties = new java.util.Properties()): Unit =

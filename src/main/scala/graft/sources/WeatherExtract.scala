@@ -35,8 +35,9 @@ object WeatherExtract {
   type Fetcher = City => String
 
   /** Production fetcher: the reference's exact query shape
-    * (daily metrics list, timezone pin, past_days=7). Untestable offline;
-    * kept driver-side and injectable.
+    * (daily metrics list, timezone pin, past_days=7). Kept driver-side and
+    * injectable; exercised against an in-process HTTP stub in
+    * ExternalIoSpec (request shape, happy path, non-2xx propagation).
     */
   def httpFetcher(baseUrl: String = "https://api.open-meteo.com/v1/forecast",
       pastDays: Int = 7, timeoutSec: Long = 30): Fetcher = {
