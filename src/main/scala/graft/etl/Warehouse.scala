@@ -196,6 +196,10 @@ final case class Warehouse(spark: SparkSession, root: String) {
           .withColumn("__base", lit(base))
       }
     if (!fresh.isEmpty) {
+      // unpartitioned window is deliberate: input is the DISTINCT city
+      // list (the reference's 5 configured cities — scale-invariant, not
+      // data-proportional), and surrogate ids must be globally dense. The
+      // WindowExec single-partition warning is expected and harmless here.
       val w = Window.orderBy(col("city_name"))
       val rows = fresh
         .withColumn("city_id", col("__base") + row_number().over(w).cast("long"))

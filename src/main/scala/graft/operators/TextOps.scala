@@ -22,8 +22,7 @@ object TextOps {
     * DuckDB): (len(s) - len(replace(s, needle, ''))) / len(needle).
     */
   private def occurrences(c: Column, needle: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(needle), ""))) /
-      needle.length).cast("long")
+    ((length(c) - length(replace(c, lit(needle)))) / needle.length).cast("long")
 
   private def occurrencesSql(expr: String, needle: String): String = {
     val lit = needle.replace("'", "''")

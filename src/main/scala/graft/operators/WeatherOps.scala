@@ -191,6 +191,9 @@ object WeatherOps {
   def q43WeatherStar(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = enriched(spark)
+    // unpartitioned window is deliberate: input is the distinct city list
+    // (single-digit rows, scale-invariant) and the surrogate key must be
+    // globally dense — the WindowExec warning is expected, not a hazard
     val dimCity = e.select($"city_name", $"timezone").distinct()
       .withColumn("city_id", row_number().over(Window.orderBy($"city_name")).cast("long"))
     val dimCode = Schemas.weatherCodeSeed.toDF("weather_code", "description", "category")
