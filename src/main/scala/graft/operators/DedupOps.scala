@@ -261,9 +261,9 @@ object DedupOps {
       |FROM j WHERE jaccard_raw >= 0.2
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  private val NumHashes = 16
-  private val Bands = 4
-  private val RowsPerBand = NumHashes / Bands
+  private[graft] val NumHashes = 16
+  private[graft] val Bands = 4
+  private[graft] val RowsPerBand = NumHashes / Bands
 
   /** Portable MinHash family: ONE md5 per shingle → 31-bit base hash h
     * (first 8 hex digits mod 2³¹−1), then 16 affine transforms
@@ -271,11 +271,81 @@ object DedupOps {
     * exactly (products stay < 2⁶² so int64 never overflows), at one
     * cryptographic hash per posting instead of sixteen.
     */
-  private val P31 = 2147483647L // 2^31 - 1 (prime)
-  private val hashA: Seq[Long] =
+  private[graft] val P31 = 2147483647L // 2^31 - 1 (prime)
+  private[graft] val hashA: Seq[Long] =
     (0 until NumHashes).map(i => (2654435761L * (i + 1)) % P31)
-  private val hashB: Seq[Long] =
+  private[graft] val hashB: Seq[Long] =
     (0 until NumHashes).map(i => (2246822519L * (i + 3) + 3266489917L) % P31)
+
+  /** Band key over one band's row-min columns — shared by the aggregated
+    * (minhashLsh) and row-local (bandedDocs) constructions so the two can
+    * never drift.
+    */
+  private[graft] def bandKey(portable: Boolean)(cols: Seq[Column]): Column =
+    if (portable) md5(concat_ws("|", cols: _*)) else xxhash64(cols: _*)
+
+  /** Row-local banded MinHash signatures: one output row per (doc, band)
+    * with the band's bucket key — the SAME hash families, lane math and
+    * band construction as minhashLsh, but expressed entirely as per-row
+    * array operations (transform/array_min — no aggregation, no shuffle).
+    * That makes it legal in a Structured Streaming plan, where the
+    * aggregated groupBy-min construction would itself be a stateful
+    * operator. `carry` columns (e.g. the event-time column) ride along.
+    *
+    * The portable family hoists the one-md5-per-shingle base hash into a
+    * materialized column so the 16 affine lanes don't recompute the
+    * cryptographic hash; the engine family (xxhash64, the scale path)
+    * hashes per (lane, shingle) directly — still row-local and cheap.
+    */
+  private[graft] def bandedDocs(docs: DataFrame, carry: Seq[String],
+      portable: Boolean): DataFrame = {
+    val base = docs
+      .filter(wordsGe3(col("text")))
+      .withColumn("__sh",
+        array_distinct(graft.plans.TextExpressions.wordTrigrams(col("text"))))
+    val hoisted =
+      if (portable) base.withColumn("__hs",
+        transform(col("__sh"),
+          s => conv(substring(md5(s), 1, 8), 16, 10).cast("long") % P31))
+      else base
+    def lane(i: Int): Column =
+      if (portable)
+        array_min(transform(col("__hs"), h => (lit(hashA(i)) * h + lit(hashB(i))) % P31))
+      else
+        array_min(transform(col("__sh"), s => xxhash64(lit(i), s)))
+    val keep = col("doc_id") +: carry.map(col)
+    val sigs = hoisted.select(
+      keep ++ (0 until NumHashes).map(i => lane(i).as(s"mh$i")): _*)
+    sigs.select(
+      keep :+ explode(array((0 until Bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          bandKey(portable)(
+            (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"mh$i"))).as("h"))
+      }: _*)).as("bh"): _*)
+      .select(keep :+ col("bh.band").as("band") :+ col("bh.h").as("h"): _*)
+  }
+
+  /** Batch twin of EventsStreaming.lshDedupWithinWatermark: a document
+    * survives iff it is the (ts, doc_id)-first occupant of EVERY one of
+    * its band buckets — the same any-band-collision-suppresses semantics
+    * the streaming dropDuplicatesWithinWatermark composition applies
+    * (with first-arrival replaced by first-event-time, which coincide
+    * when the stream is fed in event-time order). StreamingSpec pins the
+    * two bit-for-bit on closed windows.
+    */
+  private[graft] def lshDedupKeepFirst(docs: DataFrame, portable: Boolean): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"band", $"h")
+    bandedDocs(docs, Seq("ts"), portable)
+      .withColumn("__first", min(struct($"ts", $"doc_id")).over(w))
+      .groupBy($"doc_id", $"ts")
+      .agg(
+        count(lit(1)).as("n_bands"),
+        sum(when(struct($"ts", $"doc_id") === $"__first", 1L).otherwise(0L)).as("n_won"))
+      .filter($"n_won" === $"n_bands")
+      .select($"doc_id", $"ts")
+  }
 
   /** MinHash + LSH near-dup: 16 hashes, 4 bands × 4 rows. Candidates =
     * docs sharing any band signature (equi-join on (band, hash) — the LSH
@@ -318,8 +388,7 @@ object DedupOps {
     def rowHash(i: Int): Column =
       if (portable) (lit(hashA(i)) * $"h" + lit(hashB(i))) % P31
       else xxhash64(lit(i), $"s")
-    def bandHash(cols: Seq[Column]): Column =
-      if (portable) md5(concat_ws("|", cols: _*)) else xxhash64(cols: _*)
+    def bandHash(cols: Seq[Column]): Column = bandKey(portable)(cols)
     val mins = (0 until NumHashes).map(i => min(rowHash(i)).as(s"mh$i"))
     val sigs = postH.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
     val buckets = sigs.select(

@@ -75,6 +75,34 @@ object EventsStreaming {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming LSH near-dup suppression over a document stream
+    * (doc_id, ts, text): a document passes only if EVERY one of its
+    * MinHash band buckets is first-seen inside the watermark horizon —
+    * i.e. any band collision with an earlier document suppresses it, the
+    * same any-band candidate rule as the batch LSH (DedupOps.minhashLsh).
+    *
+    * Composition of two watermark-bounded stateful operators, both with
+    * O(horizon)-bounded state:
+    *   1. row-local banded signatures (DedupOps.bandedDocs — array HOFs,
+    *      no aggregation) → dropDuplicatesWithinWatermark on (band, h):
+    *      state is the band-bucket keys seen inside the horizon;
+    *   2. a tumbling-window count per doc: a doc whose {Bands} band rows
+    *      all survived step 1 won every bucket → emit once the window
+    *      closes.
+    *
+    * Batch twin: DedupOps.lshDedupKeepFirst (first-event-time occupant of
+    * every bucket) — StreamingSpec pins the two on closed windows.
+    */
+  def lshDedupWithinWatermark(docs: DataFrame, watermarkDelay: String = "1 hour",
+      windowSize: String = "1 hour", portable: Boolean = false): DataFrame =
+    graft.operators.DedupOps.bandedDocs(docs, carry = Seq("ts"), portable = portable)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("band", "h")
+      .groupBy(window(col("ts"), windowSize), col("doc_id"))
+      .agg(count(lit(1)).as("n_won"))
+      .filter(col("n_won") === lit(graft.operators.DedupOps.Bands.toLong))
+      .select(col("doc_id"), col("window.start").as("window_start"))
+
   /** Stream-stream interval join: each click joined to same-user signups
     * in the preceding hour. Both sides are watermarked and the join
     * condition bounds event-time distance, so Spark can expire state on

@@ -124,6 +124,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming LSH near-dup suppression matches the batch keep-first twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def doc(id: Long, minute: Long, text: String) =
+      (id, new java.sql.Timestamp((SessBase + minute) * 60000), text)
+    val a = "the quick brown fox jumps over the lazy dog near the old river bank"
+    val b = "completely different words entirely unrelated to anything seen before today"
+    val c = "a third corpus entry sharing no trigrams with its two predecessors at all"
+    val main = Seq(
+      doc(1, 0, a),
+      doc(2, 1, a), // exact dup of 1 → every band collides → suppressed
+      doc(3, 2, b),
+      doc(4, 3, a), // dup again → suppressed
+      doc(5, 4, c))
+    // far-future doc pushes the final watermark past main's window so the
+    // windowed count emits; its own window never closes (absent by design)
+    val flush = doc(99, 60 * 24 * 20, "late watermark flush document with enough words")
+    source.addData(main: _*)
+    source.addData(flush)
+    val streamed = EventsStreaming.runToMemory(
+      EventsStreaming.lshDedupWithinWatermark(source.toDF().toDF("doc_id", "ts", "text")),
+      "lsh_dedup_stream")
+      .select($"doc_id").as[Long].collect().toSet
+    val cutoff = flush._2.getTime - 2 * 3600 * 1000L
+    val batch = operators.DedupOps.lshDedupKeepFirst(
+      (main :+ flush).toDF("doc_id", "ts", "text"), portable = false)
+      .filter($"ts" < new java.sql.Timestamp(cutoff))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set(1L, 3L, 5L)) // dups suppressed, uniques kept
+  }
+
   test("sessionize closes sessions only across the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]
