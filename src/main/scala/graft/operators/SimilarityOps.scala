@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorOps
@@ -89,10 +89,10 @@ object SimilarityOps {
     * are read-only). The readable slug alone can collide ('/a b' vs
     * '/a_b'), so the FULL path is also md5-hashed into the name.
     */
-  private def indexPath(spark: SparkSession, dir: String): String = {
+  private def indexPath(spark: SparkSession, dir: String, name: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    scratchRoot(spark) + "/ivf-index/" +
+    scratchRoot(spark) + s"/$name/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
   }
 
@@ -120,10 +120,11 @@ object SimilarityOps {
     * rename wins (the loser discards its temp and serves the winner's
     * equally-fresh artifact).
     */
-  private def ivfIndex(spark: SparkSession, dir: String): DataFrame = {
+  private def persistedIndex(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
-    val idx = new Path(indexPath(spark, dir))
+    val idx = new Path(indexPath(spark, dir, name))
     val src = new Path(s"$dir/embeddings.parquet")
     // each path through ITS OWN filesystem — the local index FS cannot
     // stat an hdfs://|s3:// source dir ("Wrong FS").
@@ -137,8 +138,7 @@ object SimilarityOps {
     if (stale) {
       val nonce = java.util.UUID.randomUUID().toString.take(8)
       val tmp = new Path(idx.toString + ".tmp-" + nonce)
-      buildIvfIndex(Tables(spark, dir).embeddings)
-        .write.mode("overwrite").parquet(tmp.toString)
+      build.write.mode("overwrite").parquet(tmp.toString)
       // same publish order as Warehouse.compact: move the old artifact
       // ASIDE (rename, not delete) before renaming the fresh one in, so
       // a crash in the window leaves a recoverable artifact and the
@@ -160,6 +160,10 @@ object SimilarityOps {
     }
     spark.read.parquet(idx.toString)
   }
+
+  private def ivfIndex(spark: SparkSession, dir: String): DataFrame =
+    persistedIndex(spark, dir, "ivf-index")(
+      buildIvfIndex(Tables(spark, dir).embeddings))
 
   /** IVF-style ANN lookup: probe the 2 cells whose PRECOMPUTED centroids
     * are nearest the query, exact cosine within them, top-10. The lookup
@@ -271,11 +275,170 @@ object SimilarityOps {
       |FROM s WHERE dot / (na * nb) >= 0.92
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Product quantization geometry: the 64-dim space splits into M=8
+    * contiguous 8-dim subspaces; each subspace gets K=|labels| codewords
+    * (the label cells' per-subspace means — the same deterministic
+    * label-as-cluster assignment the IVF coarse index uses, so the whole
+    * IVF-PQ stack is oracle-reproducible with no iterative k-means
+    * nondeterminism).
+    */
+  private val PqM = 8
+  private val PqSubLen = 8
+
+  /** (vec_id, label, m, sub): each vector split into its M subvectors —
+    * row-local slices, no shuffle.
+    */
+  private def subvectors(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select($"vec_id", $"label", explode(array((0 until PqM).map { m =>
+        struct(lit(m).as("m"), slice($"embedding", m * PqSubLen + 1, PqSubLen).as("sub"))
+      }: _*)).as("ms"))
+      .select($"vec_id", $"label", $"ms.m".as("m"), $"ms.sub".as("sub"))
+  }
+
+  /** PQ codebook build (the OFFLINE half, persisted like the IVF index):
+    * codeword (label, m) = the label cell's mean subvector in subspace m,
+    * stored float like the vectors themselves. M×K rows total — broadcast
+    * size regardless of corpus scale.
+    */
+  def buildPqCodebook(embeddings: DataFrame): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    subvectors(embeddings)
+      .select($"label", $"m", posexplode($"sub").as(Seq("pos", "v")))
+      .groupBy($"label", $"m", $"pos").agg(avg($"v".cast("double")).as("c"))
+      .groupBy($"label", $"m")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))), s => s("c").cast("float")).as("cb"))
+  }
+
+  private def pqIndex(spark: SparkSession, dir: String): DataFrame =
+    persistedIndex(spark, dir, "pq-index")(
+      buildPqCodebook(Tables(spark, dir).embeddings))
+
+  /** Sequential-fold squared L2 distance between two float subvectors,
+    * accumulated in double strictly left-to-right — the identical
+    * operation order DuckDB's sum-over-unnest applies, so the distances
+    * (and therefore the argmin code assignment) are bit-identical across
+    * engines.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** IVF-PQ's fine half — ANN lookup by product quantization with ADC
+    * (asymmetric distance computation) scoring, exact re-rank on the
+    * retrieved set:
+    *
+    *   1. encode every vector as M codeword ids: per subspace, the
+    *      nearest codeword by squared L2 (codebook broadcast; tie-break
+    *      smallest label — min over a (dist, label) struct);
+    *   2. score candidates against the UNQUANTIZED query on the
+    *      reconstructed vector: dot(q, v̂) = Σ_m dot(q_m, codeword_m) —
+    *      one sequential 64-dim dot per vector, the exact summation
+    *      shape the q24/q25 oracles already hash-match;
+    *   3. take the ADC top-10 and re-rank with exact cosine (the
+    *      standard retrieve-approximately/re-rank-exactly serving
+    *      pattern).
+    *
+    * At scale: the codebook is M×K rows (broadcast), encoding is a
+    * linear scan plus one partial-aggregated shuffle keyed by vec_id,
+    * and lookup cost is one 64-float dot per encoded vector — 16 bytes
+    * of code state per vector in a real deployment.
+    */
+  def q59AnnPq(spark: SparkSession, dir: String): DataFrame =
+    annPq(Tables(spark, dir).embeddings, pqIndex(spark, dir), queryId = 0, k = 10)
+
+  private[graft] def annPq(embeddings: DataFrame, cb: DataFrame,
+      queryId: Long, k: Int): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val e = embeddings.select($"vec_id", $"label", $"embedding",
+      VectorOps.l2Norm($"embedding").as("nrm"))
+    val subs = subvectors(embeddings)
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id", $"m", $"sub")
+    val codes = subs.join(broadcast(cb.withColumnRenamed("label", "c")), Seq("m"))
+      .select($"vec_id", $"m", $"c", sqDist($"sub", $"cb").as("dist"))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"dist", $"c")).as("best"))
+      .select($"vec_id", $"m", $"best.c".as("code"))
+    val recon = codes.as("x")
+      .join(broadcast(cb.as("k")), $"x.m" === $"k.m" && $"x.code" === $"k.label")
+      .groupBy($"x.vec_id".as("vec_id"))
+      .agg(flatten(transform(array_sort(collect_list(struct($"x.m".as("m"), $"k.cb".as("cb")))),
+        s => s("cb"))).as("recon"))
+    val q = e.filter($"vec_id" === queryId)
+      .select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    // ADC-cosine: normalize by the RECONSTRUCTED vector's norm so the
+    // approximate ranking estimates the same cosine the exact re-rank
+    // (and the q24 baseline) uses — raw dot would let norm variation,
+    // which quantization preserves poorly, dominate the ranking
+    val top10 = recon.crossJoin(broadcast(q))
+      .select($"vec_id",
+        (VectorOps.dot($"recon", $"q_emb") / (VectorOps.l2Norm($"recon") * $"q_nrm")).as("adc_raw"))
+      .orderBy($"adc_raw".desc, $"vec_id")
+      .limit(k)
+    broadcast(top10)
+      .join(e.select($"vec_id", $"embedding", $"nrm"), "vec_id")
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"adc_raw",
+        (VectorOps.dot($"embedding", $"q_emb") / ($"nrm" * $"q_nrm")).as("cos_raw"))
+      .orderBy($"adc_raw".desc, $"vec_id")
+      .select($"vec_id", round($"adc_raw", 4).as("adc_cos"), round($"cos_raw", 4).as("cos_sim"))
+  }
+
+  /** DuckDB twin of q59: same codebook (double means cast to float),
+    * same sequential squared-L2 assignment, same reconstructed-dot ADC
+    * scoring, same exact re-rank — the full PQ pipeline hash-checks.
+    */
+  val q59Sql: String =
+    s"""WITH ms AS (SELECT unnest(range($PqM)) AS m),
+       |sub AS (SELECT vec_id, label, m,
+       |               list_slice(embedding, m * $PqSubLen + 1, m * $PqSubLen + $PqSubLen) AS sub
+       |        FROM embeddings CROSS JOIN ms),
+       |su AS (SELECT vec_id, label, m, unnest(range($PqSubLen)) AS pos,
+       |              CAST(unnest(sub) AS DOUBLE) AS v FROM sub),
+       |cbd AS (SELECT label AS c, m, pos, CAST(avg(v) AS FLOAT) AS cv
+       |        FROM su GROUP BY label, m, pos),
+       |d AS (SELECT s.vec_id, s.m, cb.c,
+       |             sum((s.v - CAST(cb.cv AS DOUBLE)) * (s.v - CAST(cb.cv AS DOUBLE))) AS dist
+       |      FROM su s JOIN cbd cb ON s.m = cb.m AND s.pos = cb.pos
+       |      WHERE s.vec_id <> 0
+       |      GROUP BY s.vec_id, s.m, cb.c),
+       |codes AS (SELECT vec_id, m, c AS code FROM (
+       |    SELECT vec_id, m, c,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+       |    FROM d) WHERE rn = 1),
+       |cba AS (SELECT c, m, list(cv ORDER BY pos) AS cb FROM cbd GROUP BY c, m),
+       |recon AS (SELECT vec_id, flatten(list(cb ORDER BY codes.m)) AS recon
+       |          FROM codes JOIN cba ON codes.m = cba.m AND codes.code = cba.c
+       |          GROUP BY vec_id),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |ru AS (SELECT vec_id, CAST(unnest(recon) AS DOUBLE) AS x,
+       |              CAST(unnest(qe) AS DOUBLE) AS y
+       |       FROM recon CROSS JOIN q),
+       |adc AS (SELECT vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS adc_raw
+       |        FROM ru GROUP BY vec_id),
+       |top AS (SELECT vec_id, adc_raw FROM adc ORDER BY adc_raw DESC, vec_id LIMIT 10),
+       |eu AS (SELECT e.vec_id, t.adc_raw,
+       |              CAST(unnest(e.embedding) AS DOUBLE) AS x,
+       |              CAST(unnest(q.qe) AS DOUBLE) AS y
+       |       FROM embeddings e JOIN top t ON e.vec_id = t.vec_id CROSS JOIN q),
+       |ex AS (SELECT vec_id, adc_raw, sum(x * y) AS dot,
+       |              sqrt(sum(x * x)) AS ne, sqrt(sum(y * y)) AS nq
+       |       FROM eu GROUP BY vec_id, adc_raw)
+       |SELECT vec_id, round(adc_raw, 4) AS adc_cos, round(dot / (ne * nq), 4) AS cos_sim
+       |FROM ex ORDER BY adc_raw DESC, vec_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q23_embed_neardup", q23EmbedNearDup, Some(q23Sql), Seq("X-dedup", "X-sim"),
       "embedding near-dup: blocked pairwise cosine"),
     Q("q24_ann_brute", q24AnnBrute, Some(q24Sql), Seq("X-sim"),
       "brute-force cosine top-k (exact baseline)"),
     Q("q25_ann_ivf", q25AnnIvf, Some(q25Sql), Seq("X-sim"),
-      "IVF-style ANN: precomputed index, probe nearest cells only"))
+      "IVF-style ANN: precomputed index, probe nearest cells only"),
+    Q("q59_ann_pq", q59AnnPq, Some(q59Sql), Seq("X-sim"),
+      "product-quantization ANN: PQ codes + ADC scoring + exact re-rank"))
 }

@@ -184,6 +184,69 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(1L) == ((1L, 3L, 1.0 / 3)))
   }
 
+  test("PQ codebook is M x K codewords of subspace length, built offline") {
+    import spark.implicits._
+    val e = Tables(spark, TestSpark.sf).embeddings
+    val k = e.select($"label").distinct().count()
+    val cb = SimilarityOps.buildPqCodebook(e)
+    assert(cb.count() === 8 * k) // M=8 subspaces x one codeword per label cell
+    assert(cb.select(size($"cb")).distinct().as[Int].collect().toSeq === Seq(8))
+  }
+
+  test("PQ ADC retrieval finds the planted cluster exactly on structured data") {
+    import spark.implicits._
+    // 3 well-separated clusters of 12: center j concentrates mass on
+    // dims [j*21, j*21+21) with a small deterministic per-member wobble
+    val vecs = for (j <- 0 until 3; i <- 0 until 12) yield {
+      val emb = Array.tabulate(64) { d =>
+        val base = if (d >= j * 21 && d < j * 21 + 21) 1.0f else 0.0f
+        base + 0.05f * math.sin(1.0 + i * 64 + d).toFloat
+      }
+      ((j * 12 + i).toLong, j, emb)
+    }
+    val e = vecs.toDF("vec_id", "label", "embedding")
+    val top = SimilarityOps.annPq(e, SimilarityOps.buildPqCodebook(e), queryId = 0L, k = 11)
+      .select($"vec_id").as[Long].collect().toSet
+    // the query's 11 fellow cluster-0 members, nothing cross-cluster
+    assert(top === (1L to 11L).toSet)
+  }
+
+  test("PQ top-10 carries real signal on the unclustered fixture corpus") {
+    import spark.implicits._
+    // the fixture's labels are not cosine clusters (exact neighbours of
+    // vec 0 span ~8 labels at cosine ~0.3), so exact-top-10 recall is
+    // not a meaningful bar; what must hold is that ADC ranking finds
+    // genuinely-above-baseline neighbours: corpus-wide cosine against
+    // the query averages ~0, the PQ picks must average well above it
+    val picks = SimilarityOps.q59AnnPq(spark, TestSpark.sf)
+    assert(picks.count() === 10)
+    val meanCos = picks.agg(avg($"cos_sim")).as[Double].head()
+    assert(meanCos >= 0.1, s"mean true cosine of PQ picks $meanCos")
+  }
+
+  test("row-local banded signatures match an independent JVM reference computation") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val got = DedupOps.bandedDocs(
+      Seq((7L, text)).toDF("doc_id", "text"), carry = Nil, portable = true)
+      .select($"band", $"h").as[(Int, String)].collect().toMap
+    // reference computation in plain Scala: trigram shingles → md5-folded
+    // 31-bit base hash → 16 affine min-lanes → md5 band keys
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shingles = text.split(" ").sliding(3).map(_.mkString(" ")).toSeq.distinct
+    val hs = shingles.map(s => java.lang.Long.parseLong(md5hex(s).take(8), 16) % DedupOps.P31)
+    val lanes = (0 until DedupOps.NumHashes).map(i =>
+      hs.map(h => (DedupOps.hashA(i) * h + DedupOps.hashB(i)) % DedupOps.P31).min)
+    val expected = (0 until DedupOps.Bands).map { b =>
+      b -> md5hex(
+        (b * DedupOps.RowsPerBand until (b + 1) * DedupOps.RowsPerBand)
+          .map(lanes).mkString("|"))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("regex shingling equals split-on-space trigrams on punctuation-heavy text") {
     // the old \b-anchored lookahead invented shingles mid-token on
     // hyphens/apostrophes and dropped them on leading punctuation
