@@ -285,6 +285,16 @@ object SimilarityOps {
   private val PqM = 8
   private val PqSubLen = 8
 
+  /** Codebook size cap. Real PQ trains a FIXED number of codewords per
+    * subspace (classically 256) on a corpus sample; cost of encoding is
+    * O(N·M·K) and must stay linear in N. Deriving codewords from label
+    * cells without a cap would let K grow with the corpus (the sf1
+    * scale-up exposed exactly that: 36× runtime for 10× data) — so the
+    * codebook takes the K smallest label cells, a deterministic stand-in
+    * for sampled k-means training.
+    */
+  private val PqK = 16
+
   /** (vec_id, label, m, sub): each vector split into its M subvectors —
     * row-local slices, no shuffle.
     */
@@ -303,7 +313,8 @@ object SimilarityOps {
     */
   def buildPqCodebook(embeddings: DataFrame): DataFrame = {
     import embeddings.sparkSession.implicits._
-    subvectors(embeddings)
+    val trainCells = embeddings.select($"label").distinct().orderBy($"label").limit(PqK)
+    subvectors(embeddings.join(broadcast(trainCells), "label"))
       .select($"label", $"m", posexplode($"sub").as(Seq("pos", "v")))
       .groupBy($"label", $"m", $"pos").agg(avg($"v".cast("double")).as("c"))
       .groupBy($"label", $"m")
@@ -400,8 +411,10 @@ object SimilarityOps {
        |        FROM embeddings CROSS JOIN ms),
        |su AS (SELECT vec_id, label, m, unnest(range($PqSubLen)) AS pos,
        |              CAST(unnest(sub) AS DOUBLE) AS v FROM sub),
+       |train AS (SELECT DISTINCT label FROM embeddings ORDER BY label LIMIT $PqK),
        |cbd AS (SELECT label AS c, m, pos, CAST(avg(v) AS FLOAT) AS cv
-       |        FROM su GROUP BY label, m, pos),
+       |        FROM su WHERE label IN (SELECT label FROM train)
+       |        GROUP BY label, m, pos),
        |d AS (SELECT s.vec_id, s.m, cb.c,
        |             sum((s.v - CAST(cb.cv AS DOUBLE)) * (s.v - CAST(cb.cv AS DOUBLE))) AS dist
        |      FROM su s JOIN cbd cb ON s.m = cb.m AND s.pos = cb.pos

@@ -189,7 +189,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val e = Tables(spark, TestSpark.sf).embeddings
     val k = e.select($"label").distinct().count()
     val cb = SimilarityOps.buildPqCodebook(e)
-    assert(cb.count() === 8 * k) // M=8 subspaces x one codeword per label cell
+    assert(cb.count() === 8 * math.min(k, 16)) // M=8 subspaces x one codeword per trained cell (K capped at 16)
     assert(cb.select(size($"cb")).distinct().as[Int].collect().toSeq === Seq(8))
   }
 
