@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import graft.plans.FloatVectorExpressions.{dotF32, normSqF32}
+import graft.plans.FloatVectorExpressions.{dotF32, normSqF32, sqDistF32}
 
 /** Column-level vector math over `array<float>` embedding columns.
   *
@@ -24,6 +24,9 @@ object VectorOps {
 
   /** Σ xᵢ² (native codegen). */
   def normSq(x: Column): Column = normSqF32(x)
+
+  /** Σ (xᵢ−yᵢ)² (native codegen) — the PQ-encode distance kernel. */
+  def sqDist(x: Column, y: Column): Column = sqDistF32(x, y)
 
   /** ‖x‖₂ */
   def l2Norm(x: Column): Column = sqrt(normSqF32(x))

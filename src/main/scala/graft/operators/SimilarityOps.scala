@@ -232,8 +232,9 @@ object SimilarityOps {
     * the quantizer), and the pairwise join is O(block²) — a runaway
     * block would dominate the whole job. The operator pre-checks the
     * block histogram (a tiny agg) and refuses blocks over `maxBlock`,
-    * pointing oversized corpora at the LSH path (q21MinhashLsh) or a
-    * finer quantizer, instead of silently running a quadratic stage.
+    * pointing oversized corpora at the vector LSH path (srpDedup — no
+    * blocking, no quadratic stage) or a finer quantizer, instead of
+    * silently running a quadratic stage.
     */
   def q23EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
     embedNearDup(spark, dir)
@@ -248,7 +249,7 @@ object SimilarityOps {
       val r = oversized.head
       s"label block ${r.get(0)} holds ${r.get(1)} vectors (> $maxBlock): " +
         "blocked pairwise cosine is O(block^2) per block - route oversized " +
-        "blocks through the LSH path (q21MinhashLsh) or a finer quantizer"
+        "blocks through the vector LSH path (srpDedup / q60_srp_dedup) or a finer quantizer"
     })
     e.as("a").join(e.as("b"),
         $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
@@ -329,15 +330,12 @@ object SimilarityOps {
     * accumulated in double strictly left-to-right — the identical
     * operation order DuckDB's sum-over-unnest applies, so the distances
     * (and therefore the argmin code assignment) are bit-identical across
-    * engines.
+    * engines. Native codegen'd expression: this runs corpus×M×K times
+    * per encode pass, where the interpreted zip_with/aggregate fold it
+    * replaces (same bits, VectorOpsSpec-pinned) dominated the profile.
     */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0), (acc, d) => acc + d)
+    graft.plans.FloatVectorExpressions.sqDistF32(a, b)
 
   /** IVF-PQ's fine half — ANN lookup by product quantization with ADC
     * (asymmetric distance computation) scoring, exact re-rank on the
@@ -445,6 +443,115 @@ object SimilarityOps {
        |SELECT vec_id, round(adc_raw, 4) AS adc_cos, round(dot / (ne * nq), 4) AS cos_sim
        |FROM ex ORDER BY adc_raw DESC, vec_id""".stripMargin
 
+  /** Signed-random-projection LSH geometry: 64 hyperplanes → a 64-bit
+    * signature per vector, banded 4×16 bits. One 16-bit band key space is
+    * 65,536 buckets, so random collisions stay rare as the corpus grows;
+    * a pair at cosine ≥ 0.998 (a true duplicate) flips essentially no
+    * bits and collides in ≥1 band with probability ≈ 1. This is the
+    * GLOBAL scale path for embedding duplicate detection — no label
+    * blocking, no O(block²) — tuned for high precision (verify ≥ 0.99);
+    * q23 remains the looser 0.92-threshold blocked variant.
+    */
+  private val SrpH = 64
+  private val SrpBandBits = 16
+
+  /** Deterministic portable hyperplanes: component (h, d) folds the first
+    * 8 hex digits of md5("h|d") to a 31-bit integer, maps it to
+    * [−0.5, 0.5) and stores float — every step reproducible in the
+    * DuckDB oracle, so the ENTIRE signature pipeline hash-checks.
+    * Built once driver-side (64×64 hashes), broadcast to executors.
+    */
+  private[graft] def srpPlanes: Seq[(Int, Array[Float])] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fold(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+    val p31 = DedupOps.P31
+    (0 until SrpH).map { h =>
+      (h, Array.tabulate(64) { d =>
+        ((fold(s"$h|$d") % p31).toDouble / p31 - 0.5).toFloat
+      })
+    }
+  }
+
+  /** Global embedding duplicate detection by SRP-LSH: signature bit h is
+    * the sign of the vector's projection on hyperplane h (one native
+    * 64-dim dot each), band keys assemble 16 bits into an integer,
+    * candidates are the banded self-join, and every candidate is
+    * verified with exact cosine ≥ `threshold`. At scale: the plane set
+    * broadcasts (64 rows), signatures are one narrow aggregate per
+    * vector, and the self-join is an equi-join on (band, key) — the
+    * standard LSH shuffle, never all-pairs.
+    */
+  private[graft] def srpDedup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val spark = embeddings.sparkSession
+    val e = embeddings.select($"vec_id", $"embedding",
+      VectorOps.l2Norm($"embedding").as("nrm"))
+    val planes = spark.createDataFrame(srpPlanes.map { case (h, r) => (h, r.toSeq) })
+      .toDF("h", "r")
+    val bits = embeddings.crossJoin(broadcast(planes))
+      .select($"vec_id", $"h",
+        when(VectorOps.dot($"embedding", $"r") >= 0, 1).otherwise(0).as("bit"))
+    val buckets = bits
+      .groupBy($"vec_id", expr(s"h div $SrpBandBits").as("band"))
+      .agg(sum(expr(s"shiftleft(bit, h % $SrpBandBits)")).cast("long").as("k"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        $"a.band" === $"b.band" && $"a.k" === $"b.k" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b")).distinct()
+    cand
+      .join(e.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"nrm".as("na")), "vec_a")
+      .join(e.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"nrm".as("nb")), "vec_b")
+      .select($"vec_a", $"vec_b",
+        (VectorOps.dot($"ea", $"eb") / ($"na" * $"nb")).as("cos_raw"))
+      .filter($"cos_raw" >= threshold)
+      .select($"vec_a", $"vec_b", round($"cos_raw", 4).as("cos_sim"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  def q60SrpDedup(spark: SparkSession, dir: String): DataFrame =
+    srpDedup(Tables(spark, dir).embeddings, threshold = 0.99)
+
+  /** DuckDB twin of q60: same md5-derived hyperplanes, same d-ordered
+    * projection sums (parallel unnest zip — no join reordering), same
+    * band assembly and exact verify.
+    */
+  val q60Sql: String = {
+    val foldH = (1 to 8).map { j =>
+      val mult = 1L << (4 * (8 - j))
+      s"(strpos('0123456789abcdef', substr(md5(CAST(h AS VARCHAR) || '|' || CAST(d AS VARCHAR)), $j, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    val p31 = DedupOps.P31
+    s"""WITH hp AS (
+       |  SELECT h, d,
+       |         CAST(CAST(($foldH) % $p31 AS DOUBLE) / $p31 - 0.5 AS FLOAT) AS r
+       |  FROM (SELECT unnest(range($SrpH)) AS h)
+       |  CROSS JOIN (SELECT unnest(range(64)) AS d)),
+       |hpl AS (SELECT h, list(r ORDER BY d) AS rl FROM hp GROUP BY h),
+       |pu AS (SELECT vec_id, h, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |              CAST(unnest(rl) AS DOUBLE) AS r
+       |       FROM embeddings CROSS JOIN hpl),
+       |dots AS (SELECT vec_id, h, sum(x * r) AS dot FROM pu GROUP BY vec_id, h),
+       |bits AS (SELECT vec_id, h, CASE WHEN dot >= 0 THEN 1 ELSE 0 END AS bit FROM dots),
+       |bk AS (SELECT vec_id, h // $SrpBandBits AS band,
+       |              CAST(sum(bit << (h % $SrpBandBits)) AS BIGINT) AS k
+       |       FROM bits GROUP BY vec_id, h // $SrpBandBits),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bk a JOIN bk b
+       |           ON a.band = b.band AND a.k = b.k AND a.vec_id < b.vec_id),
+       |vu AS (SELECT vec_a, vec_b, CAST(unnest(ea.embedding) AS DOUBLE) AS x,
+       |              CAST(unnest(eb.embedding) AS DOUBLE) AS y
+       |       FROM cand
+       |       JOIN embeddings ea ON vec_a = ea.vec_id
+       |       JOIN embeddings eb ON vec_b = eb.vec_id),
+       |s AS (SELECT vec_a, vec_b, sum(x * y) AS dot,
+       |             sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb
+       |      FROM vu GROUP BY vec_a, vec_b)
+       |SELECT vec_a, vec_b, round(dot / (na * nb), 4) AS cos_sim
+       |FROM s WHERE dot / (na * nb) >= 0.99
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q23_embed_neardup", q23EmbedNearDup, Some(q23Sql), Seq("X-dedup", "X-sim"),
       "embedding near-dup: blocked pairwise cosine"),
@@ -453,5 +560,7 @@ object SimilarityOps {
     Q("q25_ann_ivf", q25AnnIvf, Some(q25Sql), Seq("X-sim"),
       "IVF-style ANN: precomputed index, probe nearest cells only"),
     Q("q59_ann_pq", q59AnnPq, Some(q59Sql), Seq("X-sim"),
-      "product-quantization ANN: PQ codes + ADC scoring + exact re-rank"))
+      "product-quantization ANN: PQ codes + ADC scoring + exact re-rank"),
+    Q("q60_srp_dedup", q60SrpDedup, Some(q60Sql), Seq("X-dedup", "X-sim"),
+      "global embedding dup detection: SRP-LSH banded signatures + exact verify"))
 }

@@ -69,6 +69,55 @@ object FloatVectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Σ (xᵢ−yᵢ)² over two array<float> columns (length = min of the two) —
+    * the PQ encode hot path: corpus×M×K evaluations per encode pass, so
+    * the interpreted zip_with/aggregate fold it replaces was the
+    * dominant cost. Same ordered left fold in double precision:
+    * bit-identical to the higher-order form and to the DuckDB oracle's
+    * sum-over-unnest.
+    */
+  case class SqDistF32(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "sq_dist_f32"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(prettyName, left.dataType, right.dataType)
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - b.getFloat(i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = ((double) $a.getFloat($i)) - $b.getFloat($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistF32 =
+      copy(left = l, right = r)
+  }
+
   /** Σ xᵢ² over an array<float> column. */
   case class NormSqF32(child: Expression)
       extends UnaryExpression {
@@ -110,4 +159,6 @@ object FloatVectorExpressions {
     ColumnBridge.column(DotF32(ColumnBridge.expression(x), ColumnBridge.expression(y)))
   def normSqF32(x: Column): Column =
     ColumnBridge.column(NormSqF32(ColumnBridge.expression(x)))
+  def sqDistF32(x: Column, y: Column): Column =
+    ColumnBridge.column(SqDistF32(ColumnBridge.expression(x), ColumnBridge.expression(y)))
 }

@@ -42,6 +42,9 @@ object GraftExtensions {
     ("norm_sq_f32",
       es => FloatVectorExpressions.NormSqF32(es.head),
       "norm_sq_f32(x) - squared L2 norm of an array<float> column"),
+    ("sq_dist_f32",
+      es => FloatVectorExpressions.SqDistF32(es(0), es(1)),
+      "sq_dist_f32(x, y) - ordered-fold squared L2 distance over two array<float> columns"),
     ("word_trigrams",
       es => TextExpressions.WordTrigrams(es.head),
       "word_trigrams(s) - overlapping word 3-grams of a single-space-separated string"),

@@ -224,6 +224,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(meanCos >= 0.1, s"mean true cosine of PQ picks $meanCos")
   }
 
+  test("SRP-LSH finds exactly the planted duplicate pairs, globally") {
+    import spark.implicits._
+    // 6 well-separated base vectors; bases 0 and 2 get a near-copy at
+    // cosine ~0.99999 (the duplicate-detection regime); labels are
+    // deliberately USELESS (all equal) - SRP needs no blocking
+    def base(j: Int) = Array.tabulate(64)(d => math.sin(j * 97.0 + d * 1.7).toFloat)
+    val rows =
+      (0 until 6).map(j => (j.toLong, 0, base(j).toSeq)) ++ Seq(
+        (10L, 0, base(0).map(x => x + 0.002f * x).toSeq),
+        (12L, 0, base(2).map(x => x + 0.002f * x).toSeq))
+    val e = rows.toDF("vec_id", "label", "embedding")
+    val pairs = SimilarityOps.srpDedup(e, threshold = 0.99)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 10L), (2L, 12L)))
+  }
+
   test("row-local banded signatures match an independent JVM reference computation") {
     import spark.implicits._
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -22,6 +22,25 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(math.abs(one(VectorOps.l2Norm(col("x"))) - math.sqrt(14.0)) < 1e-12)
   }
 
+  test("sqDist matches the interpreted HOF fold bit-for-bit, and codegens fused") {
+    // the PQ encoder leans on this equivalence: swapping the zip_with/
+    // aggregate fold for the native expression must not move a single bit
+    val hof = one(aggregate(
+      zip_with(col("x"), col("y"), (a, b) => {
+        val d = a.cast("double") - b.cast("double"); d * d
+      }), lit(0.0), (acc, d) => acc + d))
+    assert(one(VectorOps.sqDist(col("x"), col("y"))) == hof)
+    assert(hof == (9.0 + 49.0 + 9.0))
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val fused = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("x", "y")
+        .select((VectorOps.sqDist(col("x"), col("y"))
+          + VectorOps.sqDist(col("y"), col("x"))).as("v")).as[Double].head()
+      assert(fused == 16.0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("SQL surface: dot_f32 / norm_sq_f32 / word_trigrams register and evaluate") {
     graft.plans.GraftExtensions.registerRuntime(spark)
     val row = spark.sql(
