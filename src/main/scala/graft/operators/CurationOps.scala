@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators a pretraining pipeline runs between raw
+  * ingestion and tokenization: PII redaction, quality-weighted sampling,
+  * and context-window chunking. All three are row-local (narrow plans,
+  * no shuffle except the sampler's per-stratum top-k) and all three are
+  * oracle-checked end to end.
+  */
+object CurationOps {
+
+  /** Regexes restricted to the RE2 ∩ java.util.regex common subset (no
+    * lookarounds, no unicode classes) so Spark and the DuckDB oracle
+    * tokenize identically — same contract as TextOps.BpeTokenRegex.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val LongDigitsRe = "[0-9]{7,}"
+
+  /** PII redaction: emails → `<EMAIL>`, IPv4s → `<IP>`, 7+-digit runs
+    * (phone/account-shaped) → `<NUM>`, applied in that order with each
+    * count taken on the text the pattern actually sees (an email's
+    * digits must not double-count as a number). Row-local regex work —
+    * at corpus scale this is a narrow codegen'd projection, no shuffle.
+    */
+  def q61PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .withColumn("n_email", regexp_count($"text", lit(EmailRe)).cast("long"))
+      .withColumn("t1", regexp_replace($"text", EmailRe, "<EMAIL>"))
+      .withColumn("n_ip", regexp_count($"t1", lit(Ipv4Re)).cast("long"))
+      .withColumn("t2", regexp_replace($"t1", Ipv4Re, "<IP>"))
+      .withColumn("n_num", regexp_count($"t2", lit(LongDigitsRe)).cast("long"))
+      .select($"doc_id",
+        regexp_replace($"t2", LongDigitsRe, "<NUM>").as("text_clean"),
+        $"n_email", $"n_ip", $"n_num",
+        ($"n_email" + $"n_ip" + $"n_num").as("n_redacted"))
+      .orderBy($"doc_id")
+  }
+
+  val q61Sql: String = {
+    def g(src: String, re: String, tok: String) =
+      s"regexp_replace($src, '$re', '$tok', 'g')" // 'g': DuckDB defaults to first-match-only
+    val t1 = g("text", EmailRe, "<EMAIL>")
+    val t2 = g(t1, Ipv4Re, "<IP>")
+    s"""SELECT doc_id,
+       |  ${g(t2, LongDigitsRe, "<NUM>")} AS text_clean,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all($t1, '$Ipv4Re')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all($t2, '$LongDigitsRe')) AS BIGINT) AS n_num,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe'))
+       |     + len(regexp_extract_all($t1, '$Ipv4Re'))
+       |     + len(regexp_extract_all($t2, '$LongDigitsRe')) AS BIGINT) AS n_redacted
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality-weighted sampling without replacement (A-ExpJ / exponential
+    * clocks): each doc draws a deterministic uniform u from an md5 fold
+    * of its id, its clock is −ln(u)/w with weight w = its size, and the
+    * k smallest clocks per language stratum win — heavier docs are
+    * proportionally likelier, reruns are bit-stable, and the shuffle is
+    * one per-stratum top-k (windowed rank), never a global sort of the
+    * corpus. Complements q39's UNweighted stratified sampler.
+    */
+  def q62WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p31 = DedupOps.P31
+    // (0, 1]: +1 dodges ln(0) at the one-in-2³¹ zero fold
+    val u = ((conv(substring(md5(concat(lit("ws|"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+      .cast("long") % p31) + lit(1L)).cast("double") / p31.toDouble
+    val clock = -log(u) / greatest($"n_chars", lit(1L)).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"__clock".asc, $"doc_id".asc)
+    Tables(spark, dir).documents
+      .withColumn("__clock", clock)
+      .withColumn("__rn", row_number().over(w))
+      .filter($"__rn" <= 5)
+      .select($"lang", $"doc_id", $"n_chars")
+      .orderBy($"lang", $"doc_id")
+  }
+
+  val q62Sql: String = {
+    val p31 = DedupOps.P31
+    val foldH = (1 to 8).map { j =>
+      val mult = 1L << (4 * (8 - j))
+      s"(strpos('0123456789abcdef', substr(md5('ws|' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT lang, doc_id, n_chars,
+       |         -ln(CAST(($foldH) % $p31 + 1 AS DOUBLE) / $p31)
+       |           / greatest(n_chars, 1) AS clock
+       |  FROM documents),
+       |r AS (SELECT lang, doc_id, n_chars,
+       |             row_number() OVER (PARTITION BY lang ORDER BY clock, doc_id) AS rn
+       |      FROM c)
+       |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 5
+       |ORDER BY lang, doc_id""".stripMargin
+  }
+
+  /** Context-window chunking: documents sliced into 50-word windows with
+    * a 40-word stride (10-word overlap) — the pre-tokenization step that
+    * fits corpus text to a model's context length. Pure row-local array
+    * arithmetic (split → slice per window index), explodes to one row
+    * per chunk; chunk count is exact integer math shared with the
+    * oracle: 1 window for n ≤ 50, else ⌈(n−50)/40⌉ + 1.
+    */
+  private val ChunkWords = 50
+  private val Stride = 40
+
+  def q63Chunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .withColumn("__w", split($"text", " "))
+      .withColumn("__n", size($"__w"))
+      .withColumn("__nc",
+        when($"__n" <= ChunkWords, lit(1))
+          .otherwise(expr(s"CAST((__n - ${ChunkWords - Stride + 1}) div $Stride AS INT) + 1")))
+      .select($"doc_id", $"__w",
+        explode(sequence(lit(0), $"__nc" - 1)).as("chunk_id"))
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        array_join(slice($"__w", $"chunk_id" * Stride + 1, lit(ChunkWords)), " ").as("chunk"),
+        size(slice($"__w", $"chunk_id" * Stride + 1, lit(ChunkWords))).cast("long").as("n_tokens"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val q63Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |k AS (SELECT doc_id, w,
+       |             CASE WHEN n <= $ChunkWords THEN 1
+       |                  ELSE (n - ${ChunkWords - Stride + 1}) // $Stride + 1 END AS nc
+       |      FROM t),
+       |e AS (SELECT doc_id, w, unnest(range(nc)) AS chunk_id FROM k)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  array_to_string(w[chunk_id * $Stride + 1 : chunk_id * $Stride + $ChunkWords], ' ') AS chunk,
+       |  CAST(len(w[chunk_id * $Stride + 1 : chunk_id * $Stride + $ChunkWords]) AS BIGINT) AS n_tokens
+       |FROM e
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q61_pii_redact", q61PiiRedact, Some(q61Sql), Seq("X-curation"),
+      "PII redaction: emails / IPv4s / long digit runs, ordered counts"),
+    Q("q62_weighted_sample", q62WeightedSample, Some(q62Sql), Seq("X-curation", "X-sample"),
+      "quality-weighted sampling without replacement (deterministic A-ExpJ)"),
+    Q("q63_chunking", q63Chunk, Some(q63Sql), Seq("X-curation"),
+      "context-window chunking: 50-word windows, 40-word stride"))
+}

@@ -32,6 +32,7 @@ object Registry {
       MultimodalOps.queries ++
       TemporalOps.queries ++
       Profiling.queries ++
+      CurationOps.queries ++
       CorpusPipeline.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.CurationOps
+
+/** Planted-fixture specs for the curation operators (the driver fixture
+  * contains no PII and near-uniform weights, so the interesting paths
+  * need constructed inputs).
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = TestSpark.scratch("curation")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("PII redaction replaces emails, IPs and digit runs without double counting") {
+    val dir = docsDir(Seq(
+      (1L, "contact bob.smith+x@corp.example.org or call 5551234567 now", "en", "s", 0L),
+      (2L, "server at 10.0.255.7 responded", "en", "s", 0L),
+      // the email's digits must count as EMAIL, not again as NUM
+      (3L, "mail 12345678@numbers.example.com please", "en", "s", 0L),
+      (4L, "clean text with no identifiers at all", "en", "s", 0L)))
+    val out = CurationOps.q61PiiRedact(spark, dir)
+      .select($"doc_id", $"text_clean", $"n_email", $"n_ip", $"n_num", $"n_redacted")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toList
+    assert(out(0) === ((1L, "contact <EMAIL> or call <NUM> now", 1L, 0L, 1L, 2L)))
+    assert(out(1) === ((2L, "server at <IP> responded", 0L, 1L, 0L, 1L)))
+    assert(out(2) === ((3L, "mail <EMAIL> please", 1L, 0L, 0L, 1L)))
+    assert(out(3) === ((4L, "clean text with no identifiers at all", 0L, 0L, 0L, 0L)))
+  }
+
+  test("weighted sampling prefers heavy documents and keeps k per stratum") {
+    // 10 docs per language, one of weight 10^6 vs unit weights: its
+    // exponential clock is ~10^6 shorter, so it must be drawn
+    val rows = for (lang <- Seq("en", "de"); i <- 0 until 10) yield {
+      val id = (if (lang == "en") 100 else 200) + i.toLong
+      (id, "x", lang, "s", if (i == 7) 1000000L else 1L)
+    }
+    val dir = docsDir(rows)
+    val picked = CurationOps.q62WeightedSample(spark, dir)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    assert(picked.count(_._1 == "en") === 5)
+    assert(picked.count(_._1 == "de") === 5)
+    assert(picked.contains(("en", 107L)) && picked.contains(("de", 207L)))
+  }
+
+  test("chunking windows overlap by 10 words and cover every word exactly") {
+    val words90 = (1 to 90).map(i => s"w$i")
+    val dir = docsDir(Seq(
+      (1L, words90.mkString(" "), "en", "s", 0L),
+      (2L, (1 to 50).map(i => s"v$i").mkString(" "), "en", "s", 0L),
+      (3L, (1 to 51).map(i => s"u$i").mkString(" "), "en", "s", 0L)))
+    val out = CurationOps.q63Chunk(spark, dir)
+      .select($"doc_id", $"chunk_id", $"chunk", $"n_tokens")
+      .as[(Long, Long, String, Long)].collect().toList
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2) === List(0L, 1L))
+    assert(d1(0)._3 === words90.take(50).mkString(" "))
+    assert(d1(1)._3 === words90.slice(40, 90).mkString(" ")) // 10-word overlap
+    assert(d1.map(_._4) === List(50L, 50L))
+    assert(out.filter(_._1 == 2L).map(_._4) === List(50L)) // exactly one window at n = 50
+    assert(out.filter(_._1 == 3L).map(_._4) === List(50L, 11L)) // stride boundary: 41..51
+  }
+}
