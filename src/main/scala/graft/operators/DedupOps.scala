@@ -416,11 +416,11 @@ object DedupOps {
     jaccardFromSized(withSets, 0.5)
   }
 
-  /** DuckDB twin of the PORTABLE q21: the same base-hash fold, affine
-    * min-lanes, band keys, bucket join, and exact-Jaccard verify — the
-    * full LSH pipeline is hash-checked, not just an invariant.
+  /** Shared WITH-clause prefix of the portable-LSH oracles (q21, q64):
+    * shingling → base-hash fold → 16 affine min-lanes → banded bucket
+    * keys — the same construction minhashLsh/bandedDocs run natively.
     */
-  val q21Sql: String = {
+  private def lshBucketsCte: String = {
     // first 8 hex digits of md5(s) folded to an integer, exactly like
     // conv(substring(md5(s),1,8),16,10)
     val foldH = (1 to 8).map { j =>
@@ -447,7 +447,15 @@ object DedupOps {
        |      $minsSql
        |    FROM ph GROUP BY doc_id),
        |buckets AS (
-       |      $bandsSql),
+       |      $bandsSql)""".stripMargin
+  }
+
+  /** DuckDB twin of the PORTABLE q21: the same base-hash fold, affine
+    * min-lanes, band keys, bucket join, and exact-Jaccard verify — the
+    * full LSH pipeline is hash-checked, not just an invariant.
+    */
+  val q21Sql: String =
+    s"""$lshBucketsCte,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM buckets a JOIN buckets b
@@ -609,9 +617,45 @@ object DedupOps {
       |GROUP BY rh
       |ORDER BY keep_id""".stripMargin
 
+  /** Keep-first LSH dedup MATERIALIZATION: where q21 reports near-dup
+    * PAIRS, this emits the deduplicated corpus — a document survives iff
+    * it is the smallest doc_id in EVERY one of its band buckets (the
+    * greedy bucket-first rule; q21's any-band candidate semantics turned
+    * into a keep/drop decision). Exactly the batch semantics of the
+    * streaming lshDedupWithinWatermark with doc_id as arrival order, but
+    * over the PORTABLE hash family, so the whole decision — shingles,
+    * lanes, band keys, winner selection — hash-checks against DuckDB.
+    * One shuffle keyed by (band, bucket) plus one by doc; both bounded.
+    */
+  def q64KeepFirstDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"band", $"h")
+    bandedDocs(Tables(spark, dir).documents, carry = Nil, portable = true)
+      .withColumn("__first", min($"doc_id").over(w))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_bands"),
+        sum(when($"doc_id" === $"__first", 1L).otherwise(0L)).as("n_won"))
+      .filter($"n_won" === $"n_bands")
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
+  val q64Sql: String =
+    s"""$lshBucketsCte,
+       |firsts AS (SELECT band, h, min(doc_id) AS fd FROM buckets GROUP BY band, h),
+       |won AS (SELECT b.doc_id,
+       |               CASE WHEN b.doc_id = f.fd THEN 1 ELSE 0 END AS w
+       |        FROM buckets b JOIN firsts f ON b.band = f.band AND b.h = f.h)
+       |SELECT doc_id FROM won
+       |GROUP BY doc_id HAVING CAST(sum(w) AS BIGINT) = count(*)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q19_dedup_exact", q19DedupExact, Some(q19Sql), Seq("X-dedup"),
       "exact dedup on md5 content fingerprint"),
+    Q("q64_keepfirst_dedup", q64KeepFirstDedup, Some(q64Sql), Seq("X-dedup"),
+      "LSH keep-first dedup materialization (batch twin of the streaming path)"),
     Q("q58_rolling_dedup", q58RollingDedup, Some(q58Sql), Seq("X-dedup"),
       "dedup keyed by the native Rabin-Karp rolling-hash expression"),
     Q("q49_contamination", q49Contamination, Some(q49Sql), Seq("X-dedup"),
