@@ -54,7 +54,12 @@ object Bench {
       val err = runs.collectFirst { case (_, Some(m)) => m }
       val secs =
         if (err.isDefined) -1.0
-        else runs.map(_._1).sorted.apply(reps / 2)
+        else {
+          // true median: average the two middle elements for even reps
+          // (sorted(reps/2) alone would report the SLOWER middle run)
+          val s = runs.map(_._1).sorted
+          if (reps % 2 == 1) s(reps / 2) else (s(reps / 2 - 1) + s(reps / 2)) / 2.0
+        }
       (name, secs, err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

@@ -72,6 +72,15 @@ object CurationOps {
     // (0, 1]: +1 dodges ln(0) at the one-in-2³¹ zero fold
     val u = ((conv(substring(md5(concat(lit("ws|"), $"doc_id".cast("string"))), 1, 8), 16, 10)
       .cast("long") % p31) + lit(1L)).cast("double") / p31.toDouble
+    // LIBM-PARITY ASSUMPTION (the one deliberate deviation from this
+    // repo's exact-integer oracle-parity rule): the clock is ordered-on,
+    // never output, and exponential-clock ranking is inherently pairwise-
+    // transcendental (clock_a < clock_b ⟺ u_a^w_b > u_b^w_a — no per-row
+    // integer key exists), so cross-engine agreement rests on Java's
+    // Math.log (±1 ulp, semi-monotonic) and DuckDB's libm log agreeing at
+    // the rank-k boundary. A last-ulp divergence there would flip one
+    // sampled row and surface LOUDLY as an oracle hash mismatch, not as
+    // silent corruption; none observed across sf0.01/0.1/1 + fuzz seeds.
     val clock = -log(u) / greatest($"n_chars", lit(1L)).cast("double")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"lang").orderBy($"__clock".asc, $"doc_id".asc)

@@ -296,6 +296,15 @@ object DedupOps {
     * materialized column so the 16 affine lanes don't recompute the
     * cryptographic hash; the engine family (xxhash64, the scale path)
     * hashes per (lane, shingle) directly — still row-local and cheap.
+    *
+    * Documents with fewer than 3 words have NO trigram shingles, so they
+    * cannot near-duplicate anything; a keep/drop materialization must
+    * still KEEP them (dropping them would be silent data loss, unlike the
+    * pair queries where they merely produce no pairs). They are emitted
+    * with {Bands} synthetic doc-unique bucket keys (prefixed so they can
+    * never collide with a real minhash band key, whose pre-hash input is
+    * all digits and pipes) — every downstream consumer then sees them win
+    * all their buckets and keeps them unconditionally.
     */
   private[graft] def bandedDocs(docs: DataFrame, carry: Seq[String],
       portable: Boolean): DataFrame = {
@@ -316,7 +325,7 @@ object DedupOps {
     val keep = col("doc_id") +: carry.map(col)
     val sigs = hoisted.select(
       keep ++ (0 until NumHashes).map(i => lane(i).as(s"mh$i")): _*)
-    sigs.select(
+    val banded = sigs.select(
       keep :+ explode(array((0 until Bands).map { b =>
         struct(
           lit(b).as("band"),
@@ -324,6 +333,13 @@ object DedupOps {
             (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"mh$i"))).as("h"))
       }: _*)).as("bh"): _*)
       .select(keep :+ col("bh.band").as("band") :+ col("bh.h").as("h"): _*)
+    val shortRows = docs
+      .filter(!wordsGe3(col("text")))
+      .select(keep :+ explode(array((0 until Bands).map(b => lit(b)): _*)).as("band"): _*)
+      .withColumn("h",
+        if (portable) md5(concat_ws("|", lit("short"), col("doc_id"), col("band")))
+        else xxhash64(lit("short"), col("doc_id"), col("band")))
+    banded.unionByName(shortRows)
   }
 
   /** Batch twin of EventsStreaming.lshDedupWithinWatermark: a document
@@ -474,7 +490,6 @@ object DedupOps {
        |SELECT doc_a, doc_b, jaccard_raw AS jaccard
        |FROM j WHERE jaccard_raw >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** SimHash-32 per document: bit b of hash(token) votes ±1 into bin
     * b; the signature's bit b is the vote sign. Computed as an exploded
@@ -641,14 +656,22 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  // Short docs (<3 words, no shingles) are unconditional keepers — the twin
+  // unions them straight in, where the engine routes them through synthetic
+  // never-colliding band buckets (see bandedDocs).
   val q64Sql: String =
     s"""$lshBucketsCte,
        |firsts AS (SELECT band, h, min(doc_id) AS fd FROM buckets GROUP BY band, h),
        |won AS (SELECT b.doc_id,
        |               CASE WHEN b.doc_id = f.fd THEN 1 ELSE 0 END AS w
-       |        FROM buckets b JOIN firsts f ON b.band = f.band AND b.h = f.h)
-       |SELECT doc_id FROM won
-       |GROUP BY doc_id HAVING CAST(sum(w) AS BIGINT) = count(*)
+       |        FROM buckets b JOIN firsts f ON b.band = f.band AND b.h = f.h),
+       |keepers AS (
+       |  SELECT doc_id FROM won
+       |  GROUP BY doc_id HAVING CAST(sum(w) AS BIGINT) = count(*)
+       |  UNION ALL
+       |  SELECT doc_id FROM documents
+       |  WHERE length(text) - length(replace(text, ' ', '')) < 2)
+       |SELECT doc_id FROM keepers
        |ORDER BY doc_id""".stripMargin
 
   val queries: Seq[Q] = Seq(

@@ -286,6 +286,21 @@ object SimilarityOps {
   private val PqM = 8
   private val PqSubLen = 8
 
+  /** Fail fast when the corpus's embedding dimensionality doesn't match a
+    * fixed geometry (PQ needs PqM·PqSubLen = 64; SRP planes are 64-dim).
+    * Without this, a mismatched corpus flows through a structurally
+    * degenerate plan — `slice` past the end yields empty subvectors in
+    * Spark while a parallel-unnest oracle NULL-pads them — two engines
+    * silently diverging instead of one loud error. One-row probe at
+    * plan-build time: setup validation, not a per-row hot-path cost.
+    */
+  private def requireDim(embeddings: DataFrame, dim: Int, who: String): Unit =
+    embeddings.select(size(col("embedding")).as("d")).limit(1).collect()
+      .headOption.foreach { r =>
+        require(r.getInt(0) == dim,
+          s"$who requires $dim-dim embeddings, found ${r.getInt(0)}-dim")
+      }
+
   /** Codebook size cap. Real PQ trains a FIXED number of codewords per
     * subspace (classically 256) on a corpus sample; cost of encoding is
     * O(N·M·K) and must stay linear in N. Deriving codewords from label
@@ -314,6 +329,7 @@ object SimilarityOps {
     */
   def buildPqCodebook(embeddings: DataFrame): DataFrame = {
     import embeddings.sparkSession.implicits._
+    requireDim(embeddings, PqM * PqSubLen, "buildPqCodebook")
     val trainCells = embeddings.select($"label").distinct().orderBy($"label").limit(PqK)
     subvectors(embeddings.join(broadcast(trainCells), "label"))
       .select($"label", $"m", posexplode($"sub").as(Seq("pos", "v")))
@@ -363,6 +379,7 @@ object SimilarityOps {
   private[graft] def annPq(embeddings: DataFrame, cb: DataFrame,
       queryId: Long, k: Int): DataFrame = {
     import embeddings.sparkSession.implicits._
+    requireDim(embeddings, PqM * PqSubLen, "annPq")
     val e = embeddings.select($"vec_id", $"label", $"embedding",
       VectorOps.l2Norm($"embedding").as("nrm"))
     val subs = subvectors(embeddings)
@@ -485,6 +502,7 @@ object SimilarityOps {
   private[graft] def srpDedup(embeddings: DataFrame, threshold: Double): DataFrame = {
     import embeddings.sparkSession.implicits._
     val spark = embeddings.sparkSession
+    requireDim(embeddings, 64, "srpDedup")
     val e = embeddings.select($"vec_id", $"embedding",
       VectorOps.l2Norm($"embedding").as("nrm"))
     val planes = spark.createDataFrame(srpPlanes.map { case (h, r) => (h, r.toSeq) })

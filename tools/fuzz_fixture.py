@@ -192,7 +192,10 @@ def main(out, seed=1337):
     # query vector and must have a nonzero norm (documented engine
     # contract: cosine against a zero-norm query is undefined in ANY
     # engine); a zero vector elsewhere exercises the NaN/NULL edge.
-    dim = 8
+    # 64-dim to match the engine's fixed PQ (8x8) and SRP (64-plane)
+    # geometry — an 8-dim fixture would route q59/q60 through a degenerate
+    # empty-slice path the dimension guard now rejects outright
+    dim = 64
     vecs, labels = [], []
     unit = [1.0] + [0.0] * (dim - 1)
     vecs.append(unit); labels.append(0)                   # query vector
