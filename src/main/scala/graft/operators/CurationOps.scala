@@ -151,9 +151,64 @@ object CurationOps {
        |FROM e
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Sequence packing, concatenate-and-split style (how pretraining
+    * actually fills context windows: documents are laid end to end per
+    * stratum and CUT at window boundaries — no bin-packing search, no
+    * padding waste): within each `source` stratum, documents in doc_id
+    * order get a global token offset (an exclusive prefix sum), and a
+    * doc's window span is pure integer arithmetic on that offset. Output
+    * is the doc→window map a downstream gather step consumes.
+    *
+    * At scale: one shuffle per stratum (the prefix-sum window); strata
+    * are independent, so a 100 TB corpus packs embarrassingly parallel
+    * across sources — and within a stratum a production run would make
+    * each input split its own stratum (per-split offsets need no global
+    * order at all). First-fit bin packing would need a sequential scan;
+    * the concatenate-and-split contract is WHY this stays one window
+    * function.
+    */
+  private val PackWindow = 2048L
+
+  def q66SeqPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables(spark, dir).documents
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("start_off", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select($"source", $"doc_id", $"n_tokens", $"start_off",
+        expr(s"start_off div $PackWindow").as("window_start"),
+        expr(s"(start_off + n_tokens - 1) div $PackWindow").as("window_end"))
+      .withColumn("n_windows", $"window_end" - $"window_start" + 1L)
+      .orderBy($"source", $"doc_id")
+  }
+
+  val q66Sql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT source, doc_id, n_tokens,
+       |         CAST(COALESCE(sum(n_tokens) OVER (
+       |           PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS start_off
+       |  FROM t)
+       |SELECT source, doc_id, n_tokens, start_off,
+       |       start_off // $PackWindow AS window_start,
+       |       (start_off + n_tokens - 1) // $PackWindow AS window_end,
+       |       (start_off + n_tokens - 1) // $PackWindow
+       |         - start_off // $PackWindow + 1 AS n_windows
+       |FROM o
+       |ORDER BY source, doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q61_pii_redact", q61PiiRedact, Some(q61Sql), Seq("X-curation"),
       "PII redaction: emails / IPv4s / long digit runs, ordered counts"),
+    Q("q66_seq_pack", q66SeqPack, Some(q66Sql), Seq("X-curation"),
+      "sequence packing: concatenate-and-split doc-to-context-window map"),
     Q("q62_weighted_sample", q62WeightedSample, Some(q62Sql), Seq("X-curation", "X-sample"),
       "quality-weighted sampling without replacement (deterministic A-ExpJ)"),
     Q("q63_chunking", q63Chunk, Some(q63Sql), Seq("X-curation"),

@@ -674,9 +674,106 @@ object DedupOps {
        |SELECT doc_id FROM keepers
        |ORDER BY doc_id""".stripMargin
 
+  /** Connected components by iterative min-label propagation: every
+    * vertex starts labeled with itself; each round, a vertex adopts the
+    * smallest label among itself and its neighbours; fixpoint = every
+    * vertex carries the smallest doc_id in its component. The loop is
+    * DRIVER-ORCHESTRATED but every step is distributed (one edge-keyed
+    * join + one vertex-keyed aggregate per round); the per-round `count`
+    * is the standard iterative-convergence check (GraphX's Pregel does
+    * the same) — it materializes the persisted next-state, never ships
+    * rows to the driver. Rounds needed = component diameter, and near-dup
+    * clusters are near-cliques (diameter 1–2), so the loop converges in
+    * 2–3 rounds at any corpus scale; for adversarially long chains the
+    * literature's answer is alternating large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond"), which this
+    * maxIter guard would tell you to reach for.
+    */
+  private[graft] def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    import vertices.sparkSession.implicits._
+    val sym = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .persist()
+    var labels = vertices.select($"v", $"v".as("label")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels.withColumnRenamed("v", "src"), "src")
+        .groupBy($"dst".as("v")).agg(min($"label").as("nbr"))
+      val next = labels.join(nbrMin, Seq("v"), "left")
+        .select($"v", least($"label", coalesce($"nbr", $"label")).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "v")
+        .filter($"label" < $"old").count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+      "(component diameter too large for min-propagation — use large-star/small-star)")
+    labels
+  }
+
+  /** Near-dup CLUSTERS: q21's verified LSH pairs as an undirected graph,
+    * connected components as cluster assignment — the step between
+    * pairwise near-dup detection and corpus curation (keep one
+    * representative per cluster; q64's bucket-greedy rule approximates
+    * this in one pass, components make it transitive-exact: A≈B≈C lands
+    * in ONE cluster even when A,C never collide). Every document appears:
+    * singletons are their own cluster of size 1.
+    */
+  def q65DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLsh(spark, dir, portable = true).select($"doc_a", $"doc_b")
+    val verts = Tables(spark, dir).documents.select($"doc_id".as("v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+    connectedComponents(verts, pairs)
+      .select($"v".as("doc_id"), $"label".as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy($"doc_id")
+  }
+
+  /** Recursive-CTE twin: reach(v) accumulates every component member that
+    * can flow to v along verified-pair edges (both directions), so
+    * min(reach) per vertex is exactly the min-propagation fixpoint.
+    */
+  val q65Sql: String =
+    s"""${lshBucketsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |ws AS (
+       |  SELECT doc_a, doc_b, len(list_intersect(sa.shingles, sb.shingles)) AS inter
+       |  FROM cand
+       |  JOIN sh sa ON doc_a = sa.doc_id
+       |  JOIN sh sb ON doc_b = sb.doc_id),
+       |pr AS (
+       |  SELECT doc_a, doc_b
+       |  FROM ws
+       |  JOIN counts ca ON doc_a = ca.doc_id
+       |  JOIN counts cb ON doc_b = cb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |      UNION ALL SELECT doc_b, doc_a FROM pr),
+       |r AS (
+       |  SELECT doc_id AS v, doc_id AS reach FROM documents
+       |  UNION
+       |  SELECT e.dst AS v, r.reach AS reach FROM r JOIN e ON r.v = e.src),
+       |cl AS (SELECT v AS doc_id, min(reach) AS cluster_id FROM r GROUP BY v)
+       |SELECT doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM cl
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q19_dedup_exact", q19DedupExact, Some(q19Sql), Seq("X-dedup"),
       "exact dedup on md5 content fingerprint"),
+    Q("q65_dup_clusters", q65DupClusters, Some(q65Sql), Seq("X-dedup"),
+      "transitive near-dup clustering: connected components over LSH pairs"),
     Q("q64_keepfirst_dedup", q64KeepFirstDedup, Some(q64Sql), Seq("X-dedup"),
       "LSH keep-first dedup materialization (batch twin of the streaming path)"),
     Q("q58_rolling_dedup", q58RollingDedup, Some(q58Sql), Seq("X-dedup"),

@@ -368,10 +368,11 @@ object SimilarityOps {
     *      standard retrieve-approximately/re-rank-exactly serving
     *      pattern).
     *
-    * At scale: the codebook is M×K rows (broadcast), encoding is a
-    * linear scan plus one partial-aggregated shuffle keyed by vec_id,
-    * and lookup cost is one 64-float dot per encoded vector — 16 bytes
-    * of code state per vector in a real deployment.
+    * At scale: the codebook is M×K rows — loaded into the plan as
+    * LITERALS (the FAISS serving pattern: codebooks live in RAM), so
+    * encode + reconstruct + ADC-score is ONE narrow row-local projection:
+    * a pure linear scan with no shuffle before the top-k. 16 bytes of
+    * code state per vector in a real deployment.
     */
   def q59AnnPq(spark: SparkSession, dir: String): DataFrame =
     annPq(Tables(spark, dir).embeddings, pqIndex(spark, dir), queryId = 0, k = 10)
@@ -382,26 +383,40 @@ object SimilarityOps {
     requireDim(embeddings, PqM * PqSubLen, "annPq")
     val e = embeddings.select($"vec_id", $"label", $"embedding",
       VectorOps.l2Norm($"embedding").as("nrm"))
-    val subs = subvectors(embeddings)
-      .filter($"vec_id" =!= queryId)
-      .select($"vec_id", $"m", $"sub")
-    val codes = subs.join(broadcast(cb.withColumnRenamed("label", "c")), Seq("m"))
-      .select($"vec_id", $"m", $"c", sqDist($"sub", $"cb").as("dist"))
-      .groupBy($"vec_id", $"m")
-      .agg(min(struct($"dist", $"c")).as("best"))
-      .select($"vec_id", $"m", $"best.c".as("code"))
-    val recon = codes.as("x")
-      .join(broadcast(cb.as("k")), $"x.m" === $"k.m" && $"x.code" === $"k.label")
-      .groupBy($"x.vec_id".as("vec_id"))
-      .agg(flatten(transform(array_sort(collect_list(struct($"x.m".as("m"), $"k.cb".as("cb")))),
-        s => s("cb"))).as("recon"))
+    // Row-local encode over the literal codebook: per subspace, argmin
+    // codeword by the same sequential sqDist and (dist, label) tie-break
+    // the former shuffle construction used — array_min over structs is
+    // the identical lexicographic min, so code assignments (and the
+    // reconstruction, and therefore every score) are bit-for-bit
+    // unchanged; only the plan shape changes (the subvector explode-join
+    // and the two per-vec aggregations are gone).
+    val cwByM: Map[Int, Seq[(Int, Seq[Float])]] = cb
+      .select($"m", $"label", $"cb").collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("label"), r.getSeq[Float](2)))
+      .groupBy(_._1)
+      .view.mapValues(_.toSeq.sortBy(_._2).map(t => (t._2, t._3))).toMap
+    require(cwByM.keySet == (0 until PqM).toSet,
+      s"PQ codebook must cover all $PqM subspaces, has ${cwByM.keySet.size}")
+    def cwArr(m: Int): Column = array(cwByM(m).map { case (lbl, v) =>
+      struct(lit(lbl).as("c"), array(v.map(lit(_)): _*).as("cb")) }: _*)
+    def cwMap(m: Int): Column = map(cwByM(m).flatMap { case (lbl, v) =>
+      Seq(lit(lbl), array(v.map(lit(_)): _*)) }: _*)
+    def codeFor(m: Int): Column = {
+      val sub = slice($"embedding", m * PqSubLen + 1, PqSubLen)
+      array_min(transform(cwArr(m), c =>
+        struct(sqDist(sub, c("cb")).as("d"), c("c").as("c")))).getField("c")
+    }
+    val coded = e.filter($"vec_id" =!= queryId)
+      .withColumn("__codes", array((0 until PqM).map(codeFor): _*))
+      .withColumn("recon", flatten(array((0 until PqM).map(m =>
+        element_at(cwMap(m), element_at($"__codes", m + 1))): _*)))
     val q = e.filter($"vec_id" === queryId)
       .select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
     // ADC-cosine: normalize by the RECONSTRUCTED vector's norm so the
     // approximate ranking estimates the same cosine the exact re-rank
     // (and the q24 baseline) uses — raw dot would let norm variation,
     // which quantization preserves poorly, dominate the ranking
-    val top10 = recon.crossJoin(broadcast(q))
+    val top10 = coded.crossJoin(broadcast(q))
       .select($"vec_id",
         (VectorOps.dot($"recon", $"q_emb") / (VectorOps.l2Norm($"recon") * $"q_nrm")).as("adc_raw"))
       .orderBy($"adc_raw".desc, $"vec_id")

@@ -246,9 +246,55 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Unigram-LM surprisal — the perplexity-proxy quality signal (docs of
+    * improbable tokens score high) made ORACLE-EXACT: per-token surprisal
+    * is floor(log₂(N/c)) "bits", computed as pure integer arithmetic —
+    * for x ≥ 1, floor(log₂ x) = bitlength(floor(x)) − 1, and bitlength is
+    * `length(bin(·))` in both engines — so no libm log ever runs. The
+    * float-valued avg_bits is a division of exact integers (bit-identical
+    * cross-engine, never rounded — the q20 jaccard rule).
+    *
+    * Two passes, both classic: token counts (word-count partial agg) and
+    * a per-token count lookup (shuffle join keyed by token). At corpus
+    * scale the vocab side is MUCH smaller than the token stream —
+    * broadcast it under the threshold, and for the stopword hot keys a
+    * count-table join inherits AQE's skew split; the total-N scalar joins
+    * as a broadcast 1-row frame, never a driver constant.
+    */
+  def q67Surprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir).documents
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val counts = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val n = counts.agg(sum($"c").as("n"))
+    toks.join(counts, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("bits", (length(bin(expr("n div c"))) - 1).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"bits").as("total_bits"))
+      .select($"doc_id", $"n_tokens", $"total_bits",
+        ($"total_bits".cast("double") / $"n_tokens").as("avg_bits"))
+      .orderBy($"doc_id")
+  }
+
+  val q67Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+      |s AS (SELECT doc_id, CAST(length(bin(n // c)) - 1 AS BIGINT) AS bits
+      |      FROM toks JOIN c USING (tok) CROSS JOIN n)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(bits) AS BIGINT) AS total_bits,
+      |       CAST(sum(bits) AS DOUBLE) / count(*) AS avg_bits
+      |FROM s GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q15_token_stats", q15TokenStats, Some(q15Sql), Seq("F-text"),
       "per-document token/length statistics"),
+    Q("q67_surprisal", q67Surprisal, Some(q67Sql), Seq("F-text"),
+      "unigram-LM surprisal quality signal, integer-exact floor-log2 bits"),
     Q("q51_bpe_tokens", q51BpeTokens, Some(q51Sql), Seq("F-text"),
       "BPE-style pre-tokenizer counts (GPT-2-shaped regex alternation)"),
     Q("q50_repetition", q50Repetition, Some(q50Sql), Seq("F-text"),

@@ -50,6 +50,23 @@ class CurationSpec extends AnyFunSuite {
     assert(picked.contains(("en", 107L)) && picked.contains(("de", 207L)))
   }
 
+  test("sequence packing assigns contiguous per-stratum offsets and spans window boundaries") {
+    def mk(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, mk(2000, "a"), "en", "s", 0L),
+      (2L, mk(100, "b"), "en", "s", 0L), // straddles the 2048 boundary
+      (3L, mk(100, "c"), "en", "s", 0L),
+      (10L, mk(5000, "d"), "en", "t", 0L))) // separate stratum: fresh offsets
+    val out = CurationOps.q66SeqPack(spark, dir)
+      .select($"source", $"doc_id", $"n_tokens", $"start_off",
+        $"window_start", $"window_end", $"n_windows")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(out(0) === (("s", 1L, 2000L, 0L, 0L, 0L, 1L)))
+    assert(out(1) === (("s", 2L, 100L, 2000L, 0L, 1L, 2L)))
+    assert(out(2) === (("s", 3L, 100L, 2100L, 1L, 1L, 1L)))
+    assert(out(3) === (("t", 10L, 5000L, 0L, 0L, 2L, 3L)))
+  }
+
   test("chunking windows overlap by 10 words and cover every word exactly") {
     val words90 = (1 to 90).map(i => s"w$i")
     val dir = docsDir(Seq(

@@ -78,6 +78,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("connected components label every vertex with its component minimum") {
+    // chain 2–3–4 has diameter 2 (exercises a multi-round fixpoint);
+    // 1 and 5 are singletons
+    val verts = Seq(1L, 2L, 3L, 4L, 5L).toDF("v")
+    val edges = Seq((2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.connectedComponents(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 5L))
+  }
+
+  test("dup clustering is transitive and counts singletons as their own cluster") {
+    val out = DedupOps.q65DupClusters(spark, docDir)
+      .as[(Long, Long, Long)].collect().toList
+    // docs 0/1/2 are the planted near-dup family → one cluster labeled 0
+    assert(out === List((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L),
+      (3L, 3L, 1L), (4L, 4L, 1L)))
+  }
+
+  test("keep-first LSH dedup keeps sub-3-word documents unconditionally") {
+    val dir = TestSpark.scratch("dedup-short")
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (0L, base, "en", "src", base.length.toLong),
+      (1L, base, "en", "src", base.length.toLong), // exact dup → dropped
+      (2L, "hi", "en", "src", 2L), // 1 word: no shingles, must survive
+      (3L, "two words", "en", "src", 9L),
+      (4L, "", "en", "src", 0L)) // empty text must survive too
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = DedupOps.q64KeepFirstDedup(spark, dir).as[Long].collect().toSet
+    assert(kept === Set(0L, 2L, 3L, 4L))
+  }
+
   test("simhash: identical docs collide; near-dups are close in Hamming distance") {
     val sig = DedupOps.q22Simhash(spark, docDir)
       .as[(Long, Long)].collect().toMap

@@ -28,6 +28,19 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(h.getAs[Double]("skew_ratio") == 8.0 * 4 / 14)
   }
 
+  test("surprisal bits are the exact integer floor-log2 of inverse token frequency") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("surprisal-docs")
+    // counts: a=3, b=1, c=1, N=5; bits(tok) = bitlength(N div c) - 1:
+    // a → 5 div 3 = 1 → 0 bits; b, c → 5 → '101' → 2 bits
+    Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.TextOps.q67Surprisal(spark, dir)
+      .select($"doc_id", $"n_tokens", $"total_bits", $"avg_bits")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out === List((1L, 3L, 2L, 2.0 / 3), (2L, 2L, 2L, 1.0)))
+  }
+
   test("BPE pre-tokenizer splits contractions, digit runs, and punctuation runs") {
     import org.apache.spark.sql.functions._
     val dir = TestSpark.scratch("bpe-docs")

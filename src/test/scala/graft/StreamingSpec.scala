@@ -137,7 +137,8 @@ class StreamingSpec extends AnyFunSuite {
       doc(2, 1, a), // exact dup of 1 → every band collides → suppressed
       doc(3, 2, b),
       doc(4, 3, a), // dup again → suppressed
-      doc(5, 4, c))
+      doc(5, 4, c),
+      doc(6, 5, "hi")) // <3 words: no shingles, must pass unconditionally
     // far-future doc pushes the final watermark past main's window so the
     // windowed count emits; its own window never closes (absent by design)
     val flush = doc(99, 60 * 24 * 20, "late watermark flush document with enough words")
@@ -153,7 +154,7 @@ class StreamingSpec extends AnyFunSuite {
       .filter($"ts" < new java.sql.Timestamp(cutoff))
       .select($"doc_id").as[Long].collect().toSet
     assert(streamed == batch)
-    assert(streamed == Set(1L, 3L, 5L)) // dups suppressed, uniques kept
+    assert(streamed == Set(1L, 3L, 5L, 6L)) // dups suppressed; uniques + short doc kept
   }
 
   test("sessionize closes sessions only across the inactivity gap") {
