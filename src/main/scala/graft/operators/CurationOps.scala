@@ -204,9 +204,63 @@ object CurationOps {
        |FROM o
        |ORDER BY source, doc_id""".stripMargin
 
+  /** Domain-mixture sampling: draw a fixed total budget of documents with
+    * TARGET per-source weights (the pretraining data-mixing step: e.g.
+    * upweight books over web crawl), capped by availability. Quotas are
+    * exact integer arithmetic — quota(s) = (budget · w_s) div Σw — over
+    * the weights of the sources actually present, and members are the
+    * deterministic content-hash priority ranking q39 uses, so reruns are
+    * bit-stable and no libm/rand enters the selection. One window over
+    * the source key plus a broadcast quota map — at corpus scale this is
+    * a single per-stratum top-k, never a global sort.
+    */
+  private val MixBudget = 100L
+  private val MixWeights: Seq[(String, Long)] = Seq("web" -> 7L, "book" -> 3L)
+  private val MixDefaultW = 1L
+
+  def q69DomainMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val wcol = MixWeights.foldLeft(lit(MixDefaultW)) { case (acc, (s, wt)) =>
+      when($"source" === s, lit(wt)).otherwise(acc)
+    }
+    val srcs = docs.select($"source").distinct().withColumn("w", wcol)
+    val totw = srcs.agg(sum($"w").as("tw"))
+    val quotas = srcs.crossJoin(broadcast(totw))
+      .select($"source", expr(s"($MixBudget * w) div tw").as("quota"))
+    val byPriority = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(md5(concat($"doc_id".cast("string"), lit(":"), $"text")), $"doc_id")
+    docs.withColumn("rk", row_number().over(byPriority))
+      .join(broadcast(quotas), "source")
+      .filter($"rk" <= $"quota")
+      .select($"source", $"rk".cast("long").as("rk"), $"doc_id")
+      .orderBy($"source", $"rk")
+  }
+
+  val q69Sql: String = {
+    val wcase = MixWeights.map { case (s, wt) => s"WHEN source = '$s' THEN $wt" }
+      .mkString("CASE ", " ", s" ELSE $MixDefaultW END")
+    s"""WITH srcs AS (SELECT DISTINCT source FROM documents),
+       |sw AS (SELECT source, $wcase AS w FROM srcs),
+       |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM sw),
+       |quotas AS (SELECT source, ($MixBudget * w) // tw AS quota
+       |           FROM sw CROSS JOIN tw),
+       |ranked AS (SELECT source, doc_id, row_number() OVER (
+       |             PARTITION BY source
+       |             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text), doc_id) AS rk
+       |           FROM documents)
+       |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+       |FROM ranked JOIN quotas USING (source)
+       |WHERE rk <= quota
+       |ORDER BY source, rk""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q61_pii_redact", q61PiiRedact, Some(q61Sql), Seq("X-curation"),
       "PII redaction: emails / IPv4s / long digit runs, ordered counts"),
+    Q("q69_domain_mix", q69DomainMix, Some(q69Sql), Seq("X-curation", "X-sample"),
+      "domain-mixture sampling: target source weights, integer quotas, hash priority"),
     Q("q66_seq_pack", q66SeqPack, Some(q66Sql), Seq("X-curation"),
       "sequence packing: concatenate-and-split doc-to-context-window map"),
     Q("q62_weighted_sample", q62WeightedSample, Some(q62Sql), Seq("X-curation", "X-sample"),

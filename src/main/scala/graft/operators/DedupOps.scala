@@ -736,11 +736,13 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
-  /** Recursive-CTE twin: reach(v) accumulates every component member that
-    * can flow to v along verified-pair edges (both directions), so
-    * min(reach) per vertex is exactly the min-propagation fixpoint.
+  /** Recursive-CTE twin of connectedComponents over the verified LSH
+    * pairs, shared by q65/q68: reach(v) accumulates every component
+    * member that can flow to v along pair edges (both directions), so
+    * min(reach) per vertex — CTE `cl` — is exactly the min-propagation
+    * fixpoint.
     */
-  val q65Sql: String =
+  private def ccClustersCte: String =
     s"""${lshBucketsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -763,17 +765,60 @@ object DedupOps {
        |  SELECT doc_id AS v, doc_id AS reach FROM documents
        |  UNION
        |  SELECT e.dst AS v, r.reach AS reach FROM r JOIN e ON r.v = e.src),
-       |cl AS (SELECT v AS doc_id, min(reach) AS cluster_id FROM r GROUP BY v)
+       |cl AS (SELECT v AS doc_id, min(reach) AS cluster_id FROM r GROUP BY v)""".stripMargin
+
+  val q65Sql: String =
+    s"""$ccClustersCte
        |SELECT doc_id, cluster_id,
        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM cl
        |ORDER BY doc_id""".stripMargin
+
+  /** Representative selection — the curation step AFTER clustering: each
+    * near-dup cluster keeps its highest-quality member (q18's portable
+    * quality score; ties break to the smallest doc_id). One row per
+    * cluster. Quality is IEEE-exact arithmetic on integer-derived values,
+    * so the cross-engine ordering (and the emitted rep_quality) is
+    * bit-identical.
+    */
+  def q68ClusterReps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLsh(spark, dir, portable = true).select($"doc_a", $"doc_b")
+    val docs = Tables(spark, dir).documents
+    val labels = connectedComponents(docs.select($"doc_id".as("v")), pairs)
+      .select($"v".as("doc_id"), $"label".as("cluster_id"))
+    val scored = docs.select($"doc_id", TextOps.qualityCol.as("quality"))
+    val byQuality = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"quality".desc, $"doc_id".asc)
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+    labels.join(scored, "doc_id")
+      .withColumn("rn", row_number().over(byQuality))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .filter($"rn" === 1)
+      .select($"cluster_id", $"cluster_size",
+        $"doc_id".as("rep_doc_id"), $"quality".as("rep_quality"))
+      .orderBy($"cluster_id")
+  }
+
+  val q68Sql: String =
+    s"""$ccClustersCte,
+       |sc AS (SELECT doc_id, ${TextOps.qualitySqlExpr} AS quality FROM documents),
+       |j AS (SELECT cl.cluster_id, cl.doc_id, sc.quality,
+       |             row_number() OVER (PARTITION BY cluster_id
+       |                                ORDER BY quality DESC, cl.doc_id) AS rn,
+       |             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |      FROM cl JOIN sc ON cl.doc_id = sc.doc_id)
+       |SELECT cluster_id, cluster_size, doc_id AS rep_doc_id, quality AS rep_quality
+       |FROM j WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("q19_dedup_exact", q19DedupExact, Some(q19Sql), Seq("X-dedup"),
       "exact dedup on md5 content fingerprint"),
     Q("q65_dup_clusters", q65DupClusters, Some(q65Sql), Seq("X-dedup"),
       "transitive near-dup clustering: connected components over LSH pairs"),
+    Q("q68_cluster_reps", q68ClusterReps, Some(q68Sql), Seq("X-dedup"),
+      "per-cluster representative selection by portable quality score"),
     Q("q64_keepfirst_dedup", q64KeepFirstDedup, Some(q64Sql), Seq("X-dedup"),
       "LSH keep-first dedup materialization (batch twin of the streaming path)"),
     Q("q58_rolling_dedup", q58RollingDedup, Some(q58Sql), Seq("X-dedup"),

@@ -115,19 +115,38 @@ object TextOps {
     * the shape of a pretraining quality filter (length/stopword-ratio
     * features), expressed in portable arithmetic.
     */
+  /** The quality expression itself, shared with composites (q68 picks
+    * near-dup cluster representatives by it) so the score can never
+    * drift between the standalone query and its consumers. All ops are
+    * IEEE-exact (integer-derived division/multiplication), so the double
+    * is bit-identical cross-engine.
+    */
+  private[graft] def qualityCol: Column = {
+    val p = padded(col("text"))
+    val stop = enStopwords.map(occurrences(p, _)).reduce(_ + _)
+    val words = wordCount(col("text"))
+    least(lit(1.0), words.cast("double") / 60.0) *
+      (lit(1.0) - stop.cast("double") / words)
+  }
+
+  /** Its DuckDB twin, same single-definition rationale. */
+  private[graft] val qualitySqlExpr: String = {
+    val stop = enStopwords.map(occurrencesSql(paddedSql, _)).mkString("(", " + ", ")")
+    s"least(1.0, CAST($wordCountSql AS DOUBLE) / 60.0) * (1.0 - CAST($stop AS DOUBLE) / $wordCountSql)"
+  }
+
   def q18Quality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = padded(col("text"))
     val stop = enStopwords.map(occurrences(p, _)).reduce(_ + _)
     val words = wordCount(col("text"))
-    val lengthCredit = least(lit(1.0), words.cast("double") / 60.0)
     val stopRatio = stop.cast("double") / words
     Tables(spark, dir).documents
       .select(
         $"doc_id",
         words.as("n_words"),
         stopRatio.as("stop_ratio"),
-        (lengthCredit * (lit(1.0) - stopRatio)).as("quality"))
+        qualityCol.as("quality"))
       .orderBy($"doc_id")
   }
 

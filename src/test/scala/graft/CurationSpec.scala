@@ -50,6 +50,24 @@ class CurationSpec extends AnyFunSuite {
     assert(picked.contains(("en", 107L)) && picked.contains(("de", 207L)))
   }
 
+  test("domain mix fills integer quotas and caps at availability deterministically") {
+    // weights web 7 / book 3 / default 1 over budget 100, Σw = 11:
+    // web quota 63 (binds under 100 docs), book 27 → capped at 20,
+    // xtra 9 → capped at 5
+    val rows = (0 until 100).map(i => (i.toLong, s"w$i text", "en", "web", 1L)) ++
+      (100 until 120).map(i => (i.toLong, s"b$i text", "en", "book", 1L)) ++
+      (120 until 125).map(i => (i.toLong, s"x$i text", "en", "xtra", 1L))
+    val dir = docsDir(rows)
+    val out = CurationOps.q69DomainMix(spark, dir)
+      .select($"source", $"doc_id").as[(String, Long)].collect().toList
+    val bySrc = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySrc === Map("web" -> 63, "book" -> 20, "xtra" -> 5))
+    // rerun is bit-stable (hash priority, no rand())
+    val again = CurationOps.q69DomainMix(spark, dir)
+      .select($"source", $"doc_id").as[(String, Long)].collect().toList
+    assert(out === again)
+  }
+
   test("sequence packing assigns contiguous per-stratum offsets and spans window boundaries") {
     def mk(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
     val dir = docsDir(Seq(

@@ -96,6 +96,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, 3L, 1L), (4L, 4L, 1L)))
   }
 
+  test("cluster representatives pick the higher-quality member over the smaller id") {
+    val dir = TestSpark.scratch("dedup-reps")
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    // doc 10 = base plus stopword padding (quality penalized by the
+    // stopword ratio); doc 11 = clean base (quality 1.0). They are
+    // near-dups, and the rep must be 11 DESPITE the larger doc_id.
+    val padded = base + " the the the the"
+    Seq(
+      (10L, padded, "en", "src", padded.length.toLong),
+      (11L, base, "en", "src", base.length.toLong),
+      (12L, (1 to 61).map(i => s"alt$i").mkString(" "), "en", "src", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val reps = DedupOps.q68ClusterReps(spark, dir)
+      .select($"cluster_id", $"cluster_size", $"rep_doc_id")
+      .as[(Long, Long, Long)].collect().toList
+    assert(reps === List((10L, 2L, 11L), (12L, 1L, 12L)))
+  }
+
   test("keep-first LSH dedup keeps sub-3-word documents unconditionally") {
     val dir = TestSpark.scratch("dedup-short")
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
