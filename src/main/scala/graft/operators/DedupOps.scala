@@ -641,6 +641,15 @@ object DedupOps {
     * over the PORTABLE hash family, so the whole decision — shingles,
     * lanes, band keys, winner selection — hash-checks against DuckDB.
     * One shuffle keyed by (band, bucket) plus one by doc; both bounded.
+    *
+    * CONTRACT — sub-3-word documents bypass dedup ENTIRELY here, even
+    * exact-duplicate ones: they have no shingles, get doc-unique
+    * synthetic buckets (bandedDocs), and are all kept. N identical
+    * copies of a short boilerplate line survive as N rows. A curation
+    * pipeline that wants identical short docs collapsed must compose
+    * with exact dedup (q19DedupExact / rolling-hash q58), which has no
+    * length floor — that is the deliberate division of labour, not an
+    * oversight.
     */
   def q64KeepFirstDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -688,6 +697,21 @@ object DedupOps {
     * literature's answer is alternating large-star/small-star (Kiveris et
     * al., "Connected Components in MapReduce and Beyond"), which this
     * maxIter guard would tell you to reach for.
+    *
+    * Scale + cache posture: the iteration runs ONLY over vertices that
+    * have at least one edge — at corpus scale the dup graph is a tiny
+    * fraction of the corpus (most documents are singletons), so the
+    * per-round joins touch |edges| rows, never |corpus|. Singletons are
+    * re-attached label=self by one final left join, which never enters
+    * the loop. Nothing stays pinned after the call: intermediates are
+    * unpersisted in a try/finally (so the maxIter throw releases them
+    * too), and the converged subgraph labels are published via
+    * `localCheckpoint` — its blocks are reference-counted and freed by
+    * the ContextCleaner when the consumer drops the DataFrame, unlike a
+    * plan-cache `persist` which pins until an explicit unpersist. (On a
+    * real cluster with executor churn, swap localCheckpoint for a
+    * reliable `checkpoint` dir — localCheckpoint blocks die with their
+    * executor.)
     */
   private[graft] def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
@@ -695,26 +719,39 @@ object DedupOps {
     val sym = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .persist()
-    var labels = vertices.select($"v", $"v".as("label")).persist()
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val nbrMin = sym.join(labels.withColumnRenamed("v", "src"), "src")
-        .groupBy($"dst".as("v")).agg(min($"label").as("nbr"))
-      val next = labels.join(nbrMin, Seq("v"), "left")
-        .select($"v", least($"label", coalesce($"nbr", $"label")).as("label"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "v")
-        .filter($"label" < $"old").count()
+    var labels = sym.select($"src".as("v")).distinct()
+      .select($"v", $"v".as("label")).persist()
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val nbrMin = sym.join(labels.withColumnRenamed("v", "src"), "src")
+          .groupBy($"dst".as("v")).agg(min($"label").as("nbr"))
+        // One join per round: the convergence flag rides along as a column
+        // instead of a second next-vs-old join. Every subgraph vertex has
+        // >=1 neighbour, so the inner join loses nobody.
+        // `labels` always holds exactly the persisted frame (a projection
+        // would not hit the same cache entry on unpersist); __chg is
+        // dropped by the explicit selects at every use site.
+        val next = labels.join(nbrMin, Seq("v"))
+          .select($"v", least($"label", $"nbr").as("label"),
+            ($"nbr" < $"label").as("__chg"))
+          .persist()
+        val changed = next.filter($"__chg").count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter too large for min-propagation — use large-star/small-star)")
+      val subgraph = labels.select($"v", $"label").localCheckpoint()
+      vertices.join(subgraph, Seq("v"), "left")
+        .select($"v", coalesce($"label", $"v").as("label"))
+    } finally {
+      sym.unpersist()
       labels.unpersist()
-      labels = next
-      converged = changed == 0
-      iter += 1
     }
-    sym.unpersist()
-    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
-      "(component diameter too large for min-propagation — use large-star/small-star)")
-    labels
   }
 
   /** Near-dup CLUSTERS: q21's verified LSH pairs as an undirected graph,
@@ -741,6 +778,15 @@ object DedupOps {
     * member that can flow to v along pair edges (both directions), so
     * min(reach) per vertex — CTE `cl` — is exactly the min-propagation
     * fixpoint.
+    *
+    * ORACLE COST BOUND: `r` materializes the full reachability relation,
+    * ~Σ|component|² rows, before the min() collapse — quadratic in the
+    * largest component, while the Spark side stays linear-per-round. Fine
+    * for the fixtures' small planted dup families (≤ tens of members); if
+    * a fixture ever plants a LARGE near-dup family, the DuckDB oracle
+    * will degrade quadratically and a timeout would masquerade as an
+    * engine failure — keep planted families small, or rewrite the twin as
+    * an iterative temp-table min-propagation.
     */
   private def ccClustersCte: String =
     s"""${lshBucketsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

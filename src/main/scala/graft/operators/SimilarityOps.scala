@@ -291,15 +291,26 @@ object SimilarityOps {
     * Without this, a mismatched corpus flows through a structurally
     * degenerate plan — `slice` past the end yields empty subvectors in
     * Spark while a parallel-unnest oracle NULL-pads them — two engines
-    * silently diverging instead of one loud error. One-row probe at
-    * plan-build time: setup validation, not a per-row hot-path cost.
+    * silently diverging instead of one loud error. One aggregate over the
+    * size column at plan-build time — min AND max, so a RAGGED corpus
+    * (mixed dims, which a single-row probe can sail past) and NULL
+    * embeddings (size() returns null, excluded from min/max but counted)
+    * both fail loudly. Setup validation, not a per-row hot-path cost: a
+    * narrow scan of one array-length per row, no shuffle (partial min/max
+    * combine to 1 row).
     */
-  private def requireDim(embeddings: DataFrame, dim: Int, who: String): Unit =
-    embeddings.select(size(col("embedding")).as("d")).limit(1).collect()
-      .headOption.foreach { r =>
-        require(r.getInt(0) == dim,
-          s"$who requires $dim-dim embeddings, found ${r.getInt(0)}-dim")
-      }
+  private def requireDim(embeddings: DataFrame, dim: Int, who: String): Unit = {
+    val r = embeddings
+      .agg(min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi"),
+        count(lit(1)).as("n"), count(col("embedding")).as("nonNull"))
+      .collect().head
+    if (r.getLong(2) > 0) {
+      require(r.getLong(3) == r.getLong(2),
+        s"$who requires non-null embeddings, found ${r.getLong(2) - r.getLong(3)} NULL rows")
+      require(r.getInt(0) == dim && r.getInt(1) == dim,
+        s"$who requires $dim-dim embeddings, found dims in [${r.getInt(0)}, ${r.getInt(1)}]")
+    }
+  }
 
   /** Codebook size cap. Real PQ trains a FIXED number of codewords per
     * subspace (classically 256) on a corpus sample; cost of encoding is

@@ -92,6 +92,12 @@ object EventsStreaming {
     *
     * Batch twin: DedupOps.lshDedupKeepFirst (first-event-time occupant of
     * every bucket) — StreamingSpec pins the two on closed windows.
+    *
+    * CONTRACT — sub-3-word documents bypass dedup entirely (doc-unique
+    * synthetic buckets, see DedupOps.bandedDocs): even exact-identical
+    * short lines all pass through. Compose with exact dedup (content
+    * hash + dropDuplicatesWithinWatermark, or batch q19) if identical
+    * short boilerplate must be collapsed.
     */
   def lshDedupWithinWatermark(docs: DataFrame, watermarkDelay: String = "1 hour",
       windowSize: String = "1 hour", portable: Boolean = false): DataFrame =
