@@ -41,7 +41,13 @@ object Bench {
     // exactly this), so each query runs N times and reports its median;
     // the headline total is the sum of medians.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q65_dup_clusters,q68_cluster_reps
+    // times just those queries (the driver never sets it — full run).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // a crashing query must NOT score as a fast pass: record -1 and the
       // error, and exit nonzero after reporting
       val runs = (1 to reps).map { _ =>

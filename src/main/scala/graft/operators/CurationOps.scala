@@ -256,9 +256,132 @@ object CurationOps {
        |ORDER BY source, rk""".stripMargin
   }
 
+  /** Dolma-style filter cascade — the DECISION layer over the repo's
+    * quality signals: every document gets a kept/dropped verdict plus the
+    * FIRST rule that fired (priority order: too_short → lang_filter →
+    * pii_heavy → repetitive → low_quality), the attribute-tagging shape
+    * real curation pipelines audit (per-rule drop counts, rule overlap).
+    * All signals reuse the single portable definitions (TextOps word
+    * count + quality, q61's ordered redaction counts, q50's top-trigram
+    * share), so a threshold change here can never drift from the signal
+    * queries.
+    *
+    * Scale: one doc-keyed trigram aggregate (the q50 shuffle) left-joined
+    * back; everything else is row-local codegen'd string work. Sub-3-word
+    * docs have no trigrams: their top_share is defined 0 (never
+    * "repetitive" — they are caught by too_short first).
+    */
+  def q71FilterCascade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val rep = DedupOps.trigramStream(docs)
+      .groupBy($"doc_id", $"s").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg((max($"cnt").cast("double") / sum($"cnt")).as("__share"))
+    val t1 = regexp_replace($"text", EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val nRedacted = regexp_count($"text", lit(EmailRe)).cast("long") +
+      regexp_count(t1, lit(Ipv4Re)).cast("long") +
+      regexp_count(t2, lit(LongDigitsRe)).cast("long")
+    docs.join(rep, Seq("doc_id"), "left")
+      .withColumn("n_words", TextOps.wordCount($"text"))
+      .withColumn("quality", TextOps.qualityCol)
+      .withColumn("n_redacted", nRedacted)
+      .withColumn("top_share", coalesce($"__share", lit(0.0)))
+      .withColumn("reason",
+        when($"n_words" < 20, "too_short")
+          .when(!$"lang".isin("en", "es", "de"), "lang_filter")
+          .when($"n_redacted" > 2, "pii_heavy")
+          .when($"top_share" > 0.1, "repetitive")
+          .when($"quality" < 0.5, "low_quality")
+          .otherwise("kept"))
+      .select($"doc_id", $"n_words", $"n_redacted", $"top_share", $"quality",
+        $"reason", when($"reason" === "kept", 1L).otherwise(0L).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val q71Sql: String = {
+    def g(src: String, re: String, tok: String) =
+      s"regexp_replace($src, '$re', '$tok', 'g')"
+    val t1 = g("text", EmailRe, "<EMAIL>")
+    val t2 = g(t1, Ipv4Re, "<IP>")
+    s"""WITH tri AS (
+       |  SELECT doc_id, unnest(${DedupOps.TrigramSqlExpr}) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  WHERE len(t) >= 3),
+       |pc AS (SELECT doc_id, s, count(*) AS cnt FROM tri GROUP BY doc_id, s),
+       |rep AS (SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS sh
+       |        FROM pc GROUP BY doc_id),
+       |base AS (
+       |  SELECT doc_id,
+       |    ${TextOps.wordCountSql} AS n_words,
+       |    CAST(len(regexp_extract_all(text, '$EmailRe'))
+       |       + len(regexp_extract_all($t1, '$Ipv4Re'))
+       |       + len(regexp_extract_all($t2, '$LongDigitsRe')) AS BIGINT) AS n_redacted,
+       |    coalesce(sh, CAST('0' AS DOUBLE)) AS top_share,
+       |    ${TextOps.qualitySqlExpr} AS quality,
+       |    lang
+       |  FROM documents LEFT JOIN rep USING (doc_id)),
+       |reasoned AS (
+       |  SELECT doc_id, n_words, n_redacted, top_share, quality,
+       |    CASE WHEN n_words < 20 THEN 'too_short'
+       |         WHEN lang NOT IN ('en', 'es', 'de') THEN 'lang_filter'
+       |         WHEN n_redacted > 2 THEN 'pii_heavy'
+       |         WHEN top_share > CAST('0.1' AS DOUBLE) THEN 'repetitive'
+       |         WHEN quality < CAST('0.5' AS DOUBLE) THEN 'low_quality'
+       |         ELSE 'kept' END AS reason
+       |  FROM base)
+       |SELECT doc_id, n_words, n_redacted, top_share, quality, reason,
+       |  CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM reasoned
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic global shuffle + shard layout — the LAST step before
+    * tokenized data ships to training: every document gets a
+    * pseudorandom shard and a position inside it, stable across reruns
+    * (hash-derived, no rand()). Exactly one shuffle, keyed by shard, and
+    * a per-shard sort on the hash priority — at 100 TB that is thousands
+    * of shards sorting in parallel, never a global total order.
+    */
+  private val NumShards = 8L
+
+  def q72GlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"__pr".asc, $"doc_id".asc)
+    Tables(spark, dir).documents
+      .withColumn("__pr", md5(concat(lit("gs|"), $"doc_id".cast("string"))))
+      .withColumn("shard",
+        conv(substring($"__pr", 1, 8), 16, 10).cast("long") % NumShards)
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
+  val q72Sql: String = {
+    val foldH = (1 to 8).map { j =>
+      val mult = 1L << (4 * (8 - j))
+      s"(strpos('0123456789abcdef', substr(pr, $j, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, md5('gs|' || CAST(doc_id AS VARCHAR)) AS pr
+       |  FROM documents),
+       |s AS (SELECT doc_id, pr, CAST(($foldH) % $NumShards AS BIGINT) AS shard
+       |      FROM h)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY pr, doc_id) AS BIGINT) AS pos
+       |FROM s
+       |ORDER BY shard, pos""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q61_pii_redact", q61PiiRedact, Some(q61Sql), Seq("X-curation"),
       "PII redaction: emails / IPv4s / long digit runs, ordered counts"),
+    Q("q71_filter_cascade", q71FilterCascade, Some(q71Sql), Seq("X-curation"),
+      "filter cascade with reason codes: first-failing-rule verdict per doc"),
+    Q("q72_global_shuffle", q72GlobalShuffle, Some(q72Sql), Seq("X-curation", "X-sample"),
+      "deterministic global shuffle: hash-priority shard + position layout"),
     Q("q69_domain_mix", q69DomainMix, Some(q69Sql), Seq("X-curation", "X-sample"),
       "domain-mixture sampling: target source weights, integer quotas, hash priority"),
     Q("q66_seq_pack", q66SeqPack, Some(q66Sql), Seq("X-curation"),

@@ -716,11 +716,21 @@ object DedupOps {
   private[graft] def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
     import vertices.sparkSession.implicits._
-    val sym = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    // Symmetrize by a row-local explode, NOT a self-union: a union's two
+    // branches each embed the (expensive — LSH candidate + verify) edge
+    // subplan, so materializing the persist would run it twice.
+    val sym = edges.select(explode(array(
+        struct($"doc_a".as("src"), $"doc_b".as("dst")),
+        struct($"doc_b".as("src"), $"doc_a".as("dst")))).as("e"))
+      .select($"e.src", $"e.dst")
       .persist()
-    var labels = sym.select($"src".as("v")).distinct()
-      .select($"v", $"v".as("label")).persist()
+    // Init fuses propagation round 1: the vertex list needs a dedup
+    // shuffle anyway, and groupBy-min costs the same as distinct — so
+    // start every vertex at min(self, neighbours). Near-dup cliques are
+    // then ALREADY at fixpoint and the loop only runs its convergence
+    // observation round.
+    var labels = sym.groupBy($"src".as("v")).agg(least($"v", min($"dst")).as("label"))
+      .persist()
     try {
       var iter = 0
       var converged = false

@@ -38,9 +38,9 @@ object TextOps {
   /** whitespace word count via length arithmetic (single-space separated
     * corpus): words = chars - chars_without_spaces + 1.
     */
-  private def wordCount(c: Column): Column =
+  private[graft] def wordCount(c: Column): Column =
     (length(c) - length(translate(c, " ", "")) + 1).cast("long")
-  private val wordCountSql =
+  private[graft] val wordCountSql =
     "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
 
   /** Token / length statistics per document. */
@@ -309,11 +309,113 @@ object TextOps {
       |FROM s GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top-terms per document — the keyword-extraction signal a
+    * curation pipeline uses for topic tagging and near-template
+    * detection. idf uses the same INTEGER floor-log2 as q67 (bits of
+    * N/df via `length(bin(N div df)) - 1`), so the whole score —
+    * tf · idf_bits — is integer-exact in both engines: no transcendental
+    * libm call anywhere near an output or an ordering.
+    *
+    * Plan shape at corpus scale: one shuffle builds per-(doc,term)
+    * counts; the document-frequency table derives from it (vocab-sized —
+    * its exchange is REUSED by Catalyst, and its broadcast side is tiny);
+    * the per-doc top-3 is a bounded windowed rank keyed by doc. The token
+    * stream is never shuffled raw.
+    */
+  def q70TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val tf = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf_bits", (length(bin(expr("n div df"))) - 1).cast("long"))
+      .withColumn("score", $"tf" * $"idf_bits")
+      .withColumn("term_rank", row_number().over(byScore).cast("long"))
+      .filter($"term_rank" <= 3)
+      .select($"doc_id", $"term_rank", $"term", $"tf", $"df", $"idf_bits", $"score")
+      .orderBy($"doc_id", $"term_rank")
+  }
+
+  val q70Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |s AS (SELECT doc_id, term, tf, df,
+      |             CAST(length(bin(n // df)) - 1 AS BIGINT) AS idf_bits,
+      |             CAST(tf * (length(bin(n // df)) - 1) AS BIGINT) AS score
+      |      FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT doc_id, term, tf, df, idf_bits, score,
+      |             CAST(row_number() OVER (
+      |               PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS term_rank
+      |      FROM s)
+      |SELECT doc_id, term_rank, term, tf, df, idf_bits, score
+      |FROM r WHERE term_rank <= 3
+      |ORDER BY doc_id, term_rank""".stripMargin
+
+  /** Vocabulary construction with cumulative coverage — the
+    * tokenizer-training precursor: every distinct token ranked by corpus
+    * frequency, with the running share of the token stream a top-K
+    * vocabulary would cover (how BPE/unigram vocab sizes are chosen).
+    *
+    * The heavy work — token counting — is a partial-agg shuffle keyed by
+    * term. The ranking windows then run over the VOCAB (≪ corpus; the
+    * unpartitioned window is deliberate and safe at any corpus scale —
+    * same justification as the dim_city surrogate keys), and cum_share
+    * is a ratio of exact integer sums: bit-identical across engines.
+    */
+  def q73Vocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables(spark, dir).documents
+      .select(explode(split($"text", " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy($"cnt".desc, $"term".asc)
+    val cum = byFreq.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    counts
+      .withColumn("vocab_rank", row_number().over(byFreq).cast("long"))
+      .withColumn("cum_cnt", sum($"cnt").over(cum))
+      .withColumn("cum_share", $"cum_cnt".cast("double") / sum($"cnt").over(all))
+      .select($"vocab_rank", $"term", $"cnt", $"cum_cnt", $"cum_share")
+      .orderBy($"vocab_rank")
+  }
+
+  val q73Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term)
+      |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS vocab_rank,
+      |       term, cnt,
+      |       CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+      |       CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+      |              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |         / sum(cnt) OVER () AS cum_share
+      |FROM c
+      |ORDER BY vocab_rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q15_token_stats", q15TokenStats, Some(q15Sql), Seq("F-text"),
       "per-document token/length statistics"),
     Q("q67_surprisal", q67Surprisal, Some(q67Sql), Seq("F-text"),
       "unigram-LM surprisal quality signal, integer-exact floor-log2 bits"),
+    Q("q70_tfidf", q70TfIdf, Some(q70Sql), Seq("F-text"),
+      "TF-IDF top-3 terms per document, integer-exact floor-log2 idf"),
+    Q("q73_vocab", q73Vocab, Some(q73Sql), Seq("F-text"),
+      "vocabulary construction: corpus term ranks + cumulative coverage"),
     Q("q51_bpe_tokens", q51BpeTokens, Some(q51Sql), Seq("F-text"),
       "BPE-style pre-tokenizer counts (GPT-2-shaped regex alternation)"),
     Q("q50_repetition", q50Repetition, Some(q50Sql), Seq("F-text"),

@@ -50,6 +50,47 @@ class CurationSpec extends AnyFunSuite {
     assert(picked.contains(("en", 107L)) && picked.contains(("de", 207L)))
   }
 
+  test("filter cascade reports the first failing rule in priority order") {
+    val filler = (1 to 18).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, "too short", "en", "s", 0L),
+      (2L, (1 to 25).map(i => s"f$i").mkString(" "), "fr", "s", 0L),
+      // 3 emails → pii_heavy fires BEFORE low_quality (24 words, q=0.4)
+      (3L, s"mail a@b.co mail c@d.co mail e@f.co $filler", "en", "s", 0L),
+      (4L, Seq.fill(30)("spam").mkString(" "), "en", "s", 0L),
+      (5L, (1 to 12).flatMap(i => Seq("the", s"x$i")).mkString(" "), "en", "s", 0L),
+      (6L, (1 to 60).map(i => s"k$i").mkString(" "), "en", "s", 0L)))
+    val out = CurationOps.q71FilterCascade(spark, dir)
+      .select($"doc_id", $"reason", $"kept")
+      .as[(Long, String, Long)].collect().toList
+    assert(out === List(
+      (1L, "too_short", 0L),
+      (2L, "lang_filter", 0L),
+      (3L, "pii_heavy", 0L),
+      (4L, "repetitive", 0L),
+      (5L, "low_quality", 0L),
+      (6L, "kept", 1L)))
+  }
+
+  test("global shuffle is a deterministic permutation into contiguous shard positions") {
+    val rows = (0 until 100).map(i => (i.toLong, s"doc $i text", "en", "s", 1L))
+    val dir = docsDir(rows)
+    val a = CurationOps.q72GlobalShuffle(spark, dir)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)].collect().toList
+    // every document appears exactly once; shards are in range
+    assert(a.map(_._1).sorted === (0L until 100L).toList)
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    assert(a.map(_._2).distinct.size > 1)
+    // positions within each shard are contiguous 1..n
+    a.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted === (1L to rs.size).toList)
+    }
+    // rerun-stable: hash-derived, no rand()
+    val b = CurationOps.q72GlobalShuffle(spark, dir)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)].collect().toList
+    assert(a.sorted === b.sorted)
+  }
+
   test("domain mix fills integer quotas and caps at availability deterministically") {
     // weights web 7 / book 3 / default 1 over budget 100, Σw = 11:
     // web quota 63 (binds under 100 docs), book 27 → capped at 20,

@@ -41,6 +41,50 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(out === List((1L, 3L, 2L, 2.0 / 3), (2L, 2L, 2L, 1.0)))
   }
 
+  test("tf-idf ranks rare heavy terms first with integer floor-log2 idf") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("tfidf-docs")
+    // N=4; df: apple=1 banana=2 cherry=2 common=4 date=1 eel=1
+    // idf_bits: df=1 → bitlen(4)-1=2; df=2 → 1; df=4 → 0
+    Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common common"),
+      (3L, "common cherry date"),
+      (4L, "common eel eel eel")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.TextOps.q70TfIdf(spark, dir)
+      .select($"doc_id", $"term_rank", $"term", $"tf", $"df", $"idf_bits", $"score")
+      .as[(Long, Long, String, Long, Long, Long, Long)].collect().toList
+    // doc 1: apple 2·2=4, banana 1·1=1, common 1·0=0
+    assert(out.filter(_._1 == 1L) === List(
+      (1L, 1L, "apple", 2L, 1L, 2L, 4L),
+      (1L, 2L, "banana", 1L, 2L, 1L, 1L),
+      (1L, 3L, "common", 1L, 4L, 0L, 0L)))
+    // doc 4 has only 2 distinct terms → 2 rows, eel 3·2=6 first
+    assert(out.filter(_._1 == 4L) === List(
+      (4L, 1L, "eel", 3L, 1L, 2L, 6L),
+      (4L, 2L, "common", 1L, 4L, 0L, 0L)))
+    // score ties (doc 3: cherry 1·1=1 beats nothing equal; common 0 vs
+    // nothing) — and zero-score rows still rank by term asc
+    assert(out.filter(_._1 == 3L).map(_._3) === List("date", "cherry", "common"))
+  }
+
+  test("vocabulary ranks by count then term, with exact cumulative coverage") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("vocab-docs")
+    // counts: a=3, b=2, c=1, d=1 (c/d tie → term asc); stream N=7
+    Seq((1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.TextOps.q73Vocab(spark, dir)
+      .select($"vocab_rank", $"term", $"cnt", $"cum_cnt", $"cum_share")
+      .as[(Long, String, Long, Long, Double)].collect().toList
+    assert(out === List(
+      (1L, "a", 3L, 3L, 3.0 / 7),
+      (2L, "b", 2L, 5L, 5.0 / 7),
+      (3L, "c", 1L, 6L, 6.0 / 7),
+      (4L, "d", 1L, 7L, 1.0)))
+  }
+
   test("BPE pre-tokenizer splits contractions, digit runs, and punctuation runs") {
     import org.apache.spark.sql.functions._
     val dir = TestSpark.scratch("bpe-docs")
