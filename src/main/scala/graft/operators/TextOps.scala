@@ -309,6 +309,60 @@ object TextOps {
       |FROM s GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM surprisal — q67's unigram signal upgraded to a
+    * conditional 2-gram model: each adjacent word pair (w1,w2) costs
+    * floor(log2(c(w1·)/c(w1,w2))) bits, the integer-exact analogue of
+    * −log2 P(w2|w1) with the corpus itself as the LM. Repetitive,
+    * template-heavy documents price near 0 bits/bigram; unusual word
+    * transitions price high — a sharper fluency/quality proxy than
+    * unigram frequency alone. Docs under 2 words have no bigrams and no
+    * row (same contract as q50's trigram floor).
+    *
+    * Plan: the bigram stream is ROW-LOCAL (sequence+transform over the
+    * split array, no self-join on position); counts are two partial-agg
+    * shuffles (pair counts, then prefix counts derived from them — the
+    * prefix table never rescans the corpus); the per-pair lookup is a
+    * count-table join that inherits AQE's skew handling, with the
+    * vocab-sized prefix side broadcast.
+    */
+  def q74BigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = Tables(spark, dir).documents
+      .withColumn("__t", split($"text", " "))
+      .filter(size($"__t") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"))
+        .as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    bg.join(c2, Seq("w1", "w2"))
+      .join(broadcast(c1), "w1")
+      .withColumn("bits", (length(bin(expr("c1 div c2"))) - 1).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("total_bits"))
+      .select($"doc_id", $"n_bigrams", $"total_bits",
+        ($"total_bits".cast("double") / $"n_bigrams").as("avg_bits"))
+      .orderBy($"doc_id")
+  }
+
+  val q74Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |        FROM toks WHERE len(t) >= 2)),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+      |s AS (SELECT doc_id, CAST(length(bin(c1 // c2)) - 1 AS BIGINT) AS bits
+      |      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(bits) AS BIGINT) AS total_bits,
+      |       CAST(sum(bits) AS DOUBLE) / count(*) AS avg_bits
+      |FROM s GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** TF-IDF top-terms per document — the keyword-extraction signal a
     * curation pipeline uses for topic tagging and near-template
     * detection. idf uses the same INTEGER floor-log2 as q67 (bits of
@@ -414,6 +468,8 @@ object TextOps {
       "unigram-LM surprisal quality signal, integer-exact floor-log2 bits"),
     Q("q70_tfidf", q70TfIdf, Some(q70Sql), Seq("F-text"),
       "TF-IDF top-3 terms per document, integer-exact floor-log2 idf"),
+    Q("q74_bigram_surprisal", q74BigramSurprisal, Some(q74Sql), Seq("F-text"),
+      "conditional bigram-LM surprisal, integer-exact floor-log2 bits"),
     Q("q73_vocab", q73Vocab, Some(q73Sql), Seq("F-text"),
       "vocabulary construction: corpus term ranks + cumulative coverage"),
     Q("q51_bpe_tokens", q51BpeTokens, Some(q51Sql), Seq("F-text"),

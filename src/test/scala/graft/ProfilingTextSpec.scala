@@ -41,6 +41,20 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(out === List((1L, 3L, 2L, 2.0 / 3), (2L, 2L, 2L, 1.0)))
   }
 
+  test("bigram surprisal prices transitions by exact conditional floor-log2") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("bigram-docs")
+    // c2: (a,b)=3 (b,a)=1 (b,c)=1; prefix c1: a=3, b=2
+    // bits: (a,b) → 3//3=1 → 0; (b,a) → 2//1=2 → 1; (b,c) → 1
+    Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.TextOps.q74BigramSurprisal(spark, dir)
+      .select($"doc_id", $"n_bigrams", $"total_bits", $"avg_bits")
+      .as[(Long, Long, Long, Double)].collect().toList
+    // the 1-word doc has no bigrams and no row
+    assert(out === List((1L, 3L, 1L, 1.0 / 3), (2L, 2L, 1L, 0.5)))
+  }
+
   test("tf-idf ranks rare heavy terms first with integer floor-log2 idf") {
     import org.apache.spark.sql.functions._
     val dir = TestSpark.scratch("tfidf-docs")
