@@ -167,6 +167,98 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // shared random-corpus generator for the text-operator properties:
+  // small vocab (real collisions), 1..12 words per doc
+  private def randomCorpus(nDocs: Int, seed: Long): Seq[(Long, String)] = {
+    val docGen = for {
+      n <- Gen.chooseNum(1, 12)
+      ws <- Gen.listOfN(n, Gen.chooseNum(0, 9).map(i => s"w$i"))
+    } yield ws.mkString(" ")
+    sample(docGen, nDocs, seed).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  private def corpusDir(name: String, docs: Seq[(Long, String)]): String = {
+    val dir = TestSpark.scratch(name)
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def bitlen1(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+
+  test("tf-idf matches the naive in-memory model on a random corpus") {
+    val docs = randomCorpus(40, seed = 61L)
+    val dir = corpusDir("prop-tfidf", docs)
+    val n = docs.size.toLong
+    val tokd = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val dfreq = tokd.values.flatMap(_.distinct).groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val want = tokd.flatMap { case (id, toks) =>
+      val tf = toks.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+      tf.toSeq.map { case (t, c) =>
+        val bits = bitlen1(n / dfreq(t))
+        (id, t, c, dfreq(t), bits, c * bits)
+      }.sortBy { case (_, t, _, _, _, s) => (-s, t) }
+        .take(3).zipWithIndex
+        .map { case ((i2, t, c, d, b, s), r) => (i2, (r + 1).toLong, t, c, d, b, s) }
+    }.toSet
+    val got = operators.TextOps.q70TfIdf(spark, dir)
+      .select($"doc_id", $"term_rank", $"term", $"tf", $"df", $"idf_bits", $"score")
+      .as[(Long, Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("bigram surprisal matches the naive conditional-count model") {
+    val docs = randomCorpus(40, seed = 67L)
+    val dir = corpusDir("prop-bigram", docs)
+    val bgs = docs.flatMap { case (id, t) =>
+      val w = t.split(" ", -1).toSeq
+      w.zip(w.drop(1)).map(b => (id, b))
+    }
+    val c2 = bgs.groupBy(_._2).map { case (b, o) => b -> o.size.toLong }
+    val c1 = bgs.groupBy(_._2._1).map { case (w1, o) => w1 -> o.size.toLong }
+    val want = bgs.groupBy(_._1).map { case (id, rows) =>
+      val bits = rows.map { case (_, b) => bitlen1(c1(b._1) / c2(b)) }
+      (id, rows.size.toLong, bits.sum, bits.sum.toDouble / rows.size)
+    }.toSet
+    val got = operators.TextOps.q74BigramSurprisal(spark, dir)
+      .select($"doc_id", $"n_bigrams", $"total_bits", $"avg_bits")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("vocab coverage is a monotone running share ending at exactly 1.0") {
+    val docs = randomCorpus(40, seed = 71L)
+    val dir = corpusDir("prop-vocab", docs)
+    val out = operators.TextOps.q73Vocab(spark, dir)
+      .select($"vocab_rank", $"term", $"cnt", $"cum_cnt", $"cum_share")
+      .as[(Long, String, Long, Long, Double)].collect().toList
+    val allToks = docs.flatMap(_._2.split(" ", -1))
+    assert(out.map(_._1) == (1L to out.size).toList)
+    // counts non-increasing with rank; ties broken by term asc
+    out.sliding(2).foreach {
+      case List(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+      case _ => ()
+    }
+    assert(out.map(_._3).sum == allToks.size.toLong)
+    assert(out.map(_._4) == out.map(_._3).scanLeft(0L)(_ + _).tail)
+    assert(out.last._5 == 1.0)
+  }
+
+  test("global shuffle is a bijection with contiguous positions for arbitrary ids") {
+    val ids = sample(Gen.chooseNum(0L, 1000000L), 200, seed = 73L).distinct
+    val dir = TestSpark.scratch("prop-shuffle")
+    ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.CurationOps.q72GlobalShuffle(spark, dir)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)].collect().toList
+    assert(out.map(_._1).sorted == ids.sorted.toList)
+    out.groupBy(_._2).foreach { case (s, rs) =>
+      assert(s >= 0 && s < 8)
+      assert(rs.map(_._3).sorted == (1L to rs.size).toList)
+    }
+  }
+
   test("dedupFirstInWindow matches the per-(key,bucket) earliest-row model") {
     val rowGen = for {
       user <- Gen.chooseNum(1L, 4L)
