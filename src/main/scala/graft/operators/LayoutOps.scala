@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering keys.
+  *
+  * At 100 TB the cheapest query is the one that never reads the file:
+  * single-column layouts (sort, range partition, bucketing — see
+  * `Warehouse.writeBucketed`) give min/max file skipping on ONE
+  * dimension only. Interleaving the bits of two key columns gives a
+  * space-filling curve whose contiguous ranges are axis-aligned tiles,
+  * so range-partitioning + sorting by the z-key yields files whose
+  * min/max stats prune on BOTH dimensions at once (the layout trick
+  * behind Delta/Iceberg Z-ORDER clustering). The key computation itself
+  * is pure codegen'd bit arithmetic — shiftleft/and/or, no UDF, no
+  * custom expression needed — and therefore integer-exact in the DuckDB
+  * twin as well.
+  *
+  * Reference anchor: the reference tunes physical access paths with
+  * Postgres B-tree indexes on (city, date) pairs
+  * (`/root/reference/sql/create_weather_tables.sql:108-115`); this is
+  * the columnar-lake counterpart for composite-key access.
+  */
+object LayoutOps {
+
+  /** Bit-spread masks for 32→64-bit Morton interleave (the classic
+    * magic-number spread; each step doubles the gap between live bits).
+    * Shared with the SQL twin via `spreadSql` so the two can never
+    * drift.
+    */
+  private val Steps: Seq[(Int, Long)] = Seq(
+    16 -> 0x0000FFFF0000FFFFL,
+    8 -> 0x00FF00FF00FF00FFL,
+    4 -> 0x0F0F0F0F0F0F0F0FL,
+    2 -> 0x3333333333333333L,
+    1 -> 0x5555555555555555L)
+
+  /** Inputs are masked to 31 bits so the interleaved key stays positive
+    * in a signed 64-bit long on both engines.
+    */
+  private val InMask = 0x7FFFFFFFL
+
+  private def spread(c: Column): Column =
+    Steps.foldLeft(c.cast("long").bitwiseAND(lit(InMask))) { case (x, (sh, m)) =>
+      x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(m))
+    }
+
+  /** Z-order key of two non-negative (< 2³¹) integer columns: bits of
+    * `a` on even positions, bits of `b` on odd.
+    */
+  def zorder64(a: Column, b: Column): Column =
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+
+  private def spreadSql(expr: String): String =
+    Steps.foldLeft(s"(CAST($expr AS BIGINT) & $InMask)") { case (x, (sh, m)) =>
+      s"((($x | ($x << $sh)) & $m))"
+    }
+
+  def zorderSql(a: String, b: String): String =
+    s"(${spreadSql(a)} | (${spreadSql(b)} << 1))"
+
+  /** Coarseness of the demo tile id: dropping 16 z-bits = 8 bits per
+    * dimension → 256×256-key tiles.
+    */
+  private val CellShift = 16
+
+  /** Z-order layout of lineitem on (l_partkey, l_suppkey): the clustering
+    * key plus the coarse tile each row lands in — the ordering a
+    * `repartitionByRange(zkey).sortWithinPartitions(zkey)` write would
+    * lay files out by (LayoutSpec demonstrates the resulting two-
+    * dimensional file skipping against an unclustered layout). Row-local
+    * bit arithmetic; the output ORDER BY is the clustering sort itself.
+    */
+  def q75ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      .withColumn("zkey", zorder64($"l_partkey", $"l_suppkey"))
+      .withColumn("zcell", shiftright($"zkey", CellShift))
+      .orderBy($"zkey", $"l_orderkey", $"l_linenumber")
+  }
+
+  val q75Sql: String = {
+    val z = zorderSql("l_partkey", "l_suppkey")
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  $z AS zkey,
+       |  ($z >> $CellShift) AS zcell
+       |FROM lineitem
+       |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q75_zorder_layout", q75ZorderLayout, Some(q75Sql), Seq("X-scale"),
+      "Z-order (Morton) clustering key + tile for two-dimensional file skipping"))
+}

@@ -33,6 +33,7 @@ object Registry {
       TemporalOps.queries ++
       Profiling.queries ++
       CurationOps.queries ++
+      LayoutOps.queries ++
       CorpusPipeline.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.LayoutOps
+
+/** Z-order layout: interleave correctness against a reference Morton
+  * implementation, and the actual two-dimensional file-skipping payoff
+  * measured on written files — the property the operator exists for.
+  */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mortonRef(a: Long, b: Long): Long = {
+    def spread(v: Long): Long = {
+      var x = v & 0x7FFFFFFFL
+      x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+      x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x << 2)) & 0x3333333333333333L
+      (x | (x << 1)) & 0x5555555555555555L
+    }
+    spread(a) | (spread(b) << 1)
+  }
+
+  test("zorder64 matches bit-by-bit Morton interleave on random and edge pairs") {
+    val rnd = new scala.util.Random(75)
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0x7FFFFFFFL, 0x7FFFFFFFL),
+      (0x7FFFFFFFL, 0L), (0L, 0x7FFFFFFFL)) ++
+      Seq.fill(300)((rnd.nextLong().abs & 0x7FFFFFFFL, rnd.nextLong().abs & 0x7FFFFFFFL))
+    val out = pairs.toDF("a", "b")
+      .withColumn("z", LayoutOps.zorder64($"a", $"b"))
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (a, b, z) =>
+      assert(z == mortonRef(a, b), s"($a, $b)")
+      assert(z >= 0L)
+    }
+    // bit-level decode round-trip on one nontrivial pair
+    val (a0, b0) = (0x12345678L, 0x0EDCBA98L)
+    val z0 = mortonRef(a0, b0)
+    val backA = (0 until 31).map(i => ((z0 >> (2 * i)) & 1L) << i).reduce(_ | _)
+    val backB = (0 until 31).map(i => ((z0 >> (2 * i + 1)) & 1L) << i).reduce(_ | _)
+    assert(backA == a0 && backB == b0)
+  }
+
+  test("z-ordered files prune a two-dimensional box; unclustered files do not") {
+    // 64×64 grid of (x, y) points, 16 output files each way. The box
+    // x<8 ∧ y<8 is one contiguous z-range (the first 1/64 of the curve):
+    // almost every z-range-partitioned file can be skipped on min/max
+    // stats, while round-robin files all span the full key space.
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val df = grid.toDF("x", "y").withColumn("z", LayoutOps.zorder64($"x", $"y"))
+    val base = TestSpark.scratch("zorder-layout")
+
+    df.repartitionByRange(16, $"z").sortWithinPartitions($"z")
+      .write.mode("overwrite").parquet(s"$base/zsorted")
+    df.repartition(16)
+      .write.mode("overwrite").parquet(s"$base/roundrobin")
+
+    // per-file min/max stats — what a lake format's data skipping reads
+    def touchedFiles(path: String): (Long, Long) = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"x").as("x0"), max($"x").as("x1"),
+          min($"y").as("y0"), max($"y").as("y1"))
+        .collect()
+      val touched = stats.count(r =>
+        r.getAs[Long]("x0") < 8 && r.getAs[Long]("y0") < 8)
+      (touched.toLong, stats.length.toLong)
+    }
+    val (zTouched, zTotal) = touchedFiles(s"$base/zsorted")
+    val (rrTouched, rrTotal) = touchedFiles(s"$base/roundrobin")
+    assert(zTotal == 16 && rrTotal == 16)
+    // the box is 1/64 of the space: 1 z-file must contain it entirely
+    assert(zTouched <= 2, s"z-layout touched $zTouched of $zTotal files")
+    assert(rrTouched >= 12, s"round-robin touched only $rrTouched of $rrTotal files")
+  }
+}
