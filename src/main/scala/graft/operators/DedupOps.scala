@@ -683,6 +683,84 @@ object DedupOps {
        |SELECT doc_id FROM keepers
        |ORDER BY doc_id""".stripMargin
 
+  /** INCREMENTAL near-dup dedup — the delta-ingestion pattern: the corpus
+    * is split into an already-curated index (doc_id below the 80% split
+    * point) and a NEW BATCH (the rest); each batch document gets a
+    * verdict: `dup_of_corpus` (verified LSH near-dup of an index doc —
+    * the corpus copy wins unconditionally), else `dup_in_batch` (near-dup
+    * of a smaller-id batch doc — first occurrence wins), else `kept`,
+    * plus the smallest winning partner id (NULL when kept). This is how
+    * a 100 TB pipeline ingests a new crawl snapshot WITHOUT re-deduping
+    * the whole corpus: the index side contributes only its banded
+    * signatures, the batch is the only side that is fully re-processed.
+    *
+    * The verdict is pairwise, not transitive: a batch doc is dropped if
+    * ANY earlier near-dup exists, even one that was itself dropped —
+    * the same greedy first-wins rule as q64; chained families that need
+    * transitive resolution are q65's job. Sub-3-word docs have no
+    * shingles, pair with nothing, and are always kept (q64's contract).
+    *
+    * Plan: the verified pair list is q21's LSH join (banded signatures,
+    * exact-Jaccard verify); the split point rides as a broadcast 1-row
+    * frame (never a driver constant); verdicts are two bounded
+    * aggregates over the pair list — |pairs| rows, not |corpus| —
+    * left-joined back to the batch.
+    */
+  def q77IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val pairs = minhashLsh(spark, dir, portable = true).select($"doc_a", $"doc_b")
+    val split = docs.agg(floor(lit(0.8) * (max($"doc_id") + 1)).cast("long").as("s"))
+    val p = pairs.crossJoin(broadcast(split))
+    val corpusWins = p.filter($"doc_a" < $"s" && $"doc_b" >= $"s")
+      .groupBy($"doc_b".as("doc_id")).agg(min($"doc_a").as("cp"))
+    val batchWins = p.filter($"doc_a" >= $"s")
+      .groupBy($"doc_b".as("doc_id")).agg(min($"doc_a").as("bp"))
+    docs.select($"doc_id").crossJoin(broadcast(split)).filter($"doc_id" >= $"s")
+      .join(corpusWins, Seq("doc_id"), "left")
+      .join(batchWins, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"cp".isNotNull, "dup_of_corpus")
+          .when($"bp".isNotNull, "dup_in_batch")
+          .otherwise("kept").as("verdict"),
+        coalesce($"cp", $"bp").as("partner"))
+      .orderBy($"doc_id")
+  }
+
+  val q77Sql: String =
+    s"""$lshBucketsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |ws AS (
+       |  SELECT doc_a, doc_b, len(list_intersect(sa.shingles, sb.shingles)) AS inter
+       |  FROM cand
+       |  JOIN sh sa ON doc_a = sa.doc_id
+       |  JOIN sh sb ON doc_b = sb.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM ws
+       |  JOIN counts ca ON doc_a = ca.doc_id
+       |  JOIN counts cb ON doc_b = cb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+       |split AS (
+       |  SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS s FROM documents),
+       |cw AS (SELECT doc_b AS doc_id, min(doc_a) AS cp
+       |       FROM pairs, split WHERE doc_a < s AND doc_b >= s GROUP BY doc_b),
+       |bw AS (SELECT doc_b AS doc_id, min(doc_a) AS bp
+       |       FROM pairs, split WHERE doc_a >= s GROUP BY doc_b),
+       |batch AS (SELECT doc_id FROM documents, split WHERE doc_id >= s)
+       |SELECT b.doc_id,
+       |  CASE WHEN cw.cp IS NOT NULL THEN 'dup_of_corpus'
+       |       WHEN bw.bp IS NOT NULL THEN 'dup_in_batch'
+       |       ELSE 'kept' END AS verdict,
+       |  coalesce(cw.cp, bw.bp) AS partner
+       |FROM batch b
+       |LEFT JOIN cw ON b.doc_id = cw.doc_id
+       |LEFT JOIN bw ON b.doc_id = bw.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   /** Connected components by iterative min-label propagation: every
     * vertex starts labeled with itself; each round, a vertex adopts the
     * smallest label among itself and its neighbours; fixpoint = every
@@ -877,6 +955,8 @@ object DedupOps {
       "per-cluster representative selection by portable quality score"),
     Q("q64_keepfirst_dedup", q64KeepFirstDedup, Some(q64Sql), Seq("X-dedup"),
       "LSH keep-first dedup materialization (batch twin of the streaming path)"),
+    Q("q77_incremental_dedup", q77IncrementalDedup, Some(q77Sql), Seq("X-dedup"),
+      "incremental near-dup dedup of a new batch against a corpus index"),
     Q("q58_rolling_dedup", q58RollingDedup, Some(q58Sql), Seq("X-dedup"),
       "dedup keyed by the native Rabin-Karp rolling-hash expression"),
     Q("q49_contamination", q49Contamination, Some(q49Sql), Seq("X-dedup"),

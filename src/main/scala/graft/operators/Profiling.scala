@@ -67,7 +67,66 @@ object Profiling {
       |SELECT * FROM po UNION ALL SELECT * FROM pl
       |ORDER BY key_col""".stripMargin
 
+  /** Per-group Pearson correlation by SUFFICIENT STATISTICS — the
+    * one-pass distributed pattern for second-moment analytics: each
+    * group reduces to six exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    * in a single partial+final aggregate, and the correlation is pure
+    * arithmetic over them. That shape is why it scales: the shuffle
+    * payload is six longs per group regardless of group size, and the
+    * sums are mergeable across any partitioning (the same reason
+    * count/sum sketches work). Here: corr(n_chars, word_count) per
+    * source — a drift check between the stored length metadata and the
+    * actual text.
+    *
+    * ORACLE-EXACT float: the covariance/variance terms are exact BIGINTs
+    * (documented bound: n·Σx² < 2⁶³ — at larger scale promote the sums
+    * to DECIMAL(38,0), same formula); each converts exactly to double
+    * (< 2⁵³), and IEEE-754 sqrt/division are correctly rounded in both
+    * engines, so the double is bit-identical, never approximated.
+    * Degenerate variance (constant column) → NULL, not NaN.
+    */
+  def q79CorrStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).documents.select($"source",
+      $"n_chars".cast("long").as("x"),
+      size(split($"text", " ")).cast("long").as("y"))
+    val s = d.groupBy($"source").agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+      sum($"y" * $"y").as("syy"))
+    val dx = $"n" * $"sxx" - $"sx" * $"sx"
+    val dy = $"n" * $"syy" - $"sy" * $"sy"
+    s.select($"source", $"n", $"sx", $"sy", $"sxy", $"sxx", $"syy",
+        when(dx > 0 && dy > 0,
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+          .as("corr"))
+      .orderBy($"source")
+  }
+
+  val q79Sql: String =
+    """WITH d AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM d GROUP BY source)
+      |SELECT source, n, sx, sy, sxy, sxx, syy,
+      |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+      |    CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      |  END AS corr
+      |FROM s ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q53_skew_profile", q53SkewProfile, Some(q53Sql), Seq("X-scale"),
-      "join-key skew profiler: cardinality, hot-key count, p95, skew ratio"))
+      "join-key skew profiler: cardinality, hot-key count, p95, skew ratio"),
+    Q("q79_corr_stats", q79CorrStats, Some(q79Sql), Seq("X-scale"),
+      "per-group Pearson correlation via exact sufficient statistics"))
 }

@@ -219,6 +219,115 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-boilerplate share per document: the fraction of a document's
+    * trigram POSITIONS whose trigram also occurs in ≥ 3 distinct other
+    * documents — the cross-document twin of q50's intra-document
+    * repetition, and the signal behind boilerplate stripping (nav bars,
+    * license headers, templated footers) in pretraining curation
+    * (RefinedWeb/C4-style line dedup, expressed over shingles because
+    * this corpus has no line structure). Docs under 3 words have no
+    * trigrams and no row (q50's contract).
+    *
+    * Plan shape at corpus scale: the document-frequency table is one
+    * partial+final aggregate over the shingle stream, and the per-
+    * position flag join ships only the BOILERPLATE subset (df ≥ 3 —
+    * by construction a small fraction of the shingle vocabulary, and
+    * broadcastable long after the full df table stops being so); a
+    * position is flagged by a left join against that subset, so the
+    * token stream is shuffled once, keyed by shingle, with AQE skew
+    * handling on hot boilerplate shingles.
+    */
+  def q76Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pos = DedupOps.trigramStream(Tables(spark, dir).documents)
+    val boiler = pos.select($"doc_id", $"s").distinct()
+      .groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 3)
+    pos.join(boiler.select($"s", lit(1L).as("__b")), Seq("s"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(coalesce($"__b", lit(0L))).as("n_boiler"))
+      .select($"doc_id", $"n_trigrams", $"n_boiler",
+        ($"n_boiler".cast("double") / $"n_trigrams").as("boiler_share"))
+      .orderBy($"doc_id")
+  }
+
+  val q76Sql: String =
+    s"""WITH pos AS (
+      |  SELECT doc_id, unnest(${DedupOps.TrigramSqlExpr}) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |boiler AS (
+      |  SELECT s FROM (
+      |    SELECT s, count(DISTINCT doc_id) AS df FROM pos GROUP BY s)
+      |  WHERE df >= 3)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+      |  CAST(count(b.s) AS BIGINT) AS n_boiler,
+      |  CAST(count(b.s) AS DOUBLE) / count(*) AS boiler_share
+      |FROM pos LEFT JOIN boiler b USING (s)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Positive-PMI bigram collocations — corpus-level association mining
+    * (the collocation/multi-word-expression detector a tokenizer or
+    * phrase-table builder runs first). PMI = log₂(N·c₁₂ / (c₁·c₂)) is
+    * made ORACLE-EXACT with the q67 floor-log2 rule over the integer
+    * rational: pairs are kept only when N·c₁₂ ≥ c₁·c₂ (PMI ≥ 0 — the
+    * standard positive-PMI cut, which also keeps the arithmetic in
+    * non-negative integers) and c₁₂ ≥ 2 (singleton pairs are noise).
+    *
+    * Unigram counts are DERIVED from the pair-count table (sum of c₁₂
+    * over each side), so the token stream is aggregated exactly once;
+    * everything after that first shuffle is vocab²-sized at most, and
+    * the unigram/total sides join as broadcasts. N·c₁₂ and c₁·c₂ are
+    * BIGINT — exact while total_tokens · max_pair_count < 2⁶³; past
+    * that (extreme-corpus hot pairs) the engine-side product needs
+    * DECIMAL(38,0), one cast away, same floor-log2 rule.
+    */
+  def q78Pmi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = Tables(spark, dir).documents
+      .withColumn("__t", split($"text", " "))
+      .filter(size($"__t") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"))
+        .as("b"))
+      .select($"b.w1".as("w1"), $"b.w2".as("w2"))
+    val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val uni = c12.select($"w1".as("w"), $"c12")
+      .unionByName(c12.select($"w2".as("w"), $"c12"))
+      .groupBy($"w").agg(sum($"c12").as("c"))
+    val n = uni.agg(sum($"c").as("n"))
+    c12.join(broadcast(uni.select($"w".as("w1"), $"c".as("c1"))), "w1")
+      .join(broadcast(uni.select($"w".as("w2"), $"c".as("c2"))), "w2")
+      .crossJoin(broadcast(n))
+      .filter($"c12" >= 2 && $"n" * $"c12" >= $"c1" * $"c2")
+      .withColumn("pmi_bits",
+        (length(bin(expr("(n * c12) div (c1 * c2)"))) - 1).cast("long"))
+      .select($"w1", $"w2", $"c12", $"c1", $"c2", $"pmi_bits")
+      .orderBy($"pmi_bits".desc, $"c12".desc, $"w1", $"w2")
+  }
+
+  val q78Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+      |        FROM toks WHERE len(t) >= 2)),
+      |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |        FROM bg GROUP BY w1, w2),
+      |uni AS (SELECT w, CAST(sum(c12) AS BIGINT) AS c FROM (
+      |          SELECT w1 AS w, c12 FROM c12
+      |          UNION ALL SELECT w2 AS w, c12 FROM c12)
+      |        GROUP BY w),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+      |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+      |  CAST(length(bin((n * c12) // (u1.c * u2.c))) - 1 AS BIGINT) AS pmi_bits
+      |FROM c12 JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w CROSS JOIN n
+      |WHERE c12 >= 2 AND n * c12 >= u1.c * u2.c
+      |ORDER BY pmi_bits DESC, c12 DESC, w1, w2""".stripMargin
+
   /** BPE-style pre-tokenization counts. The regex is the GPT-2-shaped
     * pre-tokenizer alternation (contraction suffixes | space-prefixed
     * letter runs | digit runs | punctuation runs) restricted to
@@ -476,6 +585,10 @@ object TextOps {
       "BPE-style pre-tokenizer counts (GPT-2-shaped regex alternation)"),
     Q("q50_repetition", q50Repetition, Some(q50Sql), Seq("F-text"),
       "intra-document repetition: top trigram share of occurrences"),
+    Q("q76_boilerplate", q76Boilerplate, Some(q76Sql), Seq("F-text"),
+      "cross-document boilerplate trigram share per document"),
+    Q("q78_pmi", q78Pmi, Some(q78Sql), Seq("F-text"),
+      "positive-PMI bigram collocations, integer-exact floor-log2 bits"),
     Q("q39_sample_per_group", q39Sample, Some(q39Sql), Seq("X-sample"),
       "deterministic hash-priority stratified sampling"),
     Q("q16_lang_id", q16LangId, Some(q16Sql), Seq("F-text"),

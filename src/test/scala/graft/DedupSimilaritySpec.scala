@@ -130,6 +130,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept === Set(0L, 2L, 3L, 4L))
   }
 
+  test("incremental dedup: corpus partner wins, then batch-first, short docs kept") {
+    val dir = TestSpark.scratch("dedup-incr")
+    def txt(tag: String) = (1 to 60).map(i => s"$tag$i").mkString(" ")
+    // 16 docs → split = floor(0.8·16) = 12; batch = {12..15}.
+    // 12 = copy of corpus doc 3 → dup_of_corpus(3); 13 = new text →
+    // kept; 14 = copy of 13 → dup_in_batch(13); 15 = 1 word → kept.
+    // Corpus-internal dup pair (5,6) must not surface in the output.
+    val rows = (0 to 11).map(i => (i.toLong, if (i == 6) txt("u5_") else txt(s"u${i}_"))) ++
+      Seq((12L, txt("u3_")), (13L, txt("new_")), (14L, txt("new_")), (15L, "hi"))
+    rows.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupOps.q77IncrementalDedup(spark, dir)
+      .select($"doc_id", $"verdict", $"partner")
+      .as[(Long, String, Option[Long])].collect().toList
+    assert(out === List(
+      (12L, "dup_of_corpus", Some(3L)),
+      (13L, "kept", None),
+      (14L, "dup_in_batch", Some(13L)),
+      (15L, "kept", None)))
+  }
+
   test("simhash: identical docs collide; near-dups are close in Hamming distance") {
     val sig = DedupOps.q22Simhash(spark, docDir)
       .as[(Long, Long)].collect().toMap

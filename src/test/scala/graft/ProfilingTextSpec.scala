@@ -99,6 +99,70 @@ class ProfilingTextSpec extends AnyFunSuite {
       (4L, "d", 1L, 7L, 1.0)))
   }
 
+  test("boilerplate share counts positions against distinct-doc trigram frequency") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("boiler-docs")
+    // "x y z" occurs in 4 DISTINCT docs → boilerplate (df ≥ 3); every
+    // other trigram is doc-unique. Doc 5 repeats the boiler trigram at 2
+    // of its 5 POSITIONS (multiset positions, distinct-doc df). The
+    // 1-word doc has no trigrams and no row.
+    Seq(
+      (1L, "x y z a b"),
+      (2L, "x y z c d"),
+      (3L, "x y z e f"),
+      (4L, "p q r s"),
+      (5L, "x y z x y z x"),
+      (6L, "hi")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.TextOps.q76Boilerplate(spark, dir)
+      .select($"doc_id", $"n_trigrams", $"n_boiler", $"boiler_share")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out === List(
+      (1L, 3L, 1L, 1.0 / 3), (2L, 3L, 1L, 1.0 / 3), (3L, 3L, 1L, 1.0 / 3),
+      (4L, 2L, 0L, 0.0), (5L, 5L, 2L, 0.4)))
+  }
+
+  test("PMI collocations keep positive-PMI pairs with exact floor-log2 bits") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("pmi-docs")
+    // bigrams: doc1 (a,b)×3 (b,a)×2; doc2 (c,d)×3 (d,c)×2; doc3 (a,d)×1
+    // unigram sums over both bigram slots: a=6 b=5 c=5 d=6; N=22
+    // (a,b): 22·3=66 ≥ 6·5=30 → 66//30=2 → 1 bit; (b,a): 44 ≥ 30 → 0 bits
+    // (c,d): 66 ≥ 25 → 1 bit;                 (d,c): 44 ≥ 30 → 0 bits
+    // (a,d): c12=1 < 2 → excluded
+    Seq((1L, "a b a b a b"), (2L, "c d c d c d"), (3L, "a d"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.TextOps.q78Pmi(spark, dir)
+      .select($"w1", $"w2", $"c12", $"c1", $"c2", $"pmi_bits")
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    assert(out === List(
+      ("a", "b", 3L, 6L, 5L, 1L),
+      ("c", "d", 3L, 5L, 6L, 1L),
+      ("b", "a", 2L, 5L, 6L, 0L),
+      ("d", "c", 2L, 6L, 5L, 0L)))
+  }
+
+  test("corr stats emit exact sufficient sums; degenerate variance is NULL not NaN") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("corr-docs")
+    // source A: (x, y) = (10,1) (20,2) (30,3) — perfectly linear;
+    // source B: word count constant → zero y-variance → corr NULL
+    Seq(
+      (1L, "w", "A", 10L), (2L, "w w", "A", 20L), (3L, "w w w", "A", 30L),
+      (4L, "a b", "B", 5L), (5L, "c d", "B", 9L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Profiling.q79CorrStats(spark, dir).collect()
+    val a = rows.find(_.getAs[String]("source") == "A").get
+    assert((a.getAs[Long]("n"), a.getAs[Long]("sx"), a.getAs[Long]("sy"),
+      a.getAs[Long]("sxy"), a.getAs[Long]("sxx"), a.getAs[Long]("syy"))
+      === ((3L, 60L, 6L, 140L, 1400L, 14L)))
+    assert(math.abs(a.getAs[Double]("corr") - 1.0) < 1e-12)
+    val b = rows.find(_.getAs[String]("source") == "B").get
+    assert(b.isNullAt(b.fieldIndex("corr")))
+  }
+
   test("BPE pre-tokenizer splits contractions, digit runs, and punctuation runs") {
     import org.apache.spark.sql.functions._
     val dir = TestSpark.scratch("bpe-docs")
