@@ -683,6 +683,52 @@ object DedupOps {
        |SELECT doc_id FROM keepers
        |ORDER BY doc_id""".stripMargin
 
+  /** Prefix-family duplicate detection: documents sharing an identical
+    * 20-word PREFIX are grouped into families — the truncation/expansion
+    * dup class (re-crawls cut at different lengths, template pages with
+    * appended content) that whole-document hashing misses and Jaccard
+    * may under-score when the tails diverge hard. `n_variants` counts
+    * distinct full-text digests inside the family: 1 = pure exact-dup
+    * family (q19's case), >1 = genuine partial dups needing inspection.
+    * Docs under 20 words are out of scope (a 20-word prefix IS the doc).
+    *
+    * Scale shape: one row-local projection (split/slice/md5 — no
+    * shingle explosion), one group-by keyed on the 128-bit prefix
+    * digest, one join back. The family table after the size≥2 filter is
+    * tiny (dup families are rare), so the join-back broadcasts at scale.
+    */
+  def q82PrefixDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).documents
+      .withColumn("__t", split($"text", " "))
+      .filter(size($"__t") >= 20)
+      .select($"doc_id",
+        md5(concat_ws(" ", slice($"__t", 1, 20))).as("pk"),
+        md5($"text").as("fh"))
+    val fam = d.groupBy($"pk").agg(
+        min($"doc_id").as("family_id"),
+        count(lit(1)).as("family_size"),
+        countDistinct($"fh").as("n_variants"))
+      .filter($"family_size" >= 2)
+    d.join(fam, "pk")
+      .select($"doc_id", $"family_id", $"family_size", $"n_variants")
+      .orderBy($"doc_id")
+  }
+
+  val q82Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(array_to_string(t[1:20], ' ')) AS pk, md5(text) AS fh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 20),
+      |fam AS (
+      |  SELECT pk, min(doc_id) AS family_id,
+      |         CAST(count(*) AS BIGINT) AS family_size,
+      |         CAST(count(DISTINCT fh) AS BIGINT) AS n_variants
+      |  FROM d GROUP BY pk HAVING count(*) >= 2)
+      |SELECT doc_id, family_id, family_size, n_variants
+      |FROM d JOIN fam USING (pk)
+      |ORDER BY doc_id""".stripMargin
+
   /** INCREMENTAL near-dup dedup — the delta-ingestion pattern: the corpus
     * is split into an already-curated index (doc_id below the 80% split
     * point) and a NEW BATCH (the rest); each batch document gets a
@@ -957,6 +1003,8 @@ object DedupOps {
       "LSH keep-first dedup materialization (batch twin of the streaming path)"),
     Q("q77_incremental_dedup", q77IncrementalDedup, Some(q77Sql), Seq("X-dedup"),
       "incremental near-dup dedup of a new batch against a corpus index"),
+    Q("q82_prefix_dup", q82PrefixDup, Some(q82Sql), Seq("X-dedup"),
+      "prefix-family partial-dup detection with full-text variant counts"),
     Q("q58_rolling_dedup", q58RollingDedup, Some(q58Sql), Seq("X-dedup"),
       "dedup keyed by the native Rabin-Karp rolling-hash expression"),
     Q("q49_contamination", q49Contamination, Some(q49Sql), Seq("X-dedup"),

@@ -439,9 +439,170 @@ object TemporalOps {
       |WHERE o_custkey <= 100
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Ordered funnel analysis — the signup → view → click → purchase
+    * conversion report, with STRICT event-time ordering: a user reaches
+    * step k only if their earliest step-k event happened strictly after
+    * their earliest step-(k−1) event (min-per-step, the standard
+    * "first-touch" funnel; ties at identical micros do NOT convert —
+    * deterministic in both engines).
+    *
+    * One shuffle: min-per-step is a conditional-min hash aggregate keyed
+    * by user (partial+final — the event stream never moves raw), and the
+    * funnel counts are a second single-row aggregate over |users| rows.
+    * Conversion ratios are exact-int divisions. The oracle casts ts to
+    * micros (q36/q52 precedent) so nanos can't split a tie differently.
+    */
+  def q80Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables(spark, dir).events.groupBy($"user_id").agg(
+      min(when($"event_type" === "signup", $"ts")).as("t1"),
+      min(when($"event_type" === "view", $"ts")).as("t2"),
+      min(when($"event_type" === "click", $"ts")).as("t3"),
+      min(when($"event_type" === "purchase", $"ts")).as("t4"))
+    val r2 = $"t1".isNotNull && $"t2" > $"t1"
+    val r3 = r2 && $"t3" > $"t2"
+    val f = m.agg(
+      count(lit(1)).as("n_users"),
+      sum(when($"t1".isNotNull, 1L).otherwise(0L)).as("s1"),
+      sum(when(r2, 1L).otherwise(0L)).as("s2"),
+      sum(when(r3, 1L).otherwise(0L)).as("s3"),
+      sum(when(r3 && $"t4" > $"t3", 1L).otherwise(0L)).as("s4"))
+    f.select(explode(array(
+        struct(lit(1L).as("step"), lit("signup").as("event_type"),
+          $"s1".as("n_reached"), $"n_users".as("n_prev")),
+        struct(lit(2L).as("step"), lit("view").as("event_type"),
+          $"s2".as("n_reached"), $"s1".as("n_prev")),
+        struct(lit(3L).as("step"), lit("click").as("event_type"),
+          $"s3".as("n_reached"), $"s2".as("n_prev")),
+        struct(lit(4L).as("step"), lit("purchase").as("event_type"),
+          $"s4".as("n_reached"), $"s3".as("n_prev")))).as("r"))
+      .select($"r.step", $"r.event_type", $"r.n_reached",
+        when($"r.n_prev" > 0,
+          $"r.n_reached".cast("double") / $"r.n_prev").as("conversion"))
+      .orderBy($"step")
+  }
+
+  val q80Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (
+      |  SELECT user_id,
+      |    min(ts) FILTER (WHERE event_type = 'signup') AS t1,
+      |    min(ts) FILTER (WHERE event_type = 'view') AS t2,
+      |    min(ts) FILTER (WHERE event_type = 'click') AS t3,
+      |    min(ts) FILTER (WHERE event_type = 'purchase') AS t4
+      |  FROM e GROUP BY user_id),
+      |f AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(count(*) FILTER (WHERE t1 IS NOT NULL) AS BIGINT) AS s1,
+      |    CAST(count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1) AS BIGINT) AS s2,
+      |    CAST(count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1 AND t3 > t2)
+      |      AS BIGINT) AS s3,
+      |    CAST(count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1 AND t3 > t2
+      |      AND t4 > t3) AS BIGINT) AS s4
+      |  FROM m)
+      |SELECT step, event_type, n_reached,
+      |  CASE WHEN n_prev > 0 THEN CAST(n_reached AS DOUBLE) / n_prev END AS conversion
+      |FROM (
+      |  SELECT 1 AS step, 'signup' AS event_type, s1 AS n_reached, n_users AS n_prev FROM f
+      |  UNION ALL SELECT 2, 'view', s2, s1 FROM f
+      |  UNION ALL SELECT 3, 'click', s3, s2 FROM f
+      |  UNION ALL SELECT 4, 'purchase', s4, s3 FROM f)
+      |ORDER BY step""".stripMargin
+
+  /** Trailing-window anomaly detection over the hourly event stream:
+    * each (event_type, hour) is z-scored against the PRECEDING 24 hours
+    * (never itself — a detector that includes the point under test
+    * dilutes its own signal). The hour grid is DENSIFIED first (missing
+    * hours are real zero observations, not gaps — skipping them would
+    * silently shrink the baseline window), which costs only
+    * |types| × |hours| rows — invariant to event volume.
+    *
+    * The z-score is kept oracle-exact with the q79 discipline: numerator
+    * n·x − Σx and variance term n·Σx² − (Σx)² are exact BIGINTs from
+    * integer window sums, so z = (n·x − Σx)/√(n·Σx² − (Σx)²) (the
+    * population-σ z-score, algebraically rearranged to a single sqrt of
+    * an exact integer) is bit-identical in both engines. Warmup hours
+    * (window < 24) and zero-variance windows report NULL, flagged false.
+    *
+    * Scale shape: one partial+final aggregate shuffles |type × hour|
+    * rows; the sliding stats are a bounded 24-row frame per partition.
+    */
+  def q81Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val hc = ev.groupBy($"event_type",
+        floor(unix_timestamp($"ts") / 3600).cast("long").as("hour_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = ev.agg(
+      floor(min(unix_timestamp($"ts")) / 3600).cast("long").as("h0"),
+      floor(max(unix_timestamp($"ts")) / 3600).cast("long").as("h1"))
+    val grid = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(sequence($"h0", $"h1")).as("hour_id"))
+    val dense = grid.join(hc, Seq("event_type", "hour_id"), "left")
+      .select($"event_type", $"hour_id", coalesce($"cnt", lit(0L)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour_id")
+      .rowsBetween(-24, -1)
+    val varTerm = $"win_n" * $"win_sumsq" - $"win_sum" * $"win_sum"
+    dense
+      .withColumn("win_n", count(lit(1)).over(w))
+      // empty warmup frame: count is 0 but sums are NULL — pin to 0 so
+      // the engines agree on the emitted baseline columns
+      .withColumn("win_sum", coalesce(sum($"cnt").over(w), lit(0L)))
+      .withColumn("win_sumsq", coalesce(sum($"cnt" * $"cnt").over(w), lit(0L)))
+      .withColumn("z",
+        when($"win_n" === 24 && varTerm > 0,
+          ($"win_n" * $"cnt" - $"win_sum").cast("double")
+            / sqrt(varTerm.cast("double"))))
+      .withColumn("is_anomaly", coalesce(abs($"z") >= 3.0, lit(false)))
+      .select($"event_type", $"hour_id", $"cnt",
+        $"win_n", $"win_sum", $"win_sumsq", $"z", $"is_anomaly")
+      .orderBy($"event_type", $"hour_id")
+  }
+
+  val q81Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+      |           AS hour_id
+      |  FROM events),
+      |hc AS (SELECT event_type, hour_id, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY event_type, hour_id),
+      |bounds AS (SELECT min(hour_id) AS h0, max(hour_id) AS h1 FROM e),
+      |grid AS (
+      |  SELECT t.event_type, CAST(unnest(range(h0, h1 + 1)) AS BIGINT) AS hour_id
+      |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN bounds),
+      |dense AS (
+      |  SELECT g.event_type, g.hour_id, coalesce(hc.cnt, 0) AS cnt
+      |  FROM grid g LEFT JOIN hc ON g.event_type = hc.event_type
+      |                          AND g.hour_id = hc.hour_id),
+      |win AS (
+      |  SELECT event_type, hour_id, cnt,
+      |    CAST(count(*) OVER tw AS BIGINT) AS win_n,
+      |    CAST(coalesce(sum(cnt) OVER tw, 0) AS BIGINT) AS win_sum,
+      |    CAST(coalesce(sum(cnt * cnt) OVER tw, 0) AS BIGINT) AS win_sumsq
+      |  FROM dense
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour_id
+      |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT event_type, hour_id, cnt, win_n, win_sum, win_sumsq,
+      |    CASE WHEN win_n = 24 AND win_n * win_sumsq - win_sum * win_sum > 0
+      |      THEN CAST(win_n * cnt - win_sum AS DOUBLE)
+      |           / sqrt(CAST(win_n * win_sumsq - win_sum * win_sum AS DOUBLE))
+      |    END AS z
+      |  FROM win)
+      |SELECT event_type, hour_id, cnt, win_n, win_sum, win_sumsq, z,
+      |  coalesce(abs(z) >= 3, FALSE) AS is_anomaly
+      |FROM z
+      |ORDER BY event_type, hour_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
+    Q("q80_funnel", q80Funnel, Some(q80Sql), Seq("X-temporal"),
+      "ordered funnel conversion with strict first-touch event-time steps"),
+    Q("q81_anomaly", q81Anomaly, Some(q81Sql), Seq("X-temporal", "X-stats"),
+      "trailing-24h z-score anomaly detection over densified hourly counts"),
     Q("q56_range_frame", q56RangeFrame, Some(q56Sql), Seq("W1", "X-temporal"),
       "RANGE-interval window frame: trailing 7-day revenue per customer"),
     Q("q52_temporal_dedup", q52TemporalDedup, Some(q52Sql), Seq("X-temporal", "X-dedup"),

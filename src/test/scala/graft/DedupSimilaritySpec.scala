@@ -152,6 +152,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (15L, "kept", None)))
   }
 
+  test("prefix families split exact-dup and partial-dup variants") {
+    val dir = TestSpark.scratch("dedup-prefix")
+    val pre = (1 to 20).map(i => s"p$i").mkString(" ")
+    val full = (1 to 20).map(i => s"q$i").mkString(" ") + " " +
+      (1 to 10).map(i => s"same$i").mkString(" ")
+    Seq(
+      (0L, pre + " tailA tailA2 tailA3 tailA4 tailA5"), // partial-dup pair:
+      (1L, pre + " tailB tailB2 tailB3 tailB4 tailB5"), // same prefix, 2 variants
+      (2L, full), (3L, full),                           // exact-dup pair: 1 variant
+      (4L, (1 to 25).map(i => s"solo$i").mkString(" ")), // unique → no row
+      (5L, (1 to 19).map(i => s"p$i").mkString(" ")))   // <20 words → out of scope
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupOps.q82PrefixDup(spark, dir)
+      .select($"doc_id", $"family_id", $"family_size", $"n_variants")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(out === List(
+      (0L, 0L, 2L, 2L), (1L, 0L, 2L, 2L),
+      (2L, 2L, 2L, 1L), (3L, 2L, 2L, 1L)))
+  }
+
   test("simhash: identical docs collide; near-dups are close in Hamming distance") {
     val sig = DedupOps.q22Simhash(spark, docDir)
       .as[(Long, Long)].collect().toMap

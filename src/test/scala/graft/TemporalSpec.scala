@@ -100,4 +100,58 @@ class TemporalSpec extends AnyFunSuite {
       .select($"event_id").as[Long].collect().toSet
     assert(kept == Set(4L, 7L, 8L))
   }
+
+  test("funnel requires strictly increasing first-touch times per step") {
+    val dir = TestSpark.scratch("funnel-events")
+    def ns(min: Long): Long = min * 60000L * 1000000L
+    // u1 fully ordered; u2 clicked BEFORE viewing (stops at view);
+    // u3 never signed up (reaches nothing); u4 signup/view tie (strict >
+    // fails → stops at signup)
+    val rows = Seq(
+      (1L, 1L, ns(0), "signup"), (2L, 1L, ns(10), "view"),
+      (3L, 1L, ns(20), "click"), (4L, 1L, ns(30), "purchase"),
+      (5L, 2L, ns(0), "signup"), (6L, 2L, ns(10), "view"),
+      (7L, 2L, ns(5), "click"),
+      (8L, 3L, ns(0), "view"),
+      (9L, 4L, ns(0), "signup"), (10L, 4L, ns(0), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TemporalOps.q80Funnel(spark, dir)
+      .select($"step", $"event_type", $"n_reached", $"conversion")
+      .as[(Long, String, Long, Option[Double])].collect().toList
+    assert(out === List(
+      (1L, "signup", 3L, Some(3.0 / 4)),
+      (2L, "view", 2L, Some(2.0 / 3)),
+      (3L, "click", 1L, Some(1.0 / 2)),
+      (4L, "purchase", 1L, Some(1.0))))
+  }
+
+  test("anomaly z-scores against the trailing 24h with densified zero hours") {
+    val dir = TestSpark.scratch("anomaly-events")
+    def ns(hour: Long, i: Long): Long = (hour * 3600L + i) * 1000000000L
+    // hours 0..23: one click each EXCEPT hour 7 (empty — must densify
+    // to cnt 0); hour 24: 10 clicks. Baseline for hour 24: n=24,
+    // sum=23, sumsq=23 → z = (24·10−23)/√(24·23−23²) = 217/√23
+    val rows = ((0L to 23L).filter(_ != 7L).map(h => (h, 0L)) ++
+      (0L until 10L).map(i => (24L, i))).zipWithIndex.map {
+      case ((h, i), id) => (id.toLong, 1L, ns(h, i), "click")
+    }
+    rows.toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TemporalOps.q81Anomaly(spark, dir)
+      .select($"hour_id", $"cnt", $"win_n", $"win_sum", $"win_sumsq",
+        $"z", $"is_anomaly")
+      .as[(Long, Long, Long, Long, Long, Option[Double], Boolean)]
+      .collect().toList
+    assert(out.size === 25) // hours 0..24, including the empty hour 7
+    val h7 = out.find(_._1 == 7L).get
+    assert(h7._2 === 0L && !h7._7)
+    // warmup rows (window < 24) never score
+    assert(out.filter(_._1 < 24L).forall(r => r._6.isEmpty && !r._7))
+    val h24 = out.find(_._1 == 24L).get
+    assert(h24 === ((24L, 10L, 24L, 23L, 23L,
+      Some((24.0 * 10 - 23) / math.sqrt(24.0 * 23 - 23.0 * 23)), true)))
+  }
 }
