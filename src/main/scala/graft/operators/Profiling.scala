@@ -124,9 +124,80 @@ object Profiling {
       |  END AS corr
       |FROM s ORDER BY source""".stripMargin
 
+  /** Deequ-style column profile of the fact table in ONE scan: per
+    * column — null count, exact distinct count, min/max (numeric and
+    * string tracked in typed slots), completeness ratio.
+    *
+    * Shape: a single wide aggregate computes every column's stats
+    * together, then one explode unpivots the 1-row result into the
+    * per-column report (q80's explode-of-structs pattern — never a
+    * scan per column). The multiple exact COUNT(DISTINCT)s plan as one
+    * Expand (row-multiplier = #profiled columns) feeding a partial+final
+    * aggregate — the standard Spark shape for multi-distinct; its
+    * shuffle payload is |distinct values| per column, not |rows|. At
+    * 100 TB swap the exact distincts for approx_count_distinct to drop
+    * the Expand; the report schema is unchanged (documented trade-off —
+    * the oracle needs exact).
+    */
+  def q85ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      (numCols ++ strCols).flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+          countDistinct(col(c)).as(s"${c}_nd"))
+      } ++
+      numCols.flatMap(c => Seq(min(col(c)).as(s"${c}_mn"), max(col(c)).as(s"${c}_mx"))) ++
+      strCols.flatMap(c => Seq(min(col(c)).as(s"${c}_mn"), max(col(c)).as(s"${c}_mx")))
+    val one = Tables(spark, dir).lineitem.agg(aggs.head, aggs.tail: _*)
+    val rows = numCols.map { c =>
+      struct(lit(c).as("column_name"), col(s"${c}_nn").as("n_null"),
+        col(s"${c}_nd").as("n_distinct"),
+        col(s"${c}_mn").cast("double").as("min_num"),
+        col(s"${c}_mx").cast("double").as("max_num"),
+        lit(null: String).as("min_str"), lit(null: String).as("max_str"))
+    } ++ strCols.map { c =>
+      struct(lit(c).as("column_name"), col(s"${c}_nn").as("n_null"),
+        col(s"${c}_nd").as("n_distinct"),
+        lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+        col(s"${c}_mn").as("min_str"), col(s"${c}_mx").as("max_str"))
+    }
+    one.select($"n_rows", explode(array(rows: _*)).as("r"))
+      .select($"r.column_name", $"n_rows", $"r.n_null", $"r.n_distinct",
+        $"r.min_num", $"r.max_num", $"r.min_str", $"r.max_str",
+        (($"n_rows" - $"r.n_null").cast("double") / $"n_rows").as("completeness"))
+      .orderBy($"column_name")
+  }
+
+  val q85Sql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+         |  CAST(count($c) AS DOUBLE) / count(*) AS completeness
+         |FROM lineitem""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  min($c) AS min_str, max($c) AS max_str,
+         |  CAST(count($c) AS DOUBLE) / count(*) AS completeness
+         |FROM lineitem""".stripMargin
+    (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(num) ++
+      Seq("l_returnflag", "l_linestatus").map(str))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q53_skew_profile", q53SkewProfile, Some(q53Sql), Seq("X-scale"),
       "join-key skew profiler: cardinality, hot-key count, p95, skew ratio"),
     Q("q79_corr_stats", q79CorrStats, Some(q79Sql), Seq("X-scale"),
-      "per-group Pearson correlation via exact sufficient statistics"))
+      "per-group Pearson correlation via exact sufficient statistics"),
+    Q("q85_column_profile", q85ColumnProfile, Some(q85Sql), Seq("X-scale"),
+      "one-scan per-column profile: nulls, exact distincts, min/max, completeness"))
 }

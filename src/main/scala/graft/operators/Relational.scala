@@ -658,9 +658,55 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Bloom-pre-filtered semi join — the manual form of Spark's runtime
+    * row-level filter (spark.sql.optimizer.runtime.bloomFilter), exposed
+    * as an operator so a pipeline can build the filter once and push it
+    * through an arbitrary dataflow: lineitem rows are probed against a
+    * bloom of the high-value order keys BEFORE the shuffle, so only
+    * might-match rows (true matches + the tiny false-positive tail)
+    * enter the exact left-semi join that guarantees correctness.
+    *
+    * Why it matters at 100 TB: the semi join alone shuffles the full
+    * fact table; the bloom cuts the shuffled volume to ~selectivity ×
+    * |fact| at the cost of one broadcast of a fixed-size (here 1 MiB)
+    * sketch aggregated distributedly (partial buffers OR-merge; nothing
+    * key-sized moves, nothing is collected to the driver). No false
+    * negatives → the result is EXACTLY the plain semi join, which is
+    * what the oracle checks.
+    */
+  def q86BloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val hot = t.orders.filter($"o_totalprice" > 400000.0)
+      .select($"o_orderkey")
+    val bloom = hot.select(xxhash64($"o_orderkey").as("h"))
+      .agg(graft.functions.Bloom.bloomAgg($"h", 100000L, 8L * 1024 * 1024).as("bf"))
+    val survivors = t.lineitem
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .filter(graft.functions.Bloom.mightContain(bloom, xxhash64($"l_orderkey")))
+    survivors
+      .join(hot, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum($"l_extendedprice").as("gross"))
+      .orderBy($"l_orderkey")
+  }
+
+  val q86Sql: String =
+    """SELECT l_orderkey, count(*) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS gross
+      |FROM lineitem
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q1_agg", q1Agg, Some(q1Sql), Seq("A1", "A4", "A5", "F1", "F2"),
       "multi-aggregate hash group-by (pricing summary)"),
+    Q("q86_bloom_semi_join", q86BloomSemiJoin, Some(q86Sql), Seq("J3", "X-scale"),
+      "bloom-pre-filtered exact semi join (manual runtime row filter)"),
     Q("q2_proj_filter", q2ProjFilter, Some(q2Sql), Seq("P1", "P3", "P4", "P5", "F6", "F7"),
       "projection + derived cols + CASE band + coalesce + range filter"),
     Q("q3_star_join", q3StarJoin, Some(q3Sql), Seq("J1", "J2"),

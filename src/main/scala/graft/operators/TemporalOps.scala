@@ -596,9 +596,139 @@ object TemporalOps {
       |FROM z
       |ORDER BY event_type, hour_id""".stripMargin
 
+  /** Weekly cohort retention over the event stream: users are cohorted
+    * by the calendar week (epoch-week id — a pure integer bucket, no
+    * engine-specific DATE_TRUNC semantics to reconcile) of their FIRST
+    * event, and each (cohort, week-offset) cell counts how many of that
+    * cohort were active offset weeks later.
+    *
+    * Scale shape: ONE user-keyed shuffle does all the per-user work —
+    * `groupBy(user_id).agg(min(week), collect_set(week))` computes the
+    * cohort and the distinct active weeks together, so the second
+    * aggregate counts plain rows (each user contributes each week at
+    * most once by construction — no COUNT DISTINCT re-shuffle of the
+    * event stream). The collect_set state is bounded by the calendar
+    * span (#weeks in the dataset), not by event volume — a year of data
+    * is <=53 ints per user regardless of how many billions of events.
+    * The cohort-size denominator rides a window over the final
+    * |weeks x weeks| cell grid, which is calendar-bounded too.
+    */
+  def q83CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wk = floor(unix_timestamp($"ts") / 604800).cast("long")
+    val perUser = Tables(spark, dir).events
+      .select($"user_id", wk.as("week_id"))
+      .groupBy($"user_id")
+      .agg(min($"week_id").as("cohort_week"),
+        collect_set($"week_id").as("active_weeks"))
+    val cells = perUser
+      .select($"cohort_week", explode($"active_weeks").as("week_id"))
+      .groupBy($"cohort_week", ($"week_id" - $"cohort_week").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val wCohort = Window.partitionBy($"cohort_week")
+    cells
+      .withColumn("cohort_size",
+        max(when($"week_offset" === 0, $"n_active")).over(wCohort))
+      .withColumn("retention",
+        $"n_active".cast("double") / $"cohort_size")
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val q83Sql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT) AS week_id
+      |  FROM events),
+      |uw AS (SELECT DISTINCT user_id, week_id FROM e),
+      |cohort AS (SELECT user_id, min(week_id) AS cohort_week FROM uw GROUP BY user_id),
+      |cells AS (
+      |  SELECT c.cohort_week, uw.week_id - c.cohort_week AS week_offset,
+      |         CAST(count(*) AS BIGINT) AS n_active
+      |  FROM uw JOIN cohort c ON uw.user_id = c.user_id
+      |  GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, n_active,
+      |  max(CASE WHEN week_offset = 0 THEN n_active END)
+      |    OVER (PARTITION BY cohort_week) AS cohort_size,
+      |  CAST(n_active AS DOUBLE)
+      |    / max(CASE WHEN week_offset = 0 THEN n_active END)
+      |        OVER (PARTITION BY cohort_week) AS retention
+      |FROM cells
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** SCD type-2 dimension build from the order history: per customer,
+    * collapse consecutive runs of the same o_orderpriority into validity
+    * intervals [valid_from, valid_to) with an is_current flag — the
+    * standard slowly-changing-dimension load a warehouse derives from a
+    * change feed.
+    *
+    * Run-collapse is the lag -> change-flag -> running-sum pattern
+    * (q46's sessionization skeleton applied to attribute changes): all
+    * three windows share ONE customer-keyed sort, so the whole build is
+    * a single shuffle + sort, then a run-keyed aggregate. Ties on the
+    * same order date break by o_orderkey (deterministic in both
+    * engines). valid_to of the last run is NULL (open-ended).
+    */
+  def q84Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val runs = Tables(spark, dir).orders
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .withColumn("chg",
+        when(lag($"o_orderpriority", 1).over(wOrd).isNull ||
+          lag($"o_orderpriority", 1).over(wOrd) =!= $"o_orderpriority", 1L)
+          .otherwise(0L))
+      .withColumn("run_id",
+        sum($"chg").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"o_custkey", $"run_id")
+      .agg(min($"o_orderpriority").as("priority"), // constant within a run; min = deterministic pick
+        min($"o_orderdate").as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    val wRun = Window.partitionBy($"o_custkey").orderBy($"run_id")
+    runs
+      .withColumn("valid_to", lead($"valid_from", 1).over(wRun))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"o_custkey", $"run_id".as("version"), $"priority",
+        $"valid_from", $"valid_to", $"n_orders", $"is_current")
+      .orderBy($"o_custkey", $"version")
+  }
+
+  val q84Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+      |         o_orderpriority
+      |  FROM orders),
+      |f AS (
+      |  SELECT *, CASE WHEN lag(o_orderpriority) OVER w IS NULL
+      |                   OR lag(o_orderpriority) OVER w <> o_orderpriority
+      |            THEN 1 ELSE 0 END AS chg
+      |  FROM o
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |g AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      |  FROM f),
+      |runs AS (
+      |  SELECT o_custkey, run_id,
+      |         min(o_orderpriority) AS priority,
+      |         min(o_orderdate) AS valid_from,
+      |         CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM g GROUP BY o_custkey, run_id)
+      |SELECT o_custkey, run_id AS version, priority, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id) AS valid_to,
+      |  n_orders,
+      |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id) IS NULL
+      |    AS is_current
+      |FROM runs
+      |ORDER BY o_custkey, version""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
+    Q("q83_cohort_retention", q83CohortRetention, Some(q83Sql), Seq("X-temporal"),
+      "weekly cohort retention grid from one user-keyed aggregate"),
+    Q("q84_scd2", q84Scd2, Some(q84Sql), Seq("X-temporal", "W1"),
+      "SCD type-2 validity intervals via run-collapse over one sort"),
     Q("q80_funnel", q80Funnel, Some(q80Sql), Seq("X-temporal"),
       "ordered funnel conversion with strict first-touch event-time steps"),
     Q("q81_anomaly", q81Anomaly, Some(q81Sql), Seq("X-temporal", "X-stats"),

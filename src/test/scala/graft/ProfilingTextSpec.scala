@@ -178,4 +178,34 @@ class ProfilingTextSpec extends AnyFunSuite {
     // a|1|b|2 → 4 tokens, 2 alpha runs, 2 digit runs
     assert(out(1L) == ((4L, 2L, 2L)))
   }
+
+  test("column profile: nulls, exact distincts, typed min/max, completeness") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("profile-lineitem")
+    Seq(
+      (1L, Some(1.0), "A"), (2L, Some(3.0), "A"),
+      (3L, None, "B"), (4L, Some(3.0), "B"))
+      .toDF("l_orderkey", "l_quantity", "l_returnflag")
+      .withColumn("l_extendedprice", lit(5.0))
+      .withColumn("l_discount", lit(0.1))
+      .withColumn("l_tax", lit(0.0))
+      .withColumn("l_linestatus", lit("O"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = operators.Profiling.q85ColumnProfile(spark, dir).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val q = rows("l_quantity")
+    assert(q.getAs[Long]("n_rows") === 4L)
+    assert(q.getAs[Long]("n_null") === 1L)
+    assert(q.getAs[Long]("n_distinct") === 2L) // NULL not a distinct value
+    assert(q.getAs[Double]("min_num") === 1.0)
+    assert(q.getAs[Double]("max_num") === 3.0)
+    assert(q.isNullAt(q.fieldIndex("min_str")))
+    assert(q.getAs[Double]("completeness") === 0.75)
+    val f = rows("l_returnflag")
+    assert(f.getAs[Long]("n_null") === 0L)
+    assert(f.getAs[Long]("n_distinct") === 2L)
+    assert((f.getAs[String]("min_str"), f.getAs[String]("max_str")) === (("A", "B")))
+    assert(f.isNullAt(f.fieldIndex("min_num")))
+    assert(f.getAs[Double]("completeness") === 1.0)
+  }
 }

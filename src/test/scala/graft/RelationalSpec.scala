@@ -144,4 +144,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(prices.length == 10)
     assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
   }
+
+  test("q86 bloom pre-filter loses nothing: result equals the plain exact semi join") {
+    val t = Tables(spark, sf)
+    val hot = t.orders.filter($"o_totalprice" > 400000.0).select($"o_orderkey")
+    val exact = t.lineitem
+      .join(hot, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        Relational.moneySum($"l_extendedprice").as("gross"))
+      .orderBy($"l_orderkey")
+      .as[(Long, Long, Double)].collect().toSeq
+    val bloomed = Relational.q86BloomSemiJoin(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(bloomed == exact)
+    assert(exact.nonEmpty) // fixture actually exercises the path
+  }
+
+  test("plan: q86 probes the bloom before the semi-join exchange") {
+    val p = plan(Relational.q86BloomSemiJoin(spark, sf))
+    assert(p.contains("might_contain"))
+    assert(p.contains("Subquery")) // the filter rides in as a scalar subquery
+  }
 }

@@ -154,4 +154,50 @@ class TemporalSpec extends AnyFunSuite {
     assert(h24 === ((24L, 10L, 24L, 23L, 23L,
       Some((24.0 * 10 - 23) / math.sqrt(24.0 * 23 - 23.0 * 23)), true)))
   }
+
+  test("cohort retention: cells, sizes, and ratios from planted first-weeks") {
+    val dir = TestSpark.scratch("cohort-events")
+    def ns(week: Long, i: Long): Long = (week * 604800L + i) * 1000000000L
+    // u1 joins week0, returns weeks 1 and 3 (twice in week1 — distinct
+    // weeks must count once); u2 joins week0 and never returns; u3 joins
+    // week1, returns week2
+    val rows = Seq(
+      (1L, ns(0, 1)), (1L, ns(1, 2)), (1L, ns(1, 3)), (1L, ns(3, 4)),
+      (2L, ns(0, 5)),
+      (3L, ns(1, 6)), (3L, ns(2, 7)))
+    rows.zipWithIndex.map { case ((u, t), id) => (id.toLong, u, t, "view") }
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TemporalOps.q83CohortRetention(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(out === List(
+      (0L, 0L, 2L, 2L, 1.0), (0L, 1L, 1L, 2L, 0.5), (0L, 3L, 1L, 2L, 0.5),
+      (1L, 0L, 1L, 1L, 1.0), (1L, 1L, 1L, 1L, 1.0)))
+  }
+
+  test("SCD2: runs collapse to validity intervals; re-adopted value opens a new version") {
+    val dir = TestSpark.scratch("scd2-orders")
+    def day(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    // customer 1: HIGH,HIGH,LOW,HIGH — the return to HIGH is version 3,
+    // not a merge with version 1; customer 2: single open-ended run
+    Seq(
+      (10L, 1L, day(1), "HIGH"), (11L, 1L, day(2), "HIGH"),
+      (12L, 1L, day(3), "LOW"), (13L, 1L, day(4), "HIGH"),
+      (20L, 2L, day(1), "MED"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_totalprice", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = TemporalOps.q84Scd2(spark, dir)
+      .select($"o_custkey", $"version", $"priority", $"valid_from",
+        $"valid_to", $"n_orders", $"is_current")
+      .as[(Long, Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Long, Boolean)]
+      .collect().toList
+    assert(out === List(
+      (1L, 1L, "HIGH", day(1), Some(day(3)), 2L, false),
+      (1L, 2L, "LOW", day(3), Some(day(4)), 1L, false),
+      (1L, 3L, "HIGH", day(4), None, 1L, true),
+      (2L, 1L, "MED", day(1), None, 1L, true)))
+  }
 }
