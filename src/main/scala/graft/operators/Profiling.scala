@@ -193,11 +193,85 @@ object Profiling {
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** Categorical drift detection between the two halves of the event
+    * stream's time range: a 2×k contingency table of event_type counts,
+    * reported as per-cell chi-square contributions and standardized
+    * residuals — the check a pipeline runs when yesterday's ingest might
+    * not look like last month's.
+    *
+    * The table is ONE partial+final aggregate over (type, half) — the
+    * raw stream never re-shuffles — and the expected counts ride a
+    * window over the k-row result. Float discipline (q79/q81): every
+    * double here is a single correctly-rounded op chain over exact
+    * integers (e = row·col/N one division; residual (o−e)/√e one sqrt,
+    * one subtract, one divide), identical per-row in both engines, and
+    * contributions are reported PER CELL, never summed in floating
+    * point (a cross-row double sum would be partial-order-dependent).
+    */
+  def q87Drift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"event_type", unix_timestamp($"ts").as("sec"))
+    // Column `/` is double division — floor+cast keeps mid an exact long
+    // (epoch seconds ≪ 2^52, so the double quotient is exact pre-floor)
+    val mid = ev.agg((min($"sec") +
+      floor((max($"sec") - min($"sec") + 1) / 2).cast("long")).as("mid"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"sec" < $"mid", 1L).otherwise(0L)).as("cnt_p0"),
+        sum(when($"sec" >= $"mid", 1L).otherwise(0L)).as("cnt_p1"))
+    val wAll = Window.partitionBy(lit(1))
+    val n = ($"tot_p0" + $"tot_p1").cast("double")
+    val e0 = (($"cnt_p0" + $"cnt_p1") * $"tot_p0").cast("double") / n
+    val e1 = (($"cnt_p0" + $"cnt_p1") * $"tot_p1").cast("double") / n
+    cells
+      .withColumn("tot_p0", sum($"cnt_p0").over(wAll))
+      .withColumn("tot_p1", sum($"cnt_p1").over(wAll))
+      .select($"event_type", $"cnt_p0", $"cnt_p1",
+        e0.as("exp_p0"), e1.as("exp_p1"),
+        (($"cnt_p0" - e0) / sqrt(e0)).as("resid_p0"),
+        (($"cnt_p1" - e1) / sqrt(e1)).as("resid_p1"))
+      .orderBy($"event_type")
+  }
+
+  val q87Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+      |  FROM events),
+      |m AS (SELECT min(sec) + (max(sec) - min(sec) + 1) // 2 AS mid FROM e),
+      |cells AS (
+      |  SELECT event_type,
+      |    CAST(count(*) FILTER (WHERE sec < mid) AS BIGINT) AS cnt_p0,
+      |    CAST(count(*) FILTER (WHERE sec >= mid) AS BIGINT) AS cnt_p1
+      |  FROM e CROSS JOIN m GROUP BY event_type),
+      |t AS (
+      |  SELECT *, CAST(sum(cnt_p0) OVER () AS BIGINT) AS tot_p0,
+      |            CAST(sum(cnt_p1) OVER () AS BIGINT) AS tot_p1
+      |  FROM cells)
+      |SELECT event_type, cnt_p0, cnt_p1,
+      |  CAST((cnt_p0 + cnt_p1) * tot_p0 AS DOUBLE) / (tot_p0 + tot_p1) AS exp_p0,
+      |  CAST((cnt_p0 + cnt_p1) * tot_p1 AS DOUBLE) / (tot_p0 + tot_p1) AS exp_p1,
+      |  (cnt_p0 - CAST((cnt_p0 + cnt_p1) * tot_p0 AS DOUBLE) / (tot_p0 + tot_p1))
+      |    / sqrt(CAST((cnt_p0 + cnt_p1) * tot_p0 AS DOUBLE) / (tot_p0 + tot_p1))
+      |    AS resid_p0,
+      |  (cnt_p1 - CAST((cnt_p0 + cnt_p1) * tot_p1 AS DOUBLE) / (tot_p0 + tot_p1))
+      |    / sqrt(CAST((cnt_p0 + cnt_p1) * tot_p1 AS DOUBLE) / (tot_p0 + tot_p1))
+      |    AS resid_p1
+      |FROM t
+      |ORDER BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q53_skew_profile", q53SkewProfile, Some(q53Sql), Seq("X-scale"),
       "join-key skew profiler: cardinality, hot-key count, p95, skew ratio"),
     Q("q79_corr_stats", q79CorrStats, Some(q79Sql), Seq("X-scale"),
       "per-group Pearson correlation via exact sufficient statistics"),
     Q("q85_column_profile", q85ColumnProfile, Some(q85Sql), Seq("X-scale"),
-      "one-scan per-column profile: nulls, exact distincts, min/max, completeness"))
+      "one-scan per-column profile: nulls, exact distincts, min/max, completeness"),
+    Q("q87_drift", q87Drift, Some(q87Sql), Seq("X-stats", "X-scale"),
+      "categorical drift: chi-square contingency cells between time halves"))
+
+
 }

@@ -722,9 +722,75 @@ object TemporalOps {
       |FROM runs
       |ORDER BY o_custkey, version""".stripMargin
 
+  /** Session path mining: the most common 3-step event-type sequences
+    * users take WITHIN a session (q46's 30-minute gap rule) — the
+    * "what do users actually do" report behind navigation analysis.
+    *
+    * All the sequencing work shares ONE user-keyed sort: the session
+    * split (lag + running sum) and the two lookaheads (lead) run over
+    * the same window spec, so Spark plans a single Exchange+Sort for
+    * the whole query. Trigrams that would cross a session boundary are
+    * dropped by comparing the led session ids — never by re-joining.
+    * The final count is a partial+final aggregate over |distinct
+    * trigram| keys, and the top-20 plans as TakeOrderedAndProject
+    * (count desc, path asc tie-break — total order, both engines).
+    */
+  def q88SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(spark, dir).events
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("prev", lag($"ts", 1).over(wOrd))
+      .withColumn("is_new",
+        when($"prev".isNull || $"ts" > $"prev" + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum($"is_new").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t2", lead($"event_type", 1).over(wOrd))
+      .withColumn("t3", lead($"event_type", 2).over(wOrd))
+      .withColumn("s2", lead($"session_idx", 1).over(wOrd))
+      .withColumn("s3", lead($"session_idx", 2).over(wOrd))
+      .filter($"s3" === $"session_idx" && $"s2" === $"session_idx")
+      .groupBy(concat_ws(">", $"event_type", $"t2", $"t3").as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(20)
+  }
+
+  val q88Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events),
+      |f AS (
+      |  SELECT *, lag(ts) OVER w AS prev
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+      |            THEN 1 ELSE 0 END AS is_new
+      |  FROM f),
+      |s AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM g),
+      |tri AS (
+      |  SELECT event_type || '>' || lead(event_type, 1) OVER w
+      |           || '>' || lead(event_type, 2) OVER w AS path,
+      |         session_idx,
+      |         lead(session_idx, 1) OVER w AS s2,
+      |         lead(session_idx, 2) OVER w AS s3
+      |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT path, CAST(count(*) AS BIGINT) AS n
+      |FROM tri
+      |WHERE s3 = session_idx AND s2 = session_idx
+      |GROUP BY path
+      |ORDER BY n DESC, path
+      |LIMIT 20""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
+    Q("q88_session_paths", q88SessionPaths, Some(q88Sql), Seq("X-temporal", "O2"),
+      "top within-session 3-step event paths over one user-keyed sort"),
     Q("q83_cohort_retention", q83CohortRetention, Some(q83Sql), Seq("X-temporal"),
       "weekly cohort retention grid from one user-keyed aggregate"),
     Q("q84_scd2", q84Scd2, Some(q84Sql), Seq("X-temporal", "W1"),

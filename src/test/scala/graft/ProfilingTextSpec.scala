@@ -208,4 +208,27 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(f.isNullAt(f.fieldIndex("min_num")))
     assert(f.getAs[Double]("completeness") === 1.0)
   }
+
+  test("drift: stable type residuals are 0, shifted type gets symmetric residuals") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("drift-events")
+    def ns(sec: Long): Long = sec * 1000000000L
+    // secs 0..39 → mid = 20. A: 10 events each half (no drift).
+    // B: 4 in p0, 16 in p1 (shift). Totals: p0=14, p1=26, N=40; each
+    // type row-total 20 → expected 7/13 for both types.
+    val secs =
+      (0L to 9L).map(("A", _)) ++ (20L to 29L).map(("A", _)) ++
+        (10L to 13L).map(("B", _)) ++
+        (30L to 37L).flatMap(s => Seq(("B", s), ("B", s)))
+    secs.zipWithIndex.map { case ((ty, s), id) => (id.toLong, 1L, ns(s), ty) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = operators.Profiling.q87Drift(spark, dir)
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect().toList
+    val r = 3.0 / math.sqrt(7.0)
+    assert(out === List(
+      ("A", 10L, 10L, 7.0, 13.0, r, -3.0 / math.sqrt(13.0)),
+      ("B", 4L, 16L, 7.0, 13.0, -r, 3.0 / math.sqrt(13.0))))
+  }
 }

@@ -200,4 +200,23 @@ class TemporalSpec extends AnyFunSuite {
       (1L, 3L, "HIGH", day(4), None, 1L, true),
       (2L, 1L, "MED", day(1), None, 1L, true)))
   }
+
+  test("session paths: trigrams never cross the 30-minute session boundary") {
+    val dir = TestSpark.scratch("paths-events")
+    def ns(min: Long): Long = min * 60000000000L
+    // u1 session 1: a,b,c,d (trigrams a>b>c, b>c>d); 31-min gap; u1
+    // session 2: a,b,c (trigram a>b>c). Cross-boundary c>d>a, d>a>b
+    // must NOT appear. u2: a,b only — too short for any trigram.
+    val rows = Seq(
+      (1L, ns(0), "a"), (1L, ns(1), "b"), (1L, ns(2), "c"), (1L, ns(3), "d"),
+      (1L, ns(35), "a"), (1L, ns(36), "b"), (1L, ns(37), "c"),
+      (2L, ns(0), "a"), (2L, ns(1), "b"))
+    rows.zipWithIndex.map { case ((u, t, ty), id) => (id.toLong, u, t, ty) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TemporalOps.q88SessionPaths(spark, dir)
+      .as[(String, Long)].collect().toList
+    assert(out === List(("a>b>c", 2L), ("b>c>d", 1L)))
+  }
 }
