@@ -32,6 +32,7 @@ object Registry {
       MultimodalOps.queries ++
       TemporalOps.queries ++
       Profiling.queries ++
+      GraphOps.queries ++
       CurationOps.queries ++
       LayoutOps.queries ++
       CorpusPipeline.queries

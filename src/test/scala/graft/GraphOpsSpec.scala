@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+/** Fixed-point PageRank checked against an in-test integer reference
+  * model running the SAME scaled-long arithmetic — any drift in round
+  * count, damping, truncation, or edge construction breaks equality.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q89 matches the integer reference model and ranks the hub first") {
+    val dir = TestSpark.scratch("pagerank-graph")
+    // purchase pairs: s1 serves c1..c4 (degree 4), c1 also buys from
+    // s2,s3 (degree 3) → s1 is the strict hub (a c1/s1 degree TIE would
+    // rank the customer first on the node-id tie-break)
+    val pairs = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (4L, 1L))
+    pairs.zipWithIndex.map { case ((c, _), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey")
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_totalprice", lit(1.0))
+      .withColumn("o_orderdate", lit(new java.sql.Timestamp(0L)))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    pairs.zipWithIndex.map { case ((_, s), i) => (i.toLong, s) }
+      .toDF("l_orderkey", "l_suppkey")
+      .withColumn("l_partkey", lit(1L)).withColumn("l_linenumber", lit(1))
+      .withColumn("l_quantity", lit(1.0)).withColumn("l_extendedprice", lit(1.0))
+      .withColumn("l_discount", lit(0.0)).withColumn("l_tax", lit(0.0))
+      .withColumn("l_returnflag", lit("N")).withColumn("l_linestatus", lit("O"))
+      .withColumn("l_shipdate", lit(new java.sql.Timestamp(0L)))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    // reference model: same vertex ids, symmetric edges, scaled longs
+    val scale = 1000000000L
+    val edges = pairs.flatMap { case (c, s) =>
+      Seq((2 * c, 2 * s + 1), (2 * s + 1, 2 * c)) }.distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = deg.keys.map(_ -> scale).toMap
+    for (_ <- 1 to 5) {
+      val contrib = edges.groupBy(_._2).view.mapValues(_.map { case (src, _) =>
+        rank(src) * 85 / (100 * deg(src)) }.sum).toMap
+      rank = rank.keys.map(v => v -> (15L * scale / 100 + contrib(v))).toMap
+    }
+    val expected = rank.toSeq.sortBy { case (n, r) => (-r, n) }
+
+    val got = GraphOps.q89PageRank(spark, dir)
+      .select($"node", $"rank").as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+    // hub: s1 (node 3) must rank first, and kinds/entity ids decode
+    val top = GraphOps.q89PageRank(spark, dir).limit(1)
+      .select($"kind", $"entity_id").as[(String, Long)].head()
+    assert(top == (("supplier", 1L)))
+  }
+}
