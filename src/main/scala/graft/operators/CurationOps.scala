@@ -375,9 +375,137 @@ object CurationOps {
        |ORDER BY shard, pos""".stripMargin
   }
 
+  /** Length-bucketed batching analysis: documents grouped into
+    * power-of-two word-count buckets (the static-shape batching a
+    * training/inference stack pads to), reporting per bucket the doc
+    * count, real token mass, padded mass at the bucket cap, and the
+    * padding waste share — the number that decides whether dynamic
+    * batching is worth deploying.
+    *
+    * The bucket id is bit-length arithmetic (floor-log2 via bin(),
+    * q67's integer-exact discipline — no libm), so bucketing is
+    * row-local; the report is one partial+final aggregate over
+    * ~log2(max_len) groups. Waste is an exact-integer ratio evaluated
+    * in one double division per bucket row.
+    */
+  def q90LengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // bucket cap = 2^ceil(log2(n)) = 2^bitlength(n-1); n=1 → cap 1
+    // (SQL-level shiftleft: the Scala wrapper only takes literal bits)
+    val cap = expr("""CASE WHEN n_words = 1 THEN CAST(1 AS BIGINT)
+      ELSE shiftleft(CAST(1 AS BIGINT),
+                     CAST(length(bin(n_words - 1)) AS INT)) END""")
+    Tables(spark, dir).documents
+      .select($"doc_id", TextOps.wordCount($"text").as("n_words"))
+      .withColumn("bucket_cap", cap)
+      .groupBy($"bucket_cap")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_words").as("real_tokens"),
+        (count(lit(1)) * $"bucket_cap").as("padded_tokens"))
+      .select($"bucket_cap", $"n_docs", $"real_tokens", $"padded_tokens",
+        (($"padded_tokens" - $"real_tokens").cast("double") / $"padded_tokens")
+          .as("waste_share"))
+      .orderBy($"bucket_cap")
+  }
+
+  val q90Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${TextOps.wordCountSql} AS n_words FROM documents),
+       |b AS (
+       |  SELECT doc_id, n_words,
+       |    CASE WHEN n_words = 1 THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(1 AS BIGINT) << CAST(length(bin(n_words - 1)) AS INTEGER)
+       |         END AS bucket_cap
+       |  FROM d)
+       |SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS real_tokens,
+       |  CAST(count(*) * bucket_cap AS BIGINT) AS padded_tokens,
+       |  CAST(count(*) * bucket_cap - sum(n_words) AS DOUBLE)
+       |    / (count(*) * bucket_cap) AS waste_share
+       |FROM b
+       |GROUP BY bucket_cap
+       |ORDER BY bucket_cap""".stripMargin
+
+  /** Mixture epoch schedule: given target sampling weights per source
+    * and a total token budget, compute each source's token demand
+    * (exact integer split of the budget, largest-remainder rounding so
+    * the demands sum EXACTLY to the budget), the tokens actually
+    * available, and the repeat factor (epochs, ceil) the training run
+    * must make over that source — the plan behind "webtext ×1.2,
+    * wiki ×3.4" mixture tables.
+    *
+    * Everything is exact integer arithmetic (quotas and remainders via
+    * div/mod; ceil via (a + b - 1) div b); the only doubles are
+    * final per-row ratios. One aggregate over the corpus (source-keyed,
+    * partial+final) + a k-row window for the largest-remainder ranks.
+    */
+  def q91MixSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 9999999L // total training-token budget (indivisible by the weight sum, so the largest-remainder top-up is live)
+    // target mixture weights (per mille, integers — portable arithmetic)
+    val weights = Seq("src0" -> 500L, "src1" -> 300L, "src2" -> 200L)
+    val w = weights.toDF("source", "weight_pm")
+    val avail = Tables(spark, dir).documents
+      .select($"source", TextOps.wordCount($"text").as("n_words"))
+      .groupBy($"source").agg(sum($"n_words").as("avail_tokens"))
+    val wSum = weights.map(_._2).sum
+    val base = avail.join(broadcast(w), Seq("source"), "inner")
+      .withColumn("floor_quota", expr(s"(weight_pm * $budget) div $wSum"))
+      .withColumn("rem", expr(s"(weight_pm * $budget) % $wSum"))
+    // largest-remainder: the top-(budget - Σfloor) remainders get +1
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy($"rem".desc, $"source")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    base
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("short", lit(budget) - sum($"floor_quota").over(wAll))
+      .withColumn("target_tokens",
+        $"floor_quota" + when($"rk" <= $"short", 1L).otherwise(0L))
+      .withColumn("epochs",
+        expr("(target_tokens + avail_tokens - 1) div avail_tokens"))
+      .select($"source", $"weight_pm", $"avail_tokens", $"target_tokens",
+        $"epochs",
+        ($"target_tokens".cast("double") / $"avail_tokens").as("repeat_factor"))
+      .orderBy($"source")
+  }
+
+  val q91Sql: String =
+    s"""WITH avail AS (
+       |  SELECT source, CAST(sum(${TextOps.wordCountSql}) AS BIGINT) AS avail_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT * FROM (VALUES ('src0', CAST(500 AS BIGINT)),
+       |                        ('src1', CAST(300 AS BIGINT)),
+       |                        ('src2', CAST(200 AS BIGINT)))
+       |    AS t(source, weight_pm)),
+       |base AS (
+       |  SELECT a.source, w.weight_pm, a.avail_tokens,
+       |    (w.weight_pm * 9999999) // 1000 AS floor_quota,
+       |    (w.weight_pm * 9999999) % 1000 AS rem
+       |  FROM avail a JOIN w ON a.source = w.source),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+       |    9999999 - sum(floor_quota) OVER () AS short
+       |  FROM base)
+       |SELECT source, weight_pm, avail_tokens,
+       |  CAST(floor_quota + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+       |    AS target_tokens,
+       |  CAST((floor_quota + CASE WHEN rk <= short THEN 1 ELSE 0 END
+       |        + avail_tokens - 1) // avail_tokens AS BIGINT) AS epochs,
+       |  CAST(floor_quota + CASE WHEN rk <= short THEN 1 ELSE 0 END AS DOUBLE)
+       |    / avail_tokens AS repeat_factor
+       |FROM r
+       |ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q61_pii_redact", q61PiiRedact, Some(q61Sql), Seq("X-curation"),
       "PII redaction: emails / IPv4s / long digit runs, ordered counts"),
+    Q("q90_length_buckets", q90LengthBuckets, Some(q90Sql), Seq("X-curation", "X-stats"),
+      "power-of-two length buckets with padding-waste shares"),
+    Q("q91_mix_schedule", q91MixSchedule, Some(q91Sql), Seq("X-curation", "X-sample"),
+      "mixture epoch schedule: exact integer budget split, repeat factors"),
     Q("q71_filter_cascade", q71FilterCascade, Some(q71Sql), Seq("X-curation"),
       "filter cascade with reason codes: first-failing-rule verdict per doc"),
     Q("q72_global_shuffle", q72GlobalShuffle, Some(q72Sql), Seq("X-curation", "X-sample"),

@@ -143,4 +143,48 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 2L).map(_._4) === List(50L)) // exactly one window at n = 50
     assert(out.filter(_._1 == 3L).map(_._4) === List(50L, 11L)) // stride boundary: 41..51
   }
+
+  test("length buckets: power-of-two caps, boundary lengths, waste shares") {
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    // lengths 1,2,3,4,5,8 → caps 1,2,4,4,8,8 (4 and 8 are exact powers
+    // and must land in their OWN cap, not the next one up)
+    val dir = docsDir(Seq(
+      (1L, words(1), "en", "s", 0L), (2L, words(2), "en", "s", 0L),
+      (3L, words(3), "en", "s", 0L), (4L, words(4), "en", "s", 0L),
+      (5L, words(5), "en", "s", 0L), (6L, words(8), "en", "s", 0L)))
+    val out = CurationOps.q90LengthBuckets(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(out === List(
+      (1L, 1L, 1L, 1L, 0.0),
+      (2L, 1L, 2L, 2L, 0.0),
+      (4L, 2L, 7L, 8L, 1.0 / 8),
+      (8L, 2L, 13L, 16L, 3.0 / 16)))
+  }
+
+  test("mix schedule: exact budget split with largest-remainder, ceil epochs") {
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    // availability: src0 4M words? too big to plant — use small docs and
+    // just verify the integer identities instead of absolute epochs
+    val dir = docsDir(Seq(
+      (1L, words(100), "en", "src0", 0L),
+      (2L, words(50), "en", "src1", 0L),
+      (3L, words(10), "en", "src2", 0L),
+      (4L, words(999), "en", "src9", 0L))) // unweighted source: excluded
+    val out = CurationOps.q91MixSchedule(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toList
+    assert(out.map(_._1) === List("src0", "src1", "src2"))
+    val byS = out.map(r => r._1 -> r).toMap
+    // budget 9_999_999, weights 500/300/200 per mille:
+    // floors 4999999/2999999/1999999, remainders 500/700/800 → the two
+    // largest (src2, src1) take the +1s; totals sum exactly to budget
+    assert(byS("src0")._4 === 4999999L)
+    assert(byS("src1")._4 === 3000000L)
+    assert(byS("src2")._4 === 2000000L)
+    assert(out.map(_._4).sum === 9999999L)
+    // epochs = ceil(target/avail) with planted availabilities
+    assert(byS("src0")._3 === 100L && byS("src0")._5 === 50000L)
+    assert(byS("src1")._3 === 50L && byS("src1")._5 === 60000L)
+    assert(byS("src2")._3 === 10L && byS("src2")._5 === 200000L)
+    assert(byS("src0")._6 === 4999999.0 / 100)
+  }
 }
