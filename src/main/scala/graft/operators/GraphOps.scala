@@ -98,7 +98,52 @@ object GraphOps {
        |LIMIT 50""".stripMargin
   }
 
+  /** Frequent co-purchased part pairs (market-basket itemset mining,
+    * the k=2 core of FP-growth-style analysis): support counts for part
+    * pairs that appear in the same order, min-support pruned, top-25.
+    *
+    * Scale shape: ONE shuffle keyed by order collects each basket's
+    * distinct items (state bounded by basket size — single-digit items
+    * per order at any corpus scale), then the C(b,2) pair fanout is
+    * ROW-LOCAL (two lateral explodes + index filter) before the pair
+    * aggregate — the raw fact stream never self-joins. A naive
+    * fact⋈fact self-join on orderkey computes the same pairs but ships
+    * the fact table twice; this ships it once. Support pruning happens
+    * in the aggregate (partial+final), and the top-25 is
+    * TakeOrderedAndProject with a total-order tie-break.
+    */
+  def q92ItemPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val minSupport = 2L
+    Tables(spark, dir).lineitem
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_set($"l_partkey")).as("items"))
+      .select(posexplode($"items").as(Seq("i", "a")), $"items")
+      .select($"a", explode(slice($"items", $"i" + 2, size($"items"))).as("b"))
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= minSupport)
+      .orderBy($"support".desc, $"a", $"b")
+      .limit(25)
+  }
+
+  val q92Sql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM items x JOIN items y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
+      |SELECT a, b, CAST(count(*) AS BIGINT) AS support
+      |FROM pairs
+      |GROUP BY a, b
+      |HAVING count(*) >= 2
+      |ORDER BY support DESC, a, b
+      |LIMIT 25""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q89_pagerank", q89PageRank, Some(q89Sql), Seq("X-graph", "X-scale"),
-      "fixed-point integer PageRank over the purchase graph (5 damped rounds)"))
+      "fixed-point integer PageRank over the purchase graph (5 damped rounds)"),
+    Q("q92_item_pairs", q92ItemPairs, Some(q92Sql), Seq("X-graph", "X-stats"),
+      "co-purchase pair mining: basket-local pair fanout, support pruning"))
 }

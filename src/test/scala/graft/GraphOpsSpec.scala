@@ -55,4 +55,26 @@ class GraphOpsSpec extends AnyFunSuite {
       .select($"kind", $"entity_id").as[(String, Long)].head()
     assert(top == (("supplier", 1L)))
   }
+
+  test("q92 counts each basket's distinct pairs once and prunes below min support") {
+    val dir = TestSpark.scratch("itempairs")
+    // baskets: o1={1,2,3} (part 1 listed TWICE — must still pair once),
+    // o2={1,2}, o3={1,2,4}, o4={2} → only (1,2) reaches support 2
+    val rows = Seq(
+      (1L, 1L), (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 4L),
+      (4L, 2L))
+    rows.zipWithIndex.map { case ((o, p), i) => (o, p, i) }
+      .toDF("l_orderkey", "l_partkey", "l_linenumber")
+      .withColumn("l_suppkey", lit(1L))
+      .withColumn("l_quantity", lit(1.0)).withColumn("l_extendedprice", lit(1.0))
+      .withColumn("l_discount", lit(0.0)).withColumn("l_tax", lit(0.0))
+      .withColumn("l_returnflag", lit("N")).withColumn("l_linestatus", lit("O"))
+      .withColumn("l_shipdate", lit(new java.sql.Timestamp(0L)))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = GraphOps.q92ItemPairs(spark, dir)
+      .as[(Long, Long, Long)].collect().toList
+    assert(out === List((1L, 2L, 3L)))
+  }
 }
