@@ -279,9 +279,68 @@ object Profiling {
       |FROM t
       |ORDER BY event_type""".stripMargin
 
+  /** Categorical distribution profile per group: mode (deterministic
+    * tie-break), Shannon entropy in bits, distinct count, total. The
+    * "is this column worth partitioning on / is this slice degenerate"
+    * diagnostic: near-zero entropy means one value dominates (a useless
+    * partition key and a red flag for event-collector bugs); entropy
+    * near log2(distincts) means uniform spread.
+    *
+    * Shape: one partial+final aggregate to (group, value) counts — the
+    * only shuffle whose payload scales with data — then windows over
+    * the counts frame, which is |groups| × |values| rows (here 24 ×
+    * |event types|) regardless of row count. Mode tie-break is (count
+    * DESC, value ASC) so both engines pick the same winner.
+    */
+  def q95ModeEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val counts = Tables(spark, dir).events
+      .select(hour($"ts").as("hr"), $"event_type")
+      .groupBy($"hr", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val byHr = Window.partitionBy($"hr")
+    val ranked = Window.partitionBy($"hr").orderBy($"cnt".desc, $"event_type".asc)
+    val p = $"cnt".cast("double") / $"total".cast("double")
+    counts
+      .withColumn("total", sum($"cnt").over(byHr))
+      .withColumn("rn", row_number().over(ranked))
+      .withColumn("bits", -p * log2(p))
+      .groupBy($"hr")
+      .agg(
+        max(when($"rn" === 1, $"event_type")).as("mode_type"),
+        max(when($"rn" === 1, $"cnt")).as("mode_cnt"),
+        // + 0.0 folds the degenerate group's −0.0 (−1·log2(1)) to +0.0
+        // so both engines print "0.0"
+        (round(sum($"bits"), 4) + lit(0.0)).as("entropy_bits"),
+        count(lit(1)).as("n_types"),
+        max($"total").as("total"))
+      .orderBy($"hr")
+  }
+
+  val q95Sql: String =
+    """WITH c AS (
+      |  SELECT hour(CAST(ts AS TIMESTAMP)) AS hr, event_type, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT *, sum(cnt) OVER (PARTITION BY hr) AS total,
+      |         row_number() OVER (PARTITION BY hr
+      |                            ORDER BY cnt DESC, event_type ASC) AS rn
+      |  FROM c)
+      |SELECT hr,
+      |  max(CASE WHEN rn = 1 THEN event_type END) AS mode_type,
+      |  max(CASE WHEN rn = 1 THEN cnt END) AS mode_cnt,
+      |  round(sum(-(CAST(cnt AS DOUBLE) / total) *
+      |            log2(CAST(cnt AS DOUBLE) / total)), 4) + 0.0 AS entropy_bits,
+      |  count(*) AS n_types,
+      |  CAST(max(total) AS BIGINT) AS total
+      |FROM w GROUP BY hr ORDER BY hr""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q53_skew_profile", q53SkewProfile, Some(q53Sql), Seq("X-scale"),
       "join-key skew profiler: cardinality, hot-key count, p95, skew ratio"),
+    Q("q95_mode_entropy", q95ModeEntropy, Some(q95Sql), Seq("X-stats", "X-scale"),
+      "categorical profile: per-group mode + Shannon entropy + cardinality"),
     Q("q79_corr_stats", q79CorrStats, Some(q79Sql), Seq("X-scale"),
       "per-group Pearson correlation via exact sufficient statistics"),
     Q("q85_column_profile", q85ColumnProfile, Some(q85Sql), Seq("X-scale"),

@@ -702,6 +702,105 @@ object Relational {
       |GROUP BY l_orderkey
       |ORDER BY l_orderkey""".stripMargin
 
+  /** Explicit GROUPING SETS — the general form of q31's ROLLUP / q54's
+    * CUBE: the caller names exactly which slices to materialize, here
+    * (flag, status), (flag), and the grand total, skipping the
+    * (status)-only slice a CUBE would also pay for. Spark expands the
+    * sets in a single Expand + one hash aggregate — one scan, one
+    * shuffle whose payload is |slices| × |groups| rows, never a re-scan
+    * per slice (the naive UNION ALL formulation scans the fact N times,
+    * which at 100 TB is N× the I/O bill).
+    *
+    * Per-column `grouping()` flags (not the packed grouping_id bitmask)
+    * keep the output portable: Spark and DuckDB agree on 0/1 per column
+    * but could disagree on bit order in the packed form.
+    */
+  def q93GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping($"l_returnflag").cast("long").as("g_flag"),
+        grouping($"l_linestatus").cast("long").as("g_status"),
+        count(lit(1)).as("n_lines"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        moneySum($"l_extendedprice").as("revenue"))
+      .orderBy($"g_flag", $"g_status",
+        $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  val q93Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |  count(*) AS n_lines,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS revenue
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_flag, g_status,
+      |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Snapshot diff / data reconciliation: full-outer join two per-key
+    * aggregates of the same table at different logical versions (here:
+    * a customer's 1994 vs 1995 order book) and classify every key as
+    * added / removed / changed / same. This is the validation primitive
+    * behind backfill sign-off ("what did the rerun change?") and
+    * cross-system migration checks.
+    *
+    * Scale shape: each snapshot aggregates down to |keys| rows BEFORE
+    * the full-outer join, so the join input is two key-sized relations
+    * shuffled on the same key (AQE picks SMJ/hash as sizes dictate) —
+    * never fact ⋈ fact. The classification is a codegen'd CASE over the
+    * joined row; no second pass.
+    */
+  def q94SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables(spark, dir).orders
+    def snap(yr: Int) = orders
+      .filter(year($"o_orderdate") === yr)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("rev_c"))
+    val a = snap(1994).select($"o_custkey", $"n".as("n_a"), $"rev_c".as("rev_a"))
+    val b = snap(1995).select($"o_custkey", $"n".as("n_b"), $"rev_c".as("rev_b"))
+    a.join(b, Seq("o_custkey"), "full_outer")
+      .select(
+        $"o_custkey",
+        coalesce($"n_a", lit(0L)).as("n_1994"),
+        coalesce($"n_b", lit(0L)).as("n_1995"),
+        (coalesce($"rev_a", lit(0L)).cast("double") / 100.0).as("rev_1994"),
+        (coalesce($"rev_b", lit(0L)).cast("double") / 100.0).as("rev_1995"),
+        when($"n_a".isNull, "added")
+          .when($"n_b".isNull, "removed")
+          .when($"n_a" =!= $"n_b" || $"rev_a" =!= $"rev_b", "changed")
+          .otherwise("same").as("status"))
+      .orderBy($"o_custkey")
+  }
+
+  val q94Sql: String =
+    """WITH a AS (
+      |  SELECT o_custkey, count(*) AS n,
+      |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      |  FROM orders WHERE year(o_orderdate) = 1994 GROUP BY o_custkey),
+      |b AS (
+      |  SELECT o_custkey, count(*) AS n,
+      |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey)
+      |SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+      |  coalesce(a.n, 0) AS n_1994,
+      |  coalesce(b.n, 0) AS n_1995,
+      |  CAST(coalesce(a.rev_c, 0) AS DOUBLE) / 100.0 AS rev_1994,
+      |  CAST(coalesce(b.rev_c, 0) AS DOUBLE) / 100.0 AS rev_1995,
+      |  CASE WHEN a.o_custkey IS NULL THEN 'added'
+      |       WHEN b.o_custkey IS NULL THEN 'removed'
+      |       WHEN a.n <> b.n OR a.rev_c <> b.rev_c THEN 'changed'
+      |       ELSE 'same' END AS status
+      |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q1_agg", q1Agg, Some(q1Sql), Seq("A1", "A4", "A5", "F1", "F2"),
       "multi-aggregate hash group-by (pricing summary)"),
@@ -746,5 +845,9 @@ object Relational {
     Q("q40_topk_per_key", q40TopKPerKey, Some(q40Sql), Seq("O2", "X-custom"),
       "group-wise top-k via the custom TopKPerKeyExec operator"),
     Q("q47_salted_join", q47SaltedJoin, Some(q47Sql), Seq("J1", "X-scale"),
-      "hot-key salted join: deterministic salt spread, plain-join oracle"))
+      "hot-key salted join: deterministic salt spread, plain-join oracle"),
+    Q("q93_grouping_sets", q93GroupingSets, Some(q93Sql), Seq("A6"),
+      "explicit GROUPING SETS: caller-chosen slices, one scan, one shuffle"),
+    Q("q94_snapshot_diff", q94SnapshotDiff, Some(q94Sql), Seq("J1", "Q2"),
+      "snapshot diff: full-outer reconciliation, added/removed/changed/same"))
 }

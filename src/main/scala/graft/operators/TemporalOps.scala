@@ -786,9 +786,178 @@ object TemporalOps {
       |ORDER BY n DESC, path
       |LIMIT 20""".stripMargin
 
+  /** Per-key time-series gap filling with last-observation-carried-forward.
+    * Each user's daily metric series is densified over that user's OWN
+    * [first, last] day span (not a global grid — q81 does that for the
+    * zero-fill case) and holes inherit the most recent observed value.
+    * This is the feature-engineering primitive for training-data joins:
+    * models want a value for every (entity, day), not a sparse stream.
+    *
+    * LOCF is expressed engine-portably with the running-count trick:
+    * `grp = count(observed) over (key order day)` is constant across a
+    * gap run, so `max(v) over (key, grp)` broadcasts the run's single
+    * observation — no IGNORE NULLS window support needed on either
+    * engine. Cost: one shuffle to daily aggregates, one per-key spine
+    * explode (output-sized), two windows over the same (key, day) sort —
+    * Spark plans a single Exchange + Sort reused by both windows.
+    */
+  def q96GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .filter($"user_id" < 10)
+      .select($"user_id",
+        floor(unix_timestamp($"ts") / 86400).cast("long").as("day_id"),
+        $"value")
+    val daily = ev.groupBy($"user_id", $"day_id")
+      .agg(round(max($"value"), 4).as("v"))
+    val spine = daily.groupBy($"user_id")
+      .agg(min($"day_id").as("d0"), max($"day_id").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"day_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day_id"), "left")
+      .withColumn("grp", count($"v").over(w))
+      .withColumn("v_filled",
+        max($"v").over(Window.partitionBy($"user_id", $"grp")))
+      .select($"user_id", $"day_id", $"v_filled", $"v".isNull.as("is_gap"))
+      .orderBy($"user_id", $"day_id")
+  }
+
+  val q96Sql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day_id,
+      |         value
+      |  FROM events WHERE user_id < 10),
+      |daily AS (
+      |  SELECT user_id, day_id, round(max(value), 4) AS v
+      |  FROM e GROUP BY user_id, day_id),
+      |spine AS (
+      |  SELECT user_id, CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day_id
+      |  FROM (SELECT user_id, min(day_id) AS d0, max(day_id) AS d1
+      |        FROM daily GROUP BY user_id)),
+      |j AS (
+      |  SELECT s.user_id, s.day_id, d.v,
+      |         count(d.v) OVER (PARTITION BY s.user_id ORDER BY s.day_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.user_id = d.user_id AND s.day_id = d.day_id)
+      |SELECT user_id, day_id,
+      |  max(v) OVER (PARTITION BY user_id, grp) AS v_filled,
+      |  v IS NULL AS is_gap
+      |FROM j
+      |ORDER BY user_id, day_id""".stripMargin
+
+  /** Hopping (sliding) window aggregate: 1-hour windows advancing every
+    * 15 minutes — the batch twin of a streaming hopping-window agg, via
+    * Spark's built-in `window(ts, "1 hour", "15 minutes")`, which expands
+    * each event into its windowLength/slide = 4 owning windows inside the
+    * projection (row-local fan-out, no join) and aggregates once.
+    *
+    * Scale: the shuffle payload is 4× the tumbling equivalent — the
+    * fan-out factor is the knob, chosen here, not a surprise — and the
+    * aggregate is still partial+final. Exact distinct users adds a
+    * second shuffle keyed by (window, user); at larger cardinalities the
+    * q41 HLL path drops it to one.
+    */
+  def q97HoppingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .select(window($"ts", "1 hour", "15 minutes").as("w"), $"user_id")
+      .groupBy(unix_timestamp($"w.start").as("win_start"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"win_start")
+  }
+
+  val q97Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) * 900
+      |           AS f15,
+      |         user_id
+      |  FROM events)
+      |SELECT f15 - 900 * k AS win_start,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+      |GROUP BY win_start
+      |ORDER BY win_start""".stripMargin
+
+  /** Overlapping-interval union (merge) per key — the general form of
+    * gap-sessionization: q46's "new session when gap > G" rule breaks
+    * when intervals have VARIABLE lengths and can nest (a long interval
+    * swallowing later short ones). The correct island test compares each
+    * start against the running max of all PRIOR ends, which handles
+    * nesting; islands then aggregate to merged spans.
+    *
+    * Used for: converting per-event validity intervals (cache leases,
+    * content locks, speaker turns in audio) into disjoint coverage
+    * spans + an overlap-compression ratio. One shuffle on the key, one
+    * sort by start shared by both windows, island aggregate on the same
+    * key — three stages, none carrying more than the interval rows.
+    */
+  def q98IntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables(spark, dir).events
+      .filter($"user_id" < 50)
+      .select($"user_id",
+        unix_timestamp($"ts").as("s"),
+        (unix_timestamp($"ts") + round($"value" * 600).cast("long") + 60L).as("e"),
+        $"event_id")
+    val byU = Window.partitionBy($"user_id").orderBy($"s", $"event_id")
+    val prior = byU.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = iv
+      .withColumn("max_prior_end", max($"e").over(prior))
+      .withColumn("is_new",
+        when($"max_prior_end".isNull || $"s" > $"max_prior_end", 1L).otherwise(0L))
+      .withColumn("island", sum($"is_new").over(byU))
+    islands
+      .groupBy($"user_id", $"island")
+      .agg(min($"s").as("span_s"), max($"e").as("span_e"),
+        count(lit(1)).as("n_merged"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"n_merged").as("n_intervals"),
+        sum($"span_e" - $"span_s").as("covered_s"))
+      .orderBy($"user_id")
+  }
+
+  val q98Sql: String =
+    """WITH iv AS (
+      |  SELECT user_id,
+      |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+      |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |           + CAST(round(value * 600) AS BIGINT) + 60 AS e,
+      |         event_id
+      |  FROM events WHERE user_id < 50),
+      |m AS (
+      |  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prior_end
+      |  FROM iv),
+      |isl AS (
+      |  SELECT *, sum(CASE WHEN max_prior_end IS NULL OR s > max_prior_end
+      |                     THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY s, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM m),
+      |spans AS (
+      |  SELECT user_id, island, min(s) AS span_s, max(e) AS span_e,
+      |         count(*) AS n_merged
+      |  FROM isl GROUP BY user_id, island)
+      |SELECT user_id, count(*) AS n_spans,
+      |  CAST(sum(n_merged) AS BIGINT) AS n_intervals,
+      |  CAST(sum(span_e - span_s) AS BIGINT) AS covered_s
+      |FROM spans GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
+    Q("q96_gap_fill", q96GapFill, Some(q96Sql), Seq("X-temporal"),
+      "per-key daily spine densification with LOCF interpolation"),
+    Q("q97_hopping_window", q97HoppingWindow, Some(q97Sql), Seq("X-temporal", "A6"),
+      "hopping 1h/15min window aggregate via built-in window()"),
+    Q("q98_interval_merge", q98IntervalMerge, Some(q98Sql), Seq("X-temporal"),
+      "overlapping-interval union via running-max island detection"),
     Q("q88_session_paths", q88SessionPaths, Some(q88Sql), Seq("X-temporal", "O2"),
       "top within-session 3-step event paths over one user-keyed sort"),
     Q("q83_cohort_retention", q83CohortRetention, Some(q83Sql), Seq("X-temporal"),

@@ -231,4 +231,29 @@ class ProfilingTextSpec extends AnyFunSuite {
       ("A", 10L, 10L, 7.0, 13.0, r, -3.0 / math.sqrt(13.0)),
       ("B", 4L, 16L, 7.0, 13.0, -r, 3.0 / math.sqrt(13.0))))
   }
+
+  test("mode+entropy: deterministic tie-break, zero entropy for degenerate groups") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("modeentropy-events")
+    def ns(hour: Long, i: Long): Long = (hour * 3600L + i) * 1000000000L
+    // hour 0: a,a,b → mode a, H = −(2/3·log2 2/3 + 1/3·log2 1/3) = 0.9183
+    // hour 1: c,c   → degenerate, H = 0
+    // hour 2: b,a   → tied counts: mode must be 'a' (value-asc tie-break)
+    val rows = Seq(
+      (0L, "a"), (0L, "a"), (0L, "b"),
+      (1L, "c"), (1L, "c"),
+      (2L, "b"), (2L, "a"))
+    rows.zipWithIndex.map { case ((h, ty), id) => (id.toLong, 1L, ns(h, id), ty) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = operators.Profiling.q95ModeEntropy(spark, dir)
+      .as[(Int, String, Long, Double, Long, Long)].collect().toList
+    val h0 = BigDecimal(-(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === List(
+      (0, "a", 2L, h0, 2L, 3L),
+      (1, "c", 2L, 0.0, 1L, 2L),
+      (2, "a", 1L, 1.0, 2L, 2L)))
+  }
 }

@@ -166,4 +166,48 @@ class RelationalSpec extends AnyFunSuite {
     assert(p.contains("might_contain"))
     assert(p.contains("Subquery")) // the filter rides in as a scalar subquery
   }
+
+  test("q93 grouping sets: exactly the requested slices, one Expand-based scan") {
+    val rows = Relational.q93GroupingSets(spark, sf).collect()
+    // slices present: (flag,status) g=(0,0); (flag) g=(0,1); () g=(1,1) —
+    // and NOT the (status)-only slice a CUBE would add
+    val gs = rows.map(r => (r.getAs[Long]("g_flag"), r.getAs[Long]("g_status"))).distinct.toSet
+    assert(gs === Set((0L, 0L), (0L, 1L), (1L, 1L)))
+    val total = rows.filter(_.getAs[Long]("g_flag") == 1L)
+    assert(total.length === 1)
+    val leafN = rows.filter(r => r.getAs[Long]("g_flag") == 0L && r.getAs[Long]("g_status") == 0L)
+      .map(_.getAs[Long]("n_lines")).sum
+    assert(total.head.getAs[Long]("n_lines") === leafN)
+    // one scan: the grouping sets expand, not a UNION ALL of re-scans
+    // (formatted explain names each scan twice: tree + detail section)
+    val p = plan(Relational.q93GroupingSets(spark, sf))
+    assert(p.contains("Expand"))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1)
+  }
+
+  test("q94 snapshot diff classifies added/removed/changed/same from a planted keyset") {
+    val dir = TestSpark.scratch("snapdiff-orders")
+    def d(yr: Int) = java.sql.Timestamp.valueOf(s"$yr-06-01 00:00:00")
+    // c1: 1994 only → removed; c2: 1995 only → added; c3: both, revenue
+    // differs → changed; c4: both identical → same; c5: same revenue but
+    // different order count → changed
+    Seq(
+      (1L, 1L, d(1994), 10.00), (2L, 2L, d(1995), 20.00),
+      (3L, 3L, d(1994), 30.00), (4L, 3L, d(1995), 31.00),
+      (5L, 4L, d(1994), 40.00), (6L, 4L, d(1995), 40.00),
+      (7L, 5L, d(1994), 50.00),
+      (8L, 5L, d(1995), 25.00), (9L, 5L, d(1995), 25.00))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Relational.q94SnapshotDiff(spark, dir)
+      .as[(Long, Long, Long, Double, Double, String)].collect().toList
+    assert(out === List(
+      (1L, 1L, 0L, 10.0, 0.0, "removed"),
+      (2L, 0L, 1L, 0.0, 20.0, "added"),
+      (3L, 1L, 1L, 30.0, 31.0, "changed"),
+      (4L, 1L, 1L, 40.0, 40.0, "same"),
+      (5L, 1L, 2L, 50.0, 50.0, "changed")))
+  }
 }

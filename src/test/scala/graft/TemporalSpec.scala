@@ -219,4 +219,65 @@ class TemporalSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toList
     assert(out === List(("a>b>c", 2L), ("b>c>d", 1L)))
   }
+
+  test("gap fill: per-user spine densifies only the user's own span and LOCF fills holes") {
+    val dir = TestSpark.scratch("gapfill-events")
+    def ns(day: Long): Long = day * 86400L * 1000000000L
+    // u1 observed days 0 and 3 → days 1,2 are gaps carrying day-0's value;
+    // u2 observed only day 5 → single-row spine (no global grid bleed);
+    // u3 has two same-day events → daily v = max
+    val rows = Seq(
+      (1L, ns(0), 5.0), (1L, ns(3), 7.0),
+      (2L, ns(5), 9.0),
+      (3L, ns(2), 1.0), (3L, ns(2) + 1000L, 4.0))
+    rows.zipWithIndex.map { case ((u, t, v), id) => (id.toLong, u, t, "e", v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TemporalOps.q96GapFill(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect().toList
+    assert(out === List(
+      (1L, 0L, 5.0, false), (1L, 1L, 5.0, true), (1L, 2L, 5.0, true),
+      (1L, 3L, 7.0, false),
+      (2L, 5L, 9.0, false),
+      (3L, 2L, 4.0, false)))
+  }
+
+  test("hopping window: each event lands in exactly windowLength/slide = 4 windows") {
+    val dir = TestSpark.scratch("hopping-events")
+    def ns(sec: Long): Long = sec * 1000000000L
+    // one event at t=0 (u1), one at t=1800 (u2): the two fan-outs overlap
+    // at window starts -900 and 0, where both users must be counted
+    Seq((0L, 1L, ns(0), "e"), (1L, 2L, ns(1800), "e"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TemporalOps.q97HoppingWindow(spark, dir)
+      .as[(Long, Long, Long)].collect().toList
+    assert(out === List(
+      (-2700L, 1L, 1L), (-1800L, 1L, 1L), (-900L, 2L, 2L), (0L, 2L, 2L),
+      (900L, 1L, 1L), (1800L, 1L, 1L)))
+    assert(out.map(_._2).sum === 2L * 4L)
+  }
+
+  test("interval merge: running-max islands absorb nested intervals that a gap rule would split") {
+    val dir = TestSpark.scratch("intmerge-events")
+    def ns(sec: Long): Long = sec * 1000000000L
+    // u1: [0,6060] (value 10 → 6000s+60s), then [100,220] NESTED inside
+    // it (a lag-gap rule would see start gap 100s < span and still be
+    // fine, but the third interval [5900,6080] starts AFTER the nested
+    // one ENDS — only the running max over all prior ends keeps it in
+    // island 1); [7000,7120] is disjoint → island 2
+    Seq(
+      (0L, 1L, ns(0), 10.0), (1L, 1L, ns(100), 0.1), (2L, 1L, ns(5900), 0.2),
+      (3L, 1L, ns(7000), 0.1))
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("event_type", lit("e")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TemporalOps.q98IntervalMerge(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toList
+    // islands: [0,6080] (max end of the three = 5900+0.2*600+60 = 6080
+    // vs 6060 → 6080) and [7000,7120] → covered 6080 + 120
+    assert(out === List((1L, 2L, 4L, 6200L)))
+  }
 }
