@@ -499,9 +499,55 @@ object CurationOps {
        |FROM r
        |ORDER BY source""".stripMargin
 
+  /** Leakage-safe train/val/test split: the split key is the CONTENT
+    * fingerprint, not the row id, so exact duplicates can never straddle
+    * splits (the classic eval-contamination bug: a val doc whose twin
+    * sits in train). Docs draw an 80/10/10 bucket from an md5 fold of
+    * their md5(text) fingerprint — deterministic across reruns and
+    * engines, no rand(), no global sort. For NEAR-dup safety the same
+    * shape applies with the q65/q68 cluster label as the key; this
+    * operator pins the exact-dup tier, where the fingerprint needs no
+    * join at all (one row-local hash, one aggregate).
+    */
+  def q100SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = md5($"text")
+    val bucket = conv(substring(md5(concat(lit("split|"), fp)), 1, 8), 16, 10)
+      .cast("long") % 10
+    Tables(spark, dir).documents
+      .withColumn("split",
+        when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test"))
+      .withColumn("fp", fp)
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"fp").as("n_clusters"),
+        sum($"n_chars").as("n_chars"))
+      .orderBy($"split")
+  }
+
+  val q100Sql: String = {
+    val foldH = (1 to 8).map { j =>
+      val mult = 1L << (4 * (8 - j))
+      s"(strpos('0123456789abcdef', substr(md5('split|' || md5(text)), $j, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT md5(text) AS fp, n_chars,
+       |         ($foldH) % 10 AS bucket
+       |  FROM documents)
+       |SELECT CASE WHEN bucket <= 7 THEN 'train'
+       |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  count(DISTINCT fp) AS n_clusters,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM b GROUP BY split
+       |ORDER BY split""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q61_pii_redact", q61PiiRedact, Some(q61Sql), Seq("X-curation"),
       "PII redaction: emails / IPv4s / long digit runs, ordered counts"),
+    Q("q100_split_leakage", q100SplitLeakage, Some(q100Sql), Seq("X-curation", "X-sample"),
+      "leakage-safe 80/10/10 split keyed on content fingerprint, not row id"),
     Q("q90_length_buckets", q90LengthBuckets, Some(q90Sql), Seq("X-curation", "X-stats"),
       "power-of-two length buckets with padding-waste shares"),
     Q("q91_mix_schedule", q91MixSchedule, Some(q91Sql), Seq("X-curation", "X-sample"),

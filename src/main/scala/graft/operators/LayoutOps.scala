@@ -91,7 +91,58 @@ object LayoutOps {
        |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** Small-file compaction planner: bin-pack a partition's file
+    * inventory into target-size output groups. Small files are the
+    * silent tax of streaming/incremental ingest at scale — a 100 TB
+    * table accreting 10k tiny files per hour pays per-file open cost on
+    * every scan until compacted; the planner turns a file listing into
+    * the compaction job list (one output group per bin).
+    *
+    * Packing rule: within each partition, files in deterministic
+    * (listing) order, a file joins the bin where its cumulative START
+    * offset falls — `bin = (cumsum − size) div target` — so bins
+    * overflow by at most one file rather than splitting it. One window
+    * cumsum + one aggregate, both over |files| rows: the plan never
+    * touches file CONTENTS, so it costs the same whether the table is
+    * 1 GB or 100 TB. Documents stand in for the file inventory (source
+    * = partition, n_chars = size).
+    */
+  def q101CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val target = 20000L
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).documents
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("bin_id",
+        ((sum($"n_chars").over(w) - $"n_chars") / target).cast("long"))
+      .groupBy($"source", $"bin_id")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"n_chars").as("bytes"),
+        min($"doc_id").as("first_file"),
+        max($"doc_id").as("last_file"))
+      .orderBy($"source", $"bin_id")
+  }
+
+  val q101Sql: String =
+    """WITH c AS (
+      |  SELECT source, doc_id, n_chars,
+      |         (sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          - n_chars) // 20000 AS bin_id
+      |  FROM documents)
+      |SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+      |  count(*) AS n_files,
+      |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+      |  min(doc_id) AS first_file,
+      |  max(doc_id) AS last_file
+      |FROM c GROUP BY source, bin_id
+      |ORDER BY source, bin_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q75_zorder_layout", q75ZorderLayout, Some(q75Sql), Seq("X-scale"),
-      "Z-order (Morton) clustering key + tile for two-dimensional file skipping"))
+      "Z-order (Morton) clustering key + tile for two-dimensional file skipping"),
+    Q("q101_compaction_plan", q101CompactionPlan, Some(q101Sql), Seq("X-scale"),
+      "small-file compaction planner: cumsum bin-packing over the file inventory"))
 }

@@ -596,9 +596,116 @@ object SimilarityOps {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Lloyd's k-means over the embedding corpus: k=4, deterministic init
+    * (the k lowest vec_ids), 2 assign/update rounds, final assignment.
+    * The clustering primitive behind corpus bucketing, IVF coarse
+    * quantizer training (q25 consumes exactly this artifact shape), and
+    * diversity-aware sampling.
+    *
+    * Scale shape — the textbook broadcast k-means: centroids are k×dim
+    * doubles broadcast to every task; assignment is a row-local argmin
+    * over the broadcast (k·N projected rows, no shuffle of the corpus);
+    * the update shuffles only (cid, pos) partial sums — k·dim rows after
+    * map-side combine. Iterations are driver-sequenced (2 here; a real
+    * run loops to movement < ε) but each round's lineage is 2 stages.
+    *
+    * Oracle-parity: embeddings quantize once to integer millis, so
+    * centroid updates are EXACT integer sums followed by one identical
+    * double division on both engines — only the argmin distances ride on
+    * fp summation order, where last-ulp drift cannot flip a non-tied
+    * argmin. Tie-break is (dist, cid) lexicographic.
+    */
+  def q99Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 4
+    val eq = Tables(spark, dir).embeddings
+      .select($"vec_id",
+        transform($"embedding",
+          x => round(x.cast("double") * 1000).cast("long")).as("eq"))
+
+    def assign(cents: DataFrame): DataFrame =
+      eq.crossJoin(broadcast(cents))
+        .select($"vec_id", $"eq", $"cid",
+          aggregate(
+            zip_with($"eq", $"c",
+              (a, b) => (a.cast("double") / 1000.0 - b) * (a.cast("double") / 1000.0 - b)),
+            lit(0.0), (acc, x) => acc + x).as("dist"))
+        .groupBy($"vec_id", $"eq")
+        .agg(min(struct($"dist", $"cid")).as("m"))
+        .select($"vec_id", $"eq", $"m.cid".as("cid"))
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select($"cid", posexplode($"eq").as(Seq("pos", "v")))
+        .groupBy($"cid", $"pos")
+        .agg((sum($"v").cast("double") / (count(lit(1)) * 1000.0)).as("cd"))
+        .groupBy($"cid")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"cd"))),
+          s => s("cd")).as("c"))
+
+    val init = eq.filter($"vec_id" < k)
+      .select($"vec_id".as("cid"),
+        transform($"eq", v => v.cast("double") / 1000.0).as("c"))
+    val c2 = update(assign(update(assign(init))))
+    val norms = c2.select($"cid",
+      round(sqrt(aggregate($"c", lit(0.0), (acc, x) => acc + x * x)), 4)
+        .as("centroid_norm"))
+    assign(c2)
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_members"), min($"vec_id").as("rep_vec"))
+      .join(norms, Seq("cid"))
+      .select($"cid", $"n_members", $"rep_vec", $"centroid_norm")
+      .orderBy($"cid")
+  }
+
+  val q99Sql: String =
+    """WITH u AS (
+      |  SELECT vec_id,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v,
+      |         generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, pos, CAST(v AS DOUBLE) / 1000.0 AS c
+      |       FROM u WHERE vec_id < 4),
+      |d1 AS (SELECT u.vec_id, c0.cid,
+      |              sum(pow(CAST(u.v AS DOUBLE) / 1000.0 - c0.c, 2)) AS dist
+      |       FROM u JOIN c0 USING (pos) GROUP BY u.vec_id, c0.cid),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.cid, u.pos,
+      |              CAST(sum(u.v) AS DOUBLE) / (count(*) * 1000.0) AS c
+      |       FROM u JOIN a1 USING (vec_id) GROUP BY a1.cid, u.pos),
+      |d2 AS (SELECT u.vec_id, c1.cid,
+      |              sum(pow(CAST(u.v AS DOUBLE) / 1000.0 - c1.c, 2)) AS dist
+      |       FROM u JOIN c1 USING (pos) GROUP BY u.vec_id, c1.cid),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |         FROM d2) WHERE rn = 1),
+      |c2 AS (SELECT a2.cid, u.pos,
+      |              CAST(sum(u.v) AS DOUBLE) / (count(*) * 1000.0) AS c
+      |       FROM u JOIN a2 USING (vec_id) GROUP BY a2.cid, u.pos),
+      |d3 AS (SELECT u.vec_id, c2.cid,
+      |              sum(pow(CAST(u.v AS DOUBLE) / 1000.0 - c2.c, 2)) AS dist
+      |       FROM u JOIN c2 USING (pos) GROUP BY u.vec_id, c2.cid),
+      |a3 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |         FROM d3) WHERE rn = 1),
+      |norms AS (SELECT cid, round(sqrt(sum(c * c)), 4) AS centroid_norm
+      |          FROM c2 GROUP BY cid)
+      |SELECT a3.cid, count(*) AS n_members, min(vec_id) AS rep_vec,
+      |       max(norms.centroid_norm) AS centroid_norm
+      |FROM a3 JOIN norms ON a3.cid = norms.cid
+      |GROUP BY a3.cid
+      |ORDER BY a3.cid""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q23_embed_neardup", q23EmbedNearDup, Some(q23Sql), Seq("X-dedup", "X-sim"),
       "embedding near-dup: blocked pairwise cosine"),
+    Q("q99_kmeans", q99Kmeans, Some(q99Sql), Seq("X-sim", "X-scale"),
+      "broadcast k-means: deterministic init, 2 Lloyd rounds, exact-integer updates"),
     Q("q24_ann_brute", q24AnnBrute, Some(q24Sql), Seq("X-sim"),
       "brute-force cosine top-k (exact baseline)"),
     Q("q25_ann_ivf", q25AnnIvf, Some(q25Sql), Seq("X-sim"),

@@ -187,4 +187,26 @@ class CurationSpec extends AnyFunSuite {
     assert(byS("src2")._3 === 10L && byS("src2")._5 === 200000L)
     assert(byS("src0")._6 === 4999999.0 / 100)
   }
+
+  test("leakage-safe split: duplicate texts always share a split; buckets cover 80/10/10") {
+    // 30 distinct texts, each duplicated 3× under different doc_ids: if
+    // the split keyed on doc_id, copies would scatter; keyed on content
+    // they cannot. sum(n_clusters) == distinct texts proves no
+    // fingerprint straddles two splits.
+    val texts = (0 until 30).map(i => s"document body number $i with words")
+    val rows = for {
+      (t, i) <- texts.zipWithIndex
+      copy <- 0 until 3
+    } yield ((i * 3 + copy).toLong, t, "en", "s", t.length.toLong)
+    val dir = docsDir(rows)
+    val out = CurationOps.q100SplitLeakage(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(out.map(_._2).sum === 90L)
+    assert(out.map(_._3).sum === 30L) // the leakage invariant
+    // every duplicate trio lands whole: each split's doc count is a
+    // multiple of 3
+    out.foreach { case (_, nDocs, nClusters, _) =>
+      assert(nDocs === nClusters * 3)
+    }
+  }
 }

@@ -393,4 +393,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Seq[String], Seq[String])].collect()
     cmp.foreach { case (n, r) => assert(n == r, s"native $n != regex $r") }
   }
+
+  test("k-means: planted tight groups converge to their seeds; norms are the group means") {
+    val dir = TestSpark.scratch("kmeans-emb")
+    // 4 axis-aligned groups of 2; vec_ids 0..3 (the deterministic seeds)
+    // are one member of each group, so every group keeps its own seed
+    // cluster and the 2-member centroid is (10+12)/2 = 11 on one axis
+    def vec(axis: Int, mag: Float): Seq[Float] = {
+      val a = Array.fill(4)(0.0f); a(axis) = mag; a.toSeq
+    }
+    val rows = (0 until 4).flatMap { g =>
+      Seq((g.toLong, vec(g, 10.0f), g), ((g + 4).toLong, vec(g, 12.0f), g))
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = operators.SimilarityOps.q99Kmeans(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out === List(
+      (0L, 2L, 0L, 11.0), (1L, 2L, 1L, 11.0),
+      (2L, 2L, 2L, 11.0), (3L, 2L, 3L, 11.0)))
+  }
 }

@@ -76,4 +76,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(zTouched <= 2, s"z-layout touched $zTouched of $zTotal files")
     assert(rrTouched >= 12, s"round-robin touched only $rrTouched of $rrTotal files")
   }
+  test("compaction planner: files join the bin of their start offset; oversized files overflow alone") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("compaction-docs")
+    // target 20000; source s: sizes 15000,10000,10000,30000,5000 ->
+    // start offsets 0,15000,25000,35000,65000 -> bins 0,0,1,1,3
+    // (bin 2 is skipped because file 4 overflows bin 1 past it)
+    Seq(
+      (1L, "a", 15000L), (2L, "a", 10000L), (3L, "a", 10000L),
+      (4L, "a", 30000L), (5L, "a", 5000L),
+      (6L, "b", 100L))
+      .toDF("doc_id", "source", "n_chars")
+      .withColumn("text", lit("t")).withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.LayoutOps.q101CompactionPlan(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(out === List(
+      ("a", 0L, 2L, 25000L, 1L, 2L),
+      ("a", 1L, 2L, 40000L, 3L, 4L),
+      ("a", 3L, 1L, 5000L, 5L, 5L),
+      ("b", 0L, 1L, 100L, 6L, 6L)))
+  }
 }
