@@ -141,9 +141,104 @@ object GraphOps {
       |ORDER BY support DESC, a, b
       |LIMIT 25""".stripMargin
 
+  /** Triangle counting with degree-ordered edge orientation — the
+    * local-clustering primitive (community tightness, spam-farm
+    * detection) over the co-purchase graph.
+    *
+    * The naive count joins the edge list with itself on every shared
+    * vertex: fanout Σ deg(v)², which a single celebrity vertex turns
+    * into a job-killing skew at scale. Orienting each edge from its
+    * (degree, id)-SMALLER endpoint to the larger caps every out-degree
+    * at O(√E), so the wedge join's fanout is Σ outdeg(v)² = O(E^1.5)
+    * worst case regardless of skew — the standard trick (Suri &
+    * Vassilvitskii's MR-friendly variant). Each triangle is then found
+    * exactly once: from its (degree,id)-minimal vertex, with its two
+    * out-neighbors ordered, closed by the one possible orientation of
+    * the third edge.
+    *
+    * Three shuffles end to end: edges→degrees, wedge self-join on the
+    * source, closure semi-join on (v, w). All integer arithmetic —
+    * bit-identical in the DuckDB twin.
+    */
+  def q103Triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = Tables(spark, dir).lineitem
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_set($"l_partkey")).as("items"))
+      .select(posexplode($"items").as(Seq("i", "a")), $"items")
+      .select($"a", explode(slice($"items", $"i" + 2, size($"items"))).as("b"))
+      .distinct()
+    val deg = und.select($"a".as("v")).unionAll(und.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "deg_a"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "deg_b"), "b")
+    // orient from the (deg, id)-smaller endpoint; carry the dst's rank
+    // key so the wedge can order its two out-neighbors without a re-join
+    val oriented = withDeg.select(
+      when($"deg_a" < $"deg_b" || ($"deg_a" === $"deg_b" && $"a" < $"b"), $"a")
+        .otherwise($"b").as("src"),
+      when($"deg_a" < $"deg_b" || ($"deg_a" === $"deg_b" && $"a" < $"b"), $"b")
+        .otherwise($"a").as("dst"),
+      when($"deg_a" < $"deg_b" || ($"deg_a" === $"deg_b" && $"a" < $"b"), $"deg_b")
+        .otherwise($"deg_a").as("deg_dst"))
+    val e1 = oriented.select($"src", $"dst".as("v"), $"deg_dst".as("deg_v"))
+    val e2 = oriented.select($"src", $"dst".as("w"), $"deg_dst".as("deg_w"))
+    val wedges = e1.join(e2, "src")
+      .filter($"deg_v" < $"deg_w" || ($"deg_v" === $"deg_w" && $"v" < $"w"))
+    val tris = wedges.join(
+      oriented.select($"src".as("v"), $"dst".as("w")), Seq("v", "w"), "left_semi")
+    tris.select(explode(array($"src", $"v", $"w")).as("vertex"))
+      .groupBy($"vertex").agg(count(lit(1)).as("n_tri"))
+      .join(deg.withColumnRenamed("v", "vertex"), "vertex")
+      .select($"vertex", $"deg", $"n_tri")
+      .orderBy($"n_tri".desc, $"vertex")
+      .limit(10)
+  }
+
+  val q103Sql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM items x JOIN items y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |deg AS (
+      |  SELECT v, count(*) AS deg FROM (
+      |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+      |  GROUP BY v),
+      |oriented AS (
+      |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |              THEN a ELSE b END AS src,
+      |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |              THEN b ELSE a END AS dst,
+      |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |              THEN db.deg ELSE da.deg END AS deg_dst
+      |  FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+      |wedges AS (
+      |  SELECT e1.src, e1.dst AS v, e2.dst AS w
+      |  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+      |  WHERE e1.deg_dst < e2.deg_dst
+      |     OR (e1.deg_dst = e2.deg_dst AND e1.dst < e2.dst)),
+      |tris AS (
+      |  SELECT wedges.src, wedges.v, wedges.w FROM wedges
+      |  WHERE EXISTS (SELECT 1 FROM oriented o
+      |                WHERE o.src = wedges.v AND o.dst = wedges.w)),
+      |verts AS (
+      |  SELECT src AS vertex FROM tris
+      |  UNION ALL SELECT v FROM tris UNION ALL SELECT w FROM tris)
+      |SELECT vertex, CAST(deg.deg AS BIGINT) AS deg,
+      |       CAST(count(*) AS BIGINT) AS n_tri
+      |FROM verts JOIN deg ON deg.v = vertex
+      |GROUP BY vertex, deg.deg
+      |ORDER BY n_tri DESC, vertex
+      |LIMIT 10""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q89_pagerank", q89PageRank, Some(q89Sql), Seq("X-graph", "X-scale"),
       "fixed-point integer PageRank over the purchase graph (5 damped rounds)"),
+    Q("q103_triangles", q103Triangles, Some(q103Sql), Seq("X-graph", "X-scale"),
+      "triangle counting with degree-ordered orientation (skew-proof wedge join)"),
     Q("q92_item_pairs", q92ItemPairs, Some(q92Sql), Seq("X-graph", "X-stats"),
       "co-purchase pair mining: basket-local pair fanout, support pruning"))
 }

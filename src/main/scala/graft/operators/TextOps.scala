@@ -570,9 +570,47 @@ object TextOps {
       |FROM c
       |ORDER BY vocab_rank""".stripMargin
 
+  /** Canonical text normalization: Unicode NFC (native codegen
+    * expression with an ASCII zero-copy fast path —
+    * plans/TextExpressions.NfcNormalize), case fold, whitespace-run
+    * collapse, trim. THE preprocessing step before any hash-keyed
+    * operator: without canonical composition, "café" spelled with a
+    * combining accent and "café" precomposed get different md5s, so
+    * dedup (q19), fingerprints (q17) and leakage splits (q100) silently
+    * treat equal content as distinct.
+    *
+    * All four steps are row-local codegen'd string work — no shuffle at
+    * all until the presentation ORDER BY; at 100 TB this runs at scan
+    * speed as the first map stage of the curation DAG. The oracle twin
+    * uses DuckDB's built-in nfc_normalize (identity on the ASCII
+    * fixture; the unicode semantics are pinned by ProfilingTextSpec).
+    */
+  def q102Normalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norm = trim(regexp_replace(
+      lower(graft.plans.TextExpressions.nfcNormalize($"text")), "\\s+", " "))
+    Tables(spark, dir).documents
+      .select($"doc_id", norm.as("norm"))
+      .select($"doc_id",
+        length($"norm").as("n_chars_norm"),
+        md5($"norm").as("norm_fp"))
+      .orderBy($"doc_id")
+  }
+
+  val q102Sql: String =
+    """SELECT doc_id,
+      |  length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))
+      |    AS n_chars_norm,
+      |  md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))
+      |    AS norm_fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q15_token_stats", q15TokenStats, Some(q15Sql), Seq("F-text"),
       "per-document token/length statistics"),
+    Q("q102_normalize", q102Normalize, Some(q102Sql), Seq("F-text", "X-custom"),
+      "canonical NFC + casefold + whitespace normalization, native expression"),
     Q("q67_surprisal", q67Surprisal, Some(q67Sql), Seq("F-text"),
       "unigram-LM surprisal quality signal, integer-exact floor-log2 bits"),
     Q("q70_tfidf", q70TfIdf, Some(q70Sql), Seq("F-text"),

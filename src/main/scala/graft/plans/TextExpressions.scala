@@ -133,4 +133,59 @@ object TextExpressions {
 
   def rollingHash32(c: Column): Column =
     ColumnBridge.column(RollingHash32(ColumnBridge.expression(c)))
+
+  /** Unicode NFC normalization with an ASCII fast path.
+    *
+    * Visually identical strings with different codepoint sequences
+    * ("é" as U+00E9 vs e + U+0301) defeat hash-based dedup (q19/q21)
+    * and fingerprinting (q17) — canonical composition first makes
+    * content hashing mean content, not byte accident. Spark has no
+    * built-in for this (the usual fallback is a Scala UDF, which blocks
+    * whole-stage codegen); DuckDB ships `nfc_normalize`.
+    *
+    * Fast path: NFC can only alter strings containing codepoints with
+    * nonzero canonical combining class or composition mappings, all of
+    * which are non-ASCII — so a pure-ASCII input (the overwhelming hot
+    * path of a web corpus) is returned UNCHANGED with zero allocation
+    * after one byte scan. Only strings with a high bit set pay the
+    * String round-trip through java.text.Normalizer (isNormalized
+    * short-circuits the already-composed majority of those).
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${other.sql}")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      nfc(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.TextExpressions.nfc($c);")
+
+    override protected def withNewChildInternal(c: Expression): NfcNormalize =
+      copy(child = c)
+  }
+
+  def nfcNormalize(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
 }

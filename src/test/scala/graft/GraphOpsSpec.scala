@@ -77,4 +77,30 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toList
     assert(out === List((1L, 2L, 3L)))
   }
+
+  test("q103 counts each planted triangle once and attributes it to all three vertices") {
+    val dir = TestSpark.scratch("triangle-graph")
+    // baskets: {1,2,3} → triangle A; {3,4},{4,5},{3,5} → triangle B.
+    // Vertex 3 sits in both. An open wedge 3-4 / 3-5 without the 4-5
+    // edge would NOT count — basket {4,5} is what closes B.
+    val baskets = Seq(
+      10L -> Seq(1L, 2L, 3L),
+      11L -> Seq(3L, 4L), 12L -> Seq(4L, 5L), 13L -> Seq(3L, 5L))
+    val rows = for {
+      (ok, items) <- baskets
+      (p, i) <- items.zipWithIndex
+    } yield (ok, p, i + 1)
+    rows.toDF("l_orderkey", "l_partkey", "l_linenumber")
+      .withColumn("l_suppkey", lit(1L))
+      .withColumn("l_quantity", lit(1.0)).withColumn("l_extendedprice", lit(1.0))
+      .withColumn("l_discount", lit(0.0)).withColumn("l_tax", lit(0.0))
+      .withColumn("l_returnflag", lit("N")).withColumn("l_linestatus", lit("O"))
+      .withColumn("l_shipdate", lit(new java.sql.Timestamp(0L)))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = GraphOps.q103Triangles(spark, dir)
+      .as[(Long, Long, Long)].collect().toList
+    // degrees: 1:2, 2:2, 3:4, 4:2, 5:2; triangle counts: 3→2, rest→1
+    assert(out === List(
+      (3L, 4L, 2L), (1L, 2L, 1L), (2L, 2L, 1L), (4L, 2L, 1L), (5L, 2L, 1L)))
+  }
 }

@@ -256,4 +256,31 @@ class ProfilingTextSpec extends AnyFunSuite {
       (1, "c", 2L, 0.0, 1L, 2L),
       (2, "a", 1L, 1.0, 2L, 2L)))
   }
+
+  test("NFC normalize: combining sequences compose, ASCII takes the zero-copy fast path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.TextExpressions
+    // decomposed e + COMBINING ACUTE (U+0301) composes to U+00E9
+    val decomposed = UTF8String.fromString("cafe\u0301 bar")
+    val composed = UTF8String.fromString("caf\u00e9 bar")
+    assert(TextExpressions.nfc(decomposed) === composed)
+    // already-NFC unicode returns the same instance (isNormalized path)
+    assert(TextExpressions.nfc(composed) eq composed)
+    // pure ASCII returns the same instance without Normalizer involvement
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(TextExpressions.nfc(ascii) eq ascii)
+
+    // end to end: all three spellings normalize to the SAME fingerprint
+    val dir = TestSpark.scratch("normalize-docs")
+    Seq(
+      (1L, "Cafe\u0301   Latte", "en", "s", 0L), // decomposed + space run
+      (2L, "CAF\u00c9 Latte", "en", "s", 0L), // composed, uppercase
+      (3L, "  caf\u00e9\tlatte ", "en", "s", 0L)) // tab + padding
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.TextOps.q102Normalize(spark, dir)
+      .as[(Long, Int, String)].collect().toList
+    assert(out.map(_._3).distinct.size === 1)
+    assert(out.forall(_._2 === "caf\u00e9 latte".length))
+  }
 }
