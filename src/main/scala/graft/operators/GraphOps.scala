@@ -162,14 +162,20 @@ object GraphOps {
     */
   def q103Triangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the edge list feeds degrees (×2), the orientation, and the closure
+    // probe — localCheckpoint-publish it once (q89's pattern: blocks are
+    // ContextCleaner-freed when consumers drop the frame) instead of
+    // re-running the basket fanout per reference
     val und = Tables(spark, dir).lineitem
       .groupBy($"l_orderkey")
       .agg(array_sort(collect_set($"l_partkey")).as("items"))
       .select(posexplode($"items").as(Seq("i", "a")), $"items")
       .select($"a", explode(slice($"items", $"i" + 2, size($"items"))).as("b"))
       .distinct()
+      .localCheckpoint()
     val deg = und.select($"a".as("v")).unionAll(und.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val withDeg = und
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "deg_a"), "a")
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "deg_b"), "b")
@@ -182,6 +188,7 @@ object GraphOps {
         .otherwise($"a").as("dst"),
       when($"deg_a" < $"deg_b" || ($"deg_a" === $"deg_b" && $"a" < $"b"), $"deg_b")
         .otherwise($"deg_a").as("deg_dst"))
+      .localCheckpoint()
     val e1 = oriented.select($"src", $"dst".as("v"), $"deg_dst".as("deg_v"))
     val e2 = oriented.select($"src", $"dst".as("w"), $"deg_dst".as("deg_w"))
     val wedges = e1.join(e2, "src")

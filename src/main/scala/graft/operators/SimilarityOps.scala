@@ -618,10 +618,16 @@ object SimilarityOps {
   def q99Kmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = 4
+    // the quantized corpus is re-read by every assignment round and the
+    // centroid frames by every consumer — localCheckpoint-publish both
+    // (centroids are k rows; the corpus blocks are freed by the
+    // ContextCleaner when the frame drops — q89's pattern) so the
+    // 3-assign/2-update chain is 5 passes, not an exponential re-derive
     val eq = Tables(spark, dir).embeddings
       .select($"vec_id",
         transform($"embedding",
           x => round(x.cast("double") * 1000).cast("long")).as("eq"))
+      .localCheckpoint()
 
     def assign(cents: DataFrame): DataFrame =
       eq.crossJoin(broadcast(cents))
@@ -642,6 +648,7 @@ object SimilarityOps {
         .groupBy($"cid")
         .agg(transform(array_sort(collect_list(struct($"pos", $"cd"))),
           s => s("cd")).as("c"))
+        .localCheckpoint()
 
     val init = eq.filter($"vec_id" < k)
       .select($"vec_id".as("cid"),
