@@ -543,9 +543,56 @@ object CurationOps {
        |ORDER BY split""".stripMargin
   }
 
+  /** Percentile-threshold quality gating: keep each source's top 30% by
+    * the shared q18 quality signal. Absolute thresholds rot as sources
+    * differ (0.6 keeps everything from Wikipedia and nothing from CC);
+    * a per-source percentile self-calibrates. The integer form
+    * `10·rank ≤ 3·n` avoids a double threshold entirely — no
+    * percentile interpolation, no fp boundary, identical keep-set on
+    * both engines even under quality ties (rank tie-breaks by doc_id).
+    *
+    * One window over the source partition (rank + count in the same
+    * sort) — the q39/q62 per-stratum top-k shape with a proportional
+    * rather than fixed k.
+    */
+  def q107PercentileGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val byQuality = Window.partitionBy($"source")
+      .orderBy($"__q".desc, $"doc_id".asc)
+    val all = Window.partitionBy($"source")
+    Tables(spark, dir).documents
+      .withColumn("__q", TextOps.qualityCol)
+      .withColumn("rank", row_number().over(byQuality))
+      .withColumn("n_source", count(lit(1)).over(all))
+      .filter($"rank" * 10 <= $"n_source" * 3)
+      // row_number is int32; the gate compares pandas dtypes, so emit
+      // the rank as int64 like the DuckDB twin's BIGINT
+      .select($"source", $"doc_id", $"rank".cast("long").as("rank"),
+        $"n_source", $"__q".as("quality"))
+      .orderBy($"source", $"doc_id")
+  }
+
+  val q107Sql: String =
+    s"""WITH q AS (
+       |  SELECT source, doc_id, ${TextOps.qualitySqlExpr} AS quality
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, quality,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY quality DESC, doc_id ASC) AS rank,
+       |         count(*) OVER (PARTITION BY source) AS n_source
+       |  FROM q)
+       |SELECT source, doc_id, rank, CAST(n_source AS BIGINT) AS n_source,
+       |       quality
+       |FROM r WHERE rank * 10 <= n_source * 3
+       |ORDER BY source, doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q61_pii_redact", q61PiiRedact, Some(q61Sql), Seq("X-curation"),
       "PII redaction: emails / IPv4s / long digit runs, ordered counts"),
+    Q("q107_percentile_gate", q107PercentileGate, Some(q107Sql), Seq("X-curation", "X-sample"),
+      "per-source top-30% quality gate via integer rank arithmetic"),
     Q("q100_split_leakage", q100SplitLeakage, Some(q100Sql), Seq("X-curation", "X-sample"),
       "leakage-safe 80/10/10 split keyed on content fingerprint, not row id"),
     Q("q90_length_buckets", q90LengthBuckets, Some(q90Sql), Seq("X-curation", "X-stats"),

@@ -336,9 +336,194 @@ object Profiling {
       |  CAST(max(total) AS BIGINT) AS total
       |FROM w GROUP BY hr ORDER BY hr""".stripMargin
 
+  /** Robust outlier detection via median absolute deviation — the
+    * heavy-tail-safe twin of q81's z-score: mean/stddev are themselves
+    * dragged by the outliers they're meant to flag, while median/MAD
+    * have a 50% breakdown point. Flags values beyond 3 robust sigmas
+    * (MAD × 1.4826 ≈ σ under normality).
+    *
+    * Exact MAD is inherently two-pass (the second median is of
+    * deviations FROM the first): two percentile aggregates + two
+    * key-joins, each shuffle carrying (type)-keyed rows. At 100 TB the
+    * one-pass variant swaps `percentile` for `approx_percentile` (the
+    * q48 pattern) without changing shape.
+    */
+  def q104MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events.select($"event_type", $"value")
+    val med = e.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val dev = e.join(med, "event_type")
+      .select($"event_type", $"value", $"med", abs($"value" - $"med").as("dv"))
+    val mad = dev.groupBy($"event_type")
+      .agg(expr("percentile(dv, 0.5D)").as("mad"))
+    dev.join(mad, "event_type")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(max($"med"), 4).as("med"),
+        round(max($"mad"), 4).as("mad"),
+        sum(when($"dv" > lit(4.4478) * $"mad", 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
+  val q104Sql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, e.value, med.med, abs(e.value - med.med) AS dv
+      |  FROM events e JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(dv, 0.5) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT event_type, count(*) AS n,
+      |  round(max(dev.med), 4) AS med,
+      |  round(max(mad.mad), 4) AS mad,
+      |  CAST(sum(CASE WHEN dv > CAST('4.4478' AS DOUBLE) * mad.mad
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Numeric distribution drift via the two-sample Kolmogorov–Smirnov
+    * statistic — q87's chi-square handles CATEGORICAL columns; this is
+    * its continuous twin: D = sup_x |F_early(x) − F_late(x)| between
+    * the time halves of each event type's value distribution.
+    *
+    * Integer-exact across engines: with n early and m late samples, at
+    * each distinct value D's numerator is |cumA·m − cumB·n| — pure
+    * counts, no division until the single final quotient. One (type,
+    * value) pre-aggregate (the only row-scaled shuffle), then running
+    * sums over the compacted distinct-value frame per type.
+    */
+  def q105KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"event_type", $"value", unix_timestamp($"ts").as("sec"))
+    val mid = ev.agg((min($"sec") +
+      floor((max($"sec") - min($"sec") + 1) / 2).cast("long")).as("mid"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .groupBy($"event_type", $"value")
+      .agg(
+        sum(when($"sec" < $"mid", 1L).otherwise(0L)).as("ca"),
+        sum(when($"sec" >= $"mid", 1L).otherwise(0L)).as("cb"))
+    val byType = Window.partitionBy($"event_type")
+    val cum = Window.partitionBy($"event_type").orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_a", sum($"ca").over(cum))
+      .withColumn("cum_b", sum($"cb").over(cum))
+      .withColumn("n", sum($"ca").over(byType))
+      .withColumn("m", sum($"cb").over(byType))
+      .groupBy($"event_type")
+      .agg(
+        max($"n").as("n"), max($"m").as("m"),
+        max(abs($"cum_a" * $"m" - $"cum_b" * $"n")).as("ks_num"))
+      .filter($"n" > 0 && $"m" > 0)
+      .select($"event_type", $"n", $"m", $"ks_num",
+        round($"ks_num".cast("double") / ($"n" * $"m").cast("double"), 6)
+          .as("ks"))
+      .orderBy($"event_type")
+  }
+
+  val q105Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+      |  FROM events),
+      |m AS (SELECT min(sec) + (max(sec) - min(sec) + 1) // 2 AS mid FROM e),
+      |cells AS (
+      |  SELECT event_type, value,
+      |    CAST(count(*) FILTER (WHERE sec < mid) AS BIGINT) AS ca,
+      |    CAST(count(*) FILTER (WHERE sec >= mid) AS BIGINT) AS cb
+      |  FROM e CROSS JOIN m GROUP BY event_type, value),
+      |w AS (
+      |  SELECT event_type,
+      |    sum(ca) OVER (PARTITION BY event_type ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+      |    sum(cb) OVER (PARTITION BY event_type ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+      |    sum(ca) OVER (PARTITION BY event_type) AS n,
+      |    sum(cb) OVER (PARTITION BY event_type) AS m
+      |  FROM cells)
+      |SELECT event_type,
+      |  CAST(max(n) AS BIGINT) AS n, CAST(max(m) AS BIGINT) AS m,
+      |  CAST(max(abs(cum_a * m - cum_b * n)) AS BIGINT) AS ks_num,
+      |  round(CAST(max(abs(cum_a * m - cum_b * n)) AS DOUBLE)
+      |        / (CAST(max(n) AS DOUBLE) * max(m)), 6) AS ks
+      |FROM w
+      |GROUP BY event_type
+      |HAVING max(n) > 0 AND max(m) > 0
+      |ORDER BY event_type""".stripMargin
+
+  /** Per-partition content digest: an order-independent XOR fold of
+    * row-level md5 fingerprints, per ship-month. The migration/backfill
+    * integrity primitive q94's snapshot diff drills into: two systems
+    * (or two runs) agree on a partition iff count AND both digest words
+    * match — computed WITHOUT sorting, collecting, or moving rows
+    * (XOR is commutative/associative, so partial aggregates combine in
+    * any order; one shuffle of (month, 2 longs) partials).
+    *
+    * Money enters the digest as exact long cents and the date as its
+    * formatted day — every field integer/string-rendered, so the
+    * row key is byte-identical cross-engine.
+    */
+  def q106TableDigest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    val key = concat_ws("|",
+      $"l_orderkey", $"l_linenumber",
+      cents($"l_quantity"), cents($"l_extendedprice"),
+      cents($"l_discount"), cents($"l_tax"),
+      $"l_returnflag", $"l_linestatus",
+      date_format($"l_shipdate", "yyyy-MM-dd"))
+    Tables(spark, dir).lineitem
+      .select(date_format($"l_shipdate", "yyyy-MM").as("month"),
+        md5(key).as("h"))
+      .select($"month",
+        conv(substring($"h", 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring($"h", 9, 8), 16, 10).cast("long").as("h2"))
+      .groupBy($"month")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h1)").as("digest1"),
+        expr("bit_xor(h2)").as("digest2"))
+      .orderBy($"month")
+  }
+
+  val q106Sql: String = {
+    def fold(start: Int): String = (0 until 8).map { j =>
+      val mult = 1L << (4 * (7 - j))
+      s"(strpos('0123456789abcdef', substr(h, ${start + j}, 1)) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+    """WITH r AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+      |         md5(l_orderkey || '|' || l_linenumber || '|'
+      |             || CAST(round(l_quantity * 100) AS BIGINT) || '|'
+      |             || CAST(round(l_extendedprice * 100) AS BIGINT) || '|'
+      |             || CAST(round(l_discount * 100) AS BIGINT) || '|'
+      |             || CAST(round(l_tax * 100) AS BIGINT) || '|'
+      |             || l_returnflag || '|' || l_linestatus || '|'
+      |             || strftime(l_shipdate, '%Y-%m-%d')) AS h
+      |  FROM lineitem)
+      |SELECT month, count(*) AS n_rows,
+      |  bit_xor(FOLD1) AS digest1,
+      |  bit_xor(FOLD2) AS digest2
+      |FROM r GROUP BY month ORDER BY month""".stripMargin
+      .replace("FOLD1", fold(1)).replace("FOLD2", fold(9))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q53_skew_profile", q53SkewProfile, Some(q53Sql), Seq("X-scale"),
       "join-key skew profiler: cardinality, hot-key count, p95, skew ratio"),
+    Q("q104_mad_outliers", q104MadOutliers, Some(q104Sql), Seq("X-stats"),
+      "robust outliers: median/MAD with 3-robust-sigma flags, exact two-pass"),
+    Q("q105_ks_drift", q105KsDrift, Some(q105Sql), Seq("X-stats", "X-scale"),
+      "two-sample Kolmogorov-Smirnov drift, integer-exact numerator"),
+    Q("q106_table_digest", q106TableDigest, Some(q106Sql), Seq("X-scale", "Q2"),
+      "order-independent per-partition content digest (XOR of row md5s)"),
     Q("q95_mode_entropy", q95ModeEntropy, Some(q95Sql), Seq("X-stats", "X-scale"),
       "categorical profile: per-group mode + Shannon entropy + cardinality"),
     Q("q79_corr_stats", q79CorrStats, Some(q79Sql), Seq("X-scale"),

@@ -257,6 +257,85 @@ class ProfilingTextSpec extends AnyFunSuite {
       (2, "a", 1L, 1.0, 2L, 2L)))
   }
 
+  test("MAD outliers: median/MAD ignore the planted spike; z-score-style mean would not") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("mad-events")
+    // values 1..9 plus a 1000 spike: med = 5.5, deviations sorted give
+    // MAD = 2.5 → threshold 4.4478·2.5 = 11.1195 → exactly the spike
+    // flags. (mean/stddev would be dragged to ~104/~314 and flag nothing)
+    val rows = ((1 to 9).map(_.toDouble) :+ 1000.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, 1L, i.toLong * 1000000000L, "A", v)
+    }
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = operators.Profiling.q104MadOutliers(spark, dir)
+      .as[(String, Long, Double, Double, Long)].collect().toList
+    assert(out === List(("A", 10L, 5.5, 2.5, 1L)))
+  }
+
+  test("KS drift: identical halves score 0, disjoint halves score 1, integer numerator") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("ks-events")
+    def ns(sec: Long): Long = sec * 1000000000L
+    // global mid = (0 + (33-0+1)//2) = 17. Type A: both halves {1,2} →
+    // D = 0. Type B: early {1,1}, late {2,2} → at value 1 the ECDFs are
+    // 1 vs 0 → numerator |2·2−0·2| = 4, D = 1.
+    val rows = Seq(
+      ("A", 0L, 1.0), ("A", 1L, 2.0), ("A", 30L, 1.0), ("A", 31L, 2.0),
+      ("B", 2L, 1.0), ("B", 3L, 1.0), ("B", 32L, 2.0), ("B", 33L, 2.0))
+    rows.zipWithIndex.map { case ((ty, s, v), id) => (id.toLong, 1L, ns(s), ty, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = operators.Profiling.q105KsDrift(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().toList
+    assert(out === List(("A", 2L, 2L, 0L, 0.0), ("B", 2L, 2L, 4L, 1.0)))
+  }
+
+  test("table digest is row-order independent and sensitive to a one-cent change") {
+    import org.apache.spark.sql.functions._
+    def write(dir: String, rows: Seq[(Long, Int, Double)]): Unit =
+      rows.toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("l_partkey", lit(1L)).withColumn("l_suppkey", lit(1L))
+        .withColumn("l_quantity", lit(1.0))
+        .withColumn("l_discount", lit(0.0)).withColumn("l_tax", lit(0.0))
+        .withColumn("l_returnflag", lit("N")).withColumn("l_linestatus", lit("O"))
+        .withColumn("l_shipdate",
+          lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
+        .repartition(3)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val a = TestSpark.scratch("digest-a")
+    val b = TestSpark.scratch("digest-b")
+    val c = TestSpark.scratch("digest-c")
+    val rows = (1L to 20L).map(k => (k, 1, 100.00 + k))
+    write(a, rows)
+    write(b, rows.reverse) // same content, different order/partitioning
+    write(c, rows.updated(4, (5L, 1, 105.01))) // one cent off in one row
+    def dig(dir: String) = operators.Profiling.q106TableDigest(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(dig(a) === dig(b))
+    assert(dig(a) !== dig(c))
+    assert(dig(a).head._2 === 20L)
+  }
+
+  test("percentile gate keeps exactly the per-source top 30% with doc_id tie-break") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("pgate-docs")
+    // source X: 10 docs with strictly increasing word counts (1..10
+    // words, all below the 60-word cap → quality strictly increases);
+    // top-30% = the 3 longest. source Y: 2 docs → 10·rank ≤ 3·2 keeps none.
+    val rows = (1 to 10).map { i =>
+      (i.toLong, (1 to i).map(j => s"w$j").mkString(" "), "en", "X", 0L)
+    } ++ Seq((100L, "a b", "en", "Y", 0L), (101L, "c d", "en", "Y", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.CurationOps.q107PercentileGate(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().toList
+    assert(out.map(r => (r._1, r._2, r._3)) ===
+      List(("X", 8L, 3L), ("X", 9L, 2L), ("X", 10L, 1L)))
+  }
+
   test("NFC normalize: combining sequences compose, ASCII takes the zero-copy fast path") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.plans.TextExpressions
