@@ -588,9 +588,100 @@ object CurationOps {
        |FROM r WHERE rank * 10 <= n_source * 3
        |ORDER BY source, doc_id""".stripMargin
 
+  /** Moore–Lewis data selection: rank candidate documents by
+    * cross-entropy DIFFERENCE between an in-domain LM (here: the `en`
+    * slice) and the general-corpus LM — the standard technique for
+    * mining domain-relevant training data out of a general pool (docs
+    * whose tokens the in-domain model prices cheaply RELATIVE to the
+    * general model rank first; pricing by one model alone just rewards
+    * short/common text).
+    *
+    * House integer-bits style (q67/q74): each token costs
+    * floor(log2((N+V)/(c+1))) bits under a model — add-one smoothing
+    * covers out-of-vocabulary tokens, and the whole score is integer
+    * arithmetic (per-token bits × occurrences, summed, normalized as
+    * milli-bits-per-token with integer div) — bit-identical
+    * cross-engine, no libm.
+    *
+    * Plan: token streams are row-local; both models are vocab-sized
+    * count tables joined with AQE (in-domain counts left-joined so OOV
+    * stays null→smoothed); corpus totals ride in as 1-row broadcasts.
+    */
+  def q108MooreLewis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir).documents
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+    val dt = toks.groupBy($"doc_id", $"lang", $"tok")
+      .agg(count(lit(1)).as("occ"))
+    val cin = toks.filter($"lang" === "en")
+      .groupBy($"tok").agg(count(lit(1)).as("cin"))
+    val cgen = toks.groupBy($"tok").agg(count(lit(1)).as("cgen"))
+    val nin = cin.agg(sum($"cin").as("n_in"), count(lit(1)).as("v_in"))
+    val ngen = cgen.agg(sum($"cgen").as("n_gen"), count(lit(1)).as("v_gen"))
+    dt.filter($"lang" =!= "en")
+      .join(cin, Seq("tok"), "left")
+      .join(cgen, Seq("tok"), "left") // every candidate token is in gen
+      .crossJoin(broadcast(nin)).crossJoin(broadcast(ngen))
+      .withColumn("cin1", coalesce($"cin", lit(0L)) + 1)
+      .withColumn("cgen1", coalesce($"cgen", lit(0L)) + 1)
+      .withColumn("b_in",
+        (length(bin(expr("(n_in + v_in) div cin1"))) - 1).cast("long") * $"occ")
+      .withColumn("b_gen",
+        (length(bin(expr("(n_gen + v_gen) div cgen1"))) - 1).cast("long") * $"occ")
+      .groupBy($"doc_id")
+      .agg(sum($"occ").as("n_tokens"),
+        sum($"b_in").as("bits_in"), sum($"b_gen").as("bits_gen"))
+      // the score can be NEGATIVE and Spark's `div` truncates toward
+      // zero while DuckDB's `//` floors — reduce to an exact remainder
+      // first so the final division is exact on both (floor semantics)
+      .withColumn("ml_num", ($"bits_in" - $"bits_gen") * 1000)
+      .withColumn("ml_milli",
+        expr("(ml_num - (((ml_num % n_tokens) + n_tokens) % n_tokens)) div n_tokens"))
+      .drop("ml_num")
+      .orderBy($"ml_milli".asc, $"doc_id".asc)
+      .limit(20)
+  }
+
+  val q108Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |dt AS (SELECT doc_id, lang, tok, count(*) AS occ
+      |       FROM toks GROUP BY 1, 2, 3),
+      |cin AS (SELECT tok, count(*) AS cin FROM toks WHERE lang = 'en'
+      |        GROUP BY tok),
+      |cgen AS (SELECT tok, count(*) AS cgen FROM toks GROUP BY tok),
+      |nin AS (SELECT CAST(sum(cin) AS BIGINT) AS n_in,
+      |               count(*) AS v_in FROM cin),
+      |ngen AS (SELECT CAST(sum(cgen) AS BIGINT) AS n_gen,
+      |                count(*) AS v_gen FROM cgen),
+      |s AS (
+      |  SELECT doc_id, occ,
+      |    CAST(length(bin((n_in + v_in) // (coalesce(cin, 0) + 1))) - 1
+      |      AS BIGINT) * occ AS b_in,
+      |    CAST(length(bin((n_gen + v_gen) // (coalesce(cgen, 0) + 1))) - 1
+      |      AS BIGINT) * occ AS b_gen
+      |  FROM dt LEFT JOIN cin USING (tok) LEFT JOIN cgen USING (tok)
+      |  CROSS JOIN nin CROSS JOIN ngen
+      |  WHERE lang <> 'en'),
+      |d AS (
+      |  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_tokens,
+      |         CAST(sum(b_in) AS BIGINT) AS bits_in,
+      |         CAST(sum(b_gen) AS BIGINT) AS bits_gen
+      |  FROM s GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, bits_in, bits_gen,
+      |       CAST(((bits_in - bits_gen) * 1000
+      |         - ((((bits_in - bits_gen) * 1000) % n_tokens + n_tokens)
+      |            % n_tokens)) // n_tokens AS BIGINT) AS ml_milli
+      |FROM d
+      |ORDER BY ml_milli ASC, doc_id ASC
+      |LIMIT 20""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q61_pii_redact", q61PiiRedact, Some(q61Sql), Seq("X-curation"),
       "PII redaction: emails / IPv4s / long digit runs, ordered counts"),
+    Q("q108_moore_lewis", q108MooreLewis, Some(q108Sql), Seq("X-curation", "X-sample"),
+      "Moore-Lewis domain data selection: integer cross-entropy difference"),
     Q("q107_percentile_gate", q107PercentileGate, Some(q107Sql), Seq("X-curation", "X-sample"),
       "per-source top-30% quality gate via integer rank arithmetic"),
     Q("q100_split_leakage", q100SplitLeakage, Some(q100Sql), Seq("X-curation", "X-sample"),

@@ -515,6 +515,56 @@ object Profiling {
       .replace("FOLD1", fold(1)).replace("FOLD2", fold(9))
   }
 
+  /** Join-output cardinality forecast: |A ⋈ B| = Σ_k cntA(k)·cntB(k),
+    * computed from the two per-key count tables BEFORE running the
+    * join — the "will this join explode?" pre-flight that decides
+    * between plain shuffle, salting (q47), and redesign. Reported per
+    * hash bucket of the key space (the same mod-16 partitioning a
+    * 16-task shuffle would use), so a skewed bucket — the one that
+    * would straggle — is visible in the forecast, with its hottest
+    * key named.
+    *
+    * Cost: two key-sized aggregates + one key-sized join — never
+    * touches the (potentially enormous) join output itself. The
+    * forecast is EXACT for equi-joins (the spec asserts equality with
+    * the materialized join's count), unlike NDV-based planner
+    * estimates.
+    */
+  def q109JoinEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val co = t.orders.groupBy($"o_custkey".as("k"))
+      .agg(count(lit(1)).as("ca"))
+    val cc = t.customer.groupBy($"c_custkey".as("k"))
+      .agg(count(lit(1)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket").orderBy($"contrib".desc, $"k".desc)
+    co.join(cc, "k")
+      .select($"k", ($"k" % 16).as("bucket"), ($"ca" * $"cb").as("contrib"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_keys"),
+        sum($"contrib").as("est_rows"),
+        max($"contrib").as("max_key_rows"),
+        max(when($"rn" === 1, $"k")).as("hottest_key"))
+      .orderBy($"bucket")
+  }
+
+  val q109Sql: String =
+    """WITH co AS (SELECT o_custkey AS k, count(*) AS ca
+      |            FROM orders GROUP BY 1),
+      |cc AS (SELECT c_custkey AS k, count(*) AS cb
+      |       FROM customer GROUP BY 1),
+      |j AS (SELECT co.k, co.k % 16 AS bucket, ca * cb AS contrib
+      |      FROM co JOIN cc ON co.k = cc.k),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+      |        ORDER BY contrib DESC, k DESC) AS rn FROM j)
+      |SELECT bucket, count(*) AS n_keys,
+      |  CAST(sum(contrib) AS BIGINT) AS est_rows,
+      |  CAST(max(contrib) AS BIGINT) AS max_key_rows,
+      |  max(CASE WHEN rn = 1 THEN k END) AS hottest_key
+      |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q53_skew_profile", q53SkewProfile, Some(q53Sql), Seq("X-scale"),
       "join-key skew profiler: cardinality, hot-key count, p95, skew ratio"),
@@ -524,6 +574,8 @@ object Profiling {
       "two-sample Kolmogorov-Smirnov drift, integer-exact numerator"),
     Q("q106_table_digest", q106TableDigest, Some(q106Sql), Seq("X-scale", "Q2"),
       "order-independent per-partition content digest (XOR of row md5s)"),
+    Q("q109_join_estimate", q109JoinEstimate, Some(q109Sql), Seq("X-scale"),
+      "exact join-output cardinality forecast from per-key count sketches"),
     Q("q95_mode_entropy", q95ModeEntropy, Some(q95Sql), Seq("X-stats", "X-scale"),
       "categorical profile: per-group mode + Shannon entropy + cardinality"),
     Q("q79_corr_stats", q79CorrStats, Some(q79Sql), Seq("X-scale"),

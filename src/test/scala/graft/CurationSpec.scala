@@ -188,6 +188,29 @@ class CurationSpec extends AnyFunSuite {
     assert(byS("src0")._6 === 4999999.0 / 100)
   }
 
+  test("Moore-Lewis ranks shared-vocab candidates over OOV over general-boilerplate") {
+    // in-domain (en): alpha/beta. candidates: doc2 shares the domain
+    // vocab (cheap under the en LM, pricey under general → most
+    // negative); doc3 is OOV everywhere (neutral); doc4 is general-
+    // corpus boilerplate absent from the domain (positive = least
+    // domain-like). Hand-computed integer bits:
+    //   models: in (N=4,V=2 → N+V=6), gen (N=30,V=4 → 34)
+    //   doc2 alpha/beta: in 6//3=2→1 bit, gen 34//4=8→3 → −2/tok → −2000
+    //   doc3 zeta: in 6//1=6→2, gen 34//5=6→2 → 0
+    //   doc4 j1: in 6//1→2, gen 34//21=1→0 → +2/tok → +2000
+    val dir = docsDir(Seq(
+      (1L, "alpha beta alpha beta", "en", "s", 0L),
+      (2L, "alpha beta", "de", "s", 0L),
+      (3L, "zeta zeta zeta zeta", "de", "s", 0L),
+      (4L, (1 to 20).map(_ => "j1").mkString(" "), "fr", "s", 0L)))
+    val out = CurationOps.q108MooreLewis(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(out === List(
+      (2L, 2L, 2L, 6L, -2000L),
+      (3L, 4L, 8L, 8L, 0L),
+      (4L, 20L, 40L, 0L, 2000L)))
+  }
+
   test("leakage-safe split: duplicate texts always share a split; buckets cover 80/10/10") {
     // 30 distinct texts, each duplicated 3× under different doc_ids: if
     // the split keyed on doc_id, copies would scatter; keyed on content

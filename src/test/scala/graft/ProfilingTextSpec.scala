@@ -336,6 +336,21 @@ class ProfilingTextSpec extends AnyFunSuite {
       List(("X", 8L, 3L), ("X", 9L, 2L), ("X", 10L, 1L)))
   }
 
+  test("join estimate: the forecast equals the materialized join's exact cardinality") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf
+    val est = operators.Profiling.q109JoinEstimate(spark, sf).collect()
+    val orders = Tables(spark, sf).orders
+    val customer = Tables(spark, sf).customer
+    val actual = orders.join(customer,
+      orders("o_custkey") === customer("c_custkey")).count()
+    assert(est.map(_.getAs[Long]("est_rows")).sum === actual)
+    // per-bucket max is consistent with its own sum
+    est.foreach { r =>
+      assert(r.getAs[Long]("max_key_rows") <= r.getAs[Long]("est_rows"))
+    }
+  }
+
   test("NFC normalize: combining sequences compose, ASCII takes the zero-copy fast path") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.plans.TextExpressions
