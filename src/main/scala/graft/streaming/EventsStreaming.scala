@@ -52,6 +52,22 @@ object EventsStreaming {
         graft.operators.Relational.moneySum(col("value")).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"), col("total_value"))
 
+  /** Hopping (sliding) 1h/15min window aggregate — the incremental twin
+    * of TemporalOps.q97HoppingWindow. Same fan-out contract (each event
+    * owns windowLength/slide = 4 windows, expanded row-locally before
+    * the stateful aggregation); the watermark bounds state to the
+    * windows still open within the horizon. countDistinct is not
+    * supported in streaming aggregations, so the distinct-user leg
+    * stays batch-only (or approx via HLL at scale).
+    */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("n_events"))
+
   /** Run a streaming frame to completion against a finite source and
     * return the result via an in-memory sink (test/dev harness).
     */

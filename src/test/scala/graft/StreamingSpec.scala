@@ -32,6 +32,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming hopping window equals the batch twin's event counts") {
+    val dir = TestSpark.scratch("stream-hop")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamed = EventsStreaming.runToMemory(
+      EventsStreaming.hoppingAgg(EventsStreaming.readEvents(spark, dir)),
+      "hopping_stream", OutputMode.Complete())
+      .as[(Long, Long)].collect().toSet
+    val batch = operators.TemporalOps.q97HoppingWindow(spark, TestSpark.sf)
+      .select($"win_start", $"n_events")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup drops watermark-window duplicates down to the distinct set") {
     val dir = TestSpark.scratch("stream-dedup")
     // two copies of the fixture → every event_id duplicated
