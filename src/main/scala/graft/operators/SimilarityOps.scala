@@ -708,9 +708,154 @@ object SimilarityOps {
       |GROUP BY a3.cid
       |ORDER BY a3.cid""".stripMargin
 
+  /** Filtered vector search: ANN under a metadata predicate — the
+    * production vector-retrieval shape (a RAG query is never "nearest
+    * anywhere", it's "nearest among docs passing lang/date/source/ACL
+    * filters"). The predicate runs on the DOCUMENT side and reaches the
+    * parquet scan as a pushed filter; survivors semi-join the embedding
+    * table on id, and only that pre-filtered stream pays the dot
+    * product. Post-filtering an unfiltered top-k is WRONG under
+    * selective predicates (the true top-k may lie entirely outside an
+    * unfiltered candidate set); this is the exact-under-filter form.
+    */
+  def q110FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keep = Tables(spark, dir).documents
+      .filter($"lang" === "en" && $"n_chars" >= 500)
+      .select($"doc_id")
+    val e = withNorm(spark, dir)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    e.filter($"vec_id" =!= 0)
+      .join(keep, $"vec_id" === $"doc_id", "left_semi")
+      .crossJoin(broadcast(q))
+      .select($"vec_id",
+        (VectorOps.dot($"embedding", $"q_emb") / ($"nrm" * $"q_nrm")).as("cos_raw"))
+      .orderBy($"cos_raw".desc, $"vec_id")
+      .limit(10)
+      .select($"vec_id", round($"cos_raw", 4).as("cos_sim"))
+  }
+
+  val q110Sql: String =
+    """WITH keep AS (
+      |  SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 500),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |d AS (SELECT e.vec_id, e.embedding AS ee, q.qe
+      |      FROM embeddings e CROSS JOIN q
+      |      WHERE e.vec_id <> 0
+      |        AND EXISTS (SELECT 1 FROM keep WHERE keep.doc_id = e.vec_id)),
+      |u AS (SELECT vec_id, CAST(unnest(ee) AS DOUBLE) AS x,
+      |             CAST(unnest(qe) AS DOUBLE) AS y FROM d),
+      |s AS (SELECT vec_id, sum(x * y) AS dot, sqrt(sum(x * x)) AS ne,
+      |             sqrt(sum(y * y)) AS nq
+      |      FROM u GROUP BY vec_id)
+      |SELECT vec_id, round(dot / (ne * nq), 4) AS cos_sim
+      |FROM s
+      |ORDER BY dot / (ne * nq) DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  /** Hybrid retrieval: keyword and vector rankings fused with
+    * reciprocal-rank fusion (RRF, k=60) — the standard two-tower
+    * retrieval merge. Query = document 0 (its token set for the keyword
+    * leg, its embedding for the vector leg). The keyword score is the
+    * integer idf-bits sum over shared DISTINCT tokens (the q70 idf with
+    * the q67 floor-log2); both legs rank with total-order tie-breaks
+    * and fuse as integer micro-points 10⁶ div (60 + rank), so the
+    * whole pipeline stays integer-exact after the one rounded cosine.
+    *
+    * Shape: keyword leg = one token-explode shuffle against a
+    * vocab-sized df broadcast; vector leg = q24's row-local broadcast
+    * dot; fusion joins two id-keyed rank frames.
+    */
+  def q111HybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .distinct()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val df = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val qtoks = toks.filter($"doc_id" === 0).select($"tok")
+    val kw = toks.filter($"doc_id" =!= 0)
+      .join(qtoks, "tok") // shared tokens only
+      .join(df, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_bits", (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+      .groupBy($"doc_id")
+      .agg(sum($"idf_bits").as("kw_score"))
+    // each leg is capped to its top-1000 candidates BEFORE the global
+    // rank window (TakeOrderedAndProject; bounded single-task sort) —
+    // RRF over per-leg top-k is the standard form, and an uncapped
+    // global row_number would be a corpus-sized single-partition sort
+    val kwRank = kw
+      .orderBy($"kw_score".desc, $"doc_id".asc).limit(1000)
+      .withColumn("rank_kw",
+        row_number().over(Window.orderBy($"kw_score".desc, $"doc_id".asc)))
+    val e = withNorm(spark, dir)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val vecRank = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id".as("doc_id"),
+        round(VectorOps.dot($"embedding", $"q_emb") / ($"nrm" * $"q_nrm"), 6)
+          .as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"doc_id".asc).limit(1000)
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy($"cos_sim".desc, $"doc_id".asc)))
+    kwRank.join(vecRank, "doc_id")
+      .withColumn("rrf_micro",
+        expr("1000000 div (60 + rank_kw) + 1000000 div (60 + rank_vec)"))
+      .select($"doc_id", $"kw_score",
+        $"rank_kw".cast("long").as("rank_kw"),
+        $"rank_vec".cast("long").as("rank_vec"), $"rrf_micro")
+      .orderBy($"rrf_micro".desc, $"doc_id")
+      .limit(10)
+  }
+
+  val q111Sql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+      |qt AS (SELECT tok FROM toks WHERE doc_id = 0),
+      |kw AS (
+      |  SELECT t.doc_id,
+      |         CAST(sum(length(bin(n_docs // df)) - 1) AS BIGINT) AS kw_score
+      |  FROM toks t JOIN qt USING (tok) JOIN df USING (tok) CROSS JOIN nd
+      |  WHERE t.doc_id <> 0 GROUP BY t.doc_id),
+      |kwtop AS (SELECT * FROM kw ORDER BY kw_score DESC, doc_id ASC
+      |          LIMIT 1000),
+      |kr AS (SELECT doc_id, kw_score,
+      |              row_number() OVER (ORDER BY kw_score DESC, doc_id ASC)
+      |                AS rank_kw FROM kwtop),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |u AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+      |             CAST(unnest(q.qe) AS DOUBLE) AS y
+      |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+      |s AS (SELECT vec_id AS doc_id,
+      |             round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+      |               AS cos_sim
+      |      FROM u GROUP BY vec_id),
+      |stop AS (SELECT * FROM s ORDER BY cos_sim DESC, doc_id ASC
+      |         LIMIT 1000),
+      |vr AS (SELECT doc_id, cos_sim,
+      |              row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+      |                AS rank_vec FROM stop)
+      |SELECT kr.doc_id, kw_score,
+      |  CAST(rank_kw AS BIGINT) AS rank_kw,
+      |  CAST(rank_vec AS BIGINT) AS rank_vec,
+      |  CAST(1000000 // (60 + rank_kw) + 1000000 // (60 + rank_vec) AS BIGINT)
+      |    AS rrf_micro
+      |FROM kr JOIN vr ON kr.doc_id = vr.doc_id
+      |ORDER BY rrf_micro DESC, kr.doc_id
+      |LIMIT 10""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q23_embed_neardup", q23EmbedNearDup, Some(q23Sql), Seq("X-dedup", "X-sim"),
       "embedding near-dup: blocked pairwise cosine"),
+    Q("q110_filtered_ann", q110FilteredAnn, Some(q110Sql), Seq("X-sim"),
+      "filtered vector search: metadata predicate semi-join before the dot product"),
+    Q("q111_hybrid_retrieval", q111HybridRetrieval, Some(q111Sql), Seq("X-sim", "F-text"),
+      "hybrid keyword+vector retrieval fused with integer reciprocal-rank fusion"),
     Q("q99_kmeans", q99Kmeans, Some(q99Sql), Seq("X-sim", "X-scale"),
       "broadcast k-means: deterministic init, 2 Lloyd rounds, exact-integer updates"),
     Q("q24_ann_brute", q24AnnBrute, Some(q24Sql), Seq("X-sim"),

@@ -394,6 +394,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     cmp.foreach { case (n, r) => assert(n == r, s"native $n != regex $r") }
   }
 
+  test("filtered ANN returns the best PASSING vector, not a post-filtered global top-k") {
+    val dir = TestSpark.scratch("filtered-ann")
+    // vec1 is the global nearest neighbour of the query but its document
+    // fails the lang filter; vec2 passes and must be ranked; vec3 is en
+    // but too short. A post-filter of an unfiltered top-1 would return
+    // EMPTY here — the semi-join-first shape returns vec2.
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.01f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.3f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.95f, 0.1f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq(
+      (0L, "query doc", "en", "s", 600L),
+      (1L, "nearest but wrong lang", "de", "s", 600L),
+      (2L, "passes both filters", "en", "s", 600L),
+      (3L, "en but too short", "en", "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.SimilarityOps.q110FilteredAnn(spark, dir)
+      .as[(Long, Double)].collect().toList
+    assert(out.map(_._1) === List(2L))
+  }
+
+  test("hybrid RRF ranks keyword+vector agreement first; keyword-less docs are out of scope") {
+    val dir = TestSpark.scratch("hybrid-ret")
+    // doc1: shares tokens AND nearest vector → both legs rank it 1 →
+    // top fusion. doc2: shares tokens, far vector. doc3: nearest-ish
+    // vector but ZERO shared tokens → not a keyword candidate → absent
+    // (RRF fuses the keyword candidate set by design).
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.99f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (3L, Seq(1.0f, 0.05f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq(
+      (0L, "alpha beta gamma", "en", "s", 10L),
+      (1L, "alpha beta delta", "en", "s", 10L),
+      (2L, "alpha epsilon zeta", "en", "s", 10L),
+      (3L, "iota kappa lambda", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.SimilarityOps.q111HybridRetrieval(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(out.map(_._1) === List(1L, 2L))
+    // doc1 leads the keyword leg (2 shared tokens); in the vector leg
+    // the keyword-less doc3 holds rank 1 (cos .9988 > .9949), so doc1's
+    // vector rank is 2 — ranks are computed over each full leg, the
+    // fusion then restricts to keyword candidates
+    assert(out.head._3 === 1L && out.head._4 === 2L)
+  }
+
   test("k-means: planted tight groups converge to their seeds; norms are the group means") {
     val dir = TestSpark.scratch("kmeans-emb")
     // 4 axis-aligned groups of 2; vec_ids 0..3 (the deterministic seeds)
