@@ -631,9 +631,9 @@ object CurationOps {
       .groupBy($"doc_id")
       .agg(sum($"occ").as("n_tokens"),
         sum($"b_in").as("bits_in"), sum($"b_gen").as("bits_gen"))
-      // the score can be NEGATIVE and Spark's `div` truncates toward
-      // zero while DuckDB's `//` floors — reduce to an exact remainder
-      // first so the final division is exact on both (floor semantics)
+      // the score can be NEGATIVE and both Spark's `div` and DuckDB's
+      // `//` truncate toward zero — removing the non-negative remainder
+      // first makes the division exact on both (floor semantics)
       .withColumn("ml_num", ($"bits_in" - $"bits_gen") * 1000)
       .withColumn("ml_milli",
         expr("(ml_num - (((ml_num % n_tokens) + n_tokens) % n_tokens)) div n_tokens"))

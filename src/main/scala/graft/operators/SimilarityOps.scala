@@ -603,17 +603,27 @@ object SimilarityOps {
     * diversity-aware sampling.
     *
     * Scale shape — the textbook broadcast k-means: centroids are k×dim
-    * doubles broadcast to every task; assignment is a row-local argmin
+    * integers broadcast to every task; assignment is a row-local argmin
     * over the broadcast (k·N projected rows, no shuffle of the corpus);
     * the update shuffles only (cid, pos) partial sums — k·dim rows after
     * map-side combine. Iterations are driver-sequenced (2 here; a real
     * run loops to movement < ε) but each round's lineage is 2 stages.
     *
-    * Oracle-parity: embeddings quantize once to integer millis, so
-    * centroid updates are EXACT integer sums followed by one identical
-    * double division on both engines — only the argmin distances ride on
-    * fp summation order, where last-ulp drift cannot flip a non-tied
-    * argmin. Tie-break is (dist, cid) lexicographic.
+    * Oracle-parity: the whole iteration is INTEGER arithmetic.
+    * Embeddings quantize once to integer millis, and each round's
+    * centroids snap back to the millis grid (round-half-up of the exact
+    * integer mean, via the engine-portable floor-div identity — BOTH
+    * Spark's `div` and DuckDB's `//` truncate toward zero, so the
+    * non-negative remainder is removed first on both sides, making the
+    * division exact and floor-valued). Distances are then integer sums of squares: order-
+    * independent, no fp summation drift — at sf1 the earlier
+    * double-distance variant flipped ONE near-equidistant vector's
+    * argmin between engines (last-ulp divergence); on the grid that
+    * class of failure cannot exist. Ties break (dist, cid)
+    * lexicographic. Snapping to a 0.001 grid changes centroids by at
+    * most 0.5 millis per coordinate — far below the fixture's
+    * inter-cluster distances (a production run tightens the grid, not
+    * the algorithm).
     */
   def q99Kmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -633,30 +643,33 @@ object SimilarityOps {
       eq.crossJoin(broadcast(cents))
         .select($"vec_id", $"eq", $"cid",
           aggregate(
-            zip_with($"eq", $"c",
-              (a, b) => (a.cast("double") / 1000.0 - b) * (a.cast("double") / 1000.0 - b)),
-            lit(0.0), (acc, x) => acc + x).as("dist"))
+            zip_with($"eq", $"cq", (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist"))
         .groupBy($"vec_id", $"eq")
         .agg(min(struct($"dist", $"cid")).as("m"))
         .select($"vec_id", $"eq", $"m.cid".as("cid"))
 
+    // nearest-integer (half-up) of the exact mean S/n, all integer:
+    // floor((2S + n) / (2n)) — the remainder reduction makes Spark's
+    // truncating div behave as floor for the (possibly negative) S
     def update(assigned: DataFrame): DataFrame =
       assigned
         .select($"cid", posexplode($"eq").as(Seq("pos", "v")))
         .groupBy($"cid", $"pos")
-        .agg((sum($"v").cast("double") / (count(lit(1)) * 1000.0)).as("cd"))
+        .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .withColumn("cq",
+          expr("(2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) div (2*n)"))
         .groupBy($"cid")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"cd"))),
-          s => s("cd")).as("c"))
+        .agg(transform(array_sort(collect_list(struct($"pos", $"cq"))),
+          s => s("cq")).as("cq"))
         .localCheckpoint()
 
     val init = eq.filter($"vec_id" < k)
-      .select($"vec_id".as("cid"),
-        transform($"eq", v => v.cast("double") / 1000.0).as("c"))
+      .select($"vec_id".as("cid"), $"eq".as("cq"))
     val c2 = update(assign(update(assign(init))))
     val norms = c2.select($"cid",
-      round(sqrt(aggregate($"c", lit(0.0), (acc, x) => acc + x * x)), 4)
-        .as("centroid_norm"))
+      round(sqrt(aggregate($"cq", lit(0L), (acc, x) => acc + x * x)
+        .cast("double")) / 1000.0, 4).as("centroid_norm"))
     assign(c2)
       .groupBy($"cid")
       .agg(count(lit(1)).as("n_members"), min($"vec_id").as("rep_vec"))
@@ -671,36 +684,41 @@ object SimilarityOps {
       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v,
       |         generate_subscripts(embedding, 1) AS pos
       |  FROM embeddings),
-      |c0 AS (SELECT vec_id AS cid, pos, CAST(v AS DOUBLE) / 1000.0 AS c
-      |       FROM u WHERE vec_id < 4),
+      |c0 AS (SELECT vec_id AS cid, pos, v AS cq FROM u WHERE vec_id < 4),
       |d1 AS (SELECT u.vec_id, c0.cid,
-      |              sum(pow(CAST(u.v AS DOUBLE) / 1000.0 - c0.c, 2)) AS dist
+      |              CAST(sum((u.v - c0.cq) * (u.v - c0.cq)) AS BIGINT) AS dist
       |       FROM u JOIN c0 USING (pos) GROUP BY u.vec_id, c0.cid),
       |a1 AS (SELECT vec_id, cid FROM (
       |         SELECT vec_id, cid,
       |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
       |         FROM d1) WHERE rn = 1),
       |c1 AS (SELECT a1.cid, u.pos,
-      |              CAST(sum(u.v) AS DOUBLE) / (count(*) * 1000.0) AS c
+      |              (2*sum(u.v) + count(*)
+      |               - (((2*sum(u.v) + count(*)) % (2*count(*)) + 2*count(*))
+      |                  % (2*count(*)))) // (2*count(*)) AS cq
       |       FROM u JOIN a1 USING (vec_id) GROUP BY a1.cid, u.pos),
       |d2 AS (SELECT u.vec_id, c1.cid,
-      |              sum(pow(CAST(u.v AS DOUBLE) / 1000.0 - c1.c, 2)) AS dist
+      |              CAST(sum((u.v - c1.cq) * (u.v - c1.cq)) AS BIGINT) AS dist
       |       FROM u JOIN c1 USING (pos) GROUP BY u.vec_id, c1.cid),
       |a2 AS (SELECT vec_id, cid FROM (
       |         SELECT vec_id, cid,
       |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
       |         FROM d2) WHERE rn = 1),
       |c2 AS (SELECT a2.cid, u.pos,
-      |              CAST(sum(u.v) AS DOUBLE) / (count(*) * 1000.0) AS c
+      |              (2*sum(u.v) + count(*)
+      |               - (((2*sum(u.v) + count(*)) % (2*count(*)) + 2*count(*))
+      |                  % (2*count(*)))) // (2*count(*)) AS cq
       |       FROM u JOIN a2 USING (vec_id) GROUP BY a2.cid, u.pos),
       |d3 AS (SELECT u.vec_id, c2.cid,
-      |              sum(pow(CAST(u.v AS DOUBLE) / 1000.0 - c2.c, 2)) AS dist
+      |              CAST(sum((u.v - c2.cq) * (u.v - c2.cq)) AS BIGINT) AS dist
       |       FROM u JOIN c2 USING (pos) GROUP BY u.vec_id, c2.cid),
       |a3 AS (SELECT vec_id, cid FROM (
       |         SELECT vec_id, cid,
       |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
       |         FROM d3) WHERE rn = 1),
-      |norms AS (SELECT cid, round(sqrt(sum(c * c)), 4) AS centroid_norm
+      |norms AS (SELECT cid,
+      |            round(sqrt(CAST(sum(cq * cq) AS DOUBLE)) / 1000.0, 4)
+      |              AS centroid_norm
       |          FROM c2 GROUP BY cid)
       |SELECT a3.cid, count(*) AS n_members, min(vec_id) AS rep_vec,
       |       max(norms.centroid_norm) AS centroid_norm
