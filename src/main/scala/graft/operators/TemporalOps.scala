@@ -949,9 +949,60 @@ object TemporalOps {
       |  CAST(sum(span_e - span_s) AS BIGINT) AS covered_s
       |FROM spans GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Per-key rate limiting / quota enforcement: each user keeps at most
+    * K events per hour (first-come by event time, deterministic
+    * event_id tie-break), the rest are shed. The ingestion-control
+    * primitive in front of a pipeline — dedup bounds distinct content,
+    * this bounds per-producer VOLUME (a runaway collector cannot flood
+    * a partition). Reported as per-hour admission totals.
+    *
+    * One window over (user, hour) — the q7 latest-per-key sort shape
+    * with a keep-K instead of keep-1 — then a per-hour aggregate of
+    * admission flags. The streaming twin
+    * (EventsStreaming.throttle) enforces the same quota incrementally
+    * with one counter per open (user, hour) of state.
+    */
+  def q112RateLimit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 3
+    val ev = Tables(spark, dir).events
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("sec"))
+      .withColumn("hour_id", expr("sec div 3600"))
+    val w = Window.partitionBy($"user_id", $"hour_id")
+      .orderBy($"sec", $"event_id")
+    ev.withColumn("rn", row_number().over(w))
+      .withColumn("kept", $"rn" <= K)
+      .groupBy($"hour_id")
+      .agg(
+        count(lit(1)).as("n_in"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"kept", 0L).otherwise(1L)).as("n_dropped"),
+        countDistinct(when(!$"kept", $"user_id")).as("n_users_throttled"))
+      .orderBy($"hour_id")
+  }
+
+  val q112Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+      |  FROM events),
+      |r AS (
+      |  SELECT *, sec // 3600 AS hour_id,
+      |         row_number() OVER (PARTITION BY user_id, sec // 3600
+      |                            ORDER BY sec, event_id) AS rn
+      |  FROM e)
+      |SELECT hour_id,
+      |  count(*) AS n_in,
+      |  CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rn <= 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      |  count(DISTINCT CASE WHEN rn > 3 THEN user_id END) AS n_users_throttled
+      |FROM r GROUP BY hour_id ORDER BY hour_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
+    Q("q112_rate_limit", q112RateLimit, Some(q112Sql), Seq("X-temporal", "X-scale"),
+      "per-user hourly admission quota: keep-K window, per-hour shed totals"),
     Q("q96_gap_fill", q96GapFill, Some(q96Sql), Seq("X-temporal"),
       "per-key daily spine densification with LOCF interpolation"),
     Q("q97_hopping_window", q97HoppingWindow, Some(q97Sql), Seq("X-temporal", "A6"),

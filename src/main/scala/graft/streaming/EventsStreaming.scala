@@ -68,6 +68,40 @@ object EventsStreaming {
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("n_events"))
 
+  /** Streaming per-key rate limiter — the incremental twin of
+    * TemporalOps.q112RateLimit: each (user, hour) admits at most K
+    * events (event-time order, event_id tie-break within a batch);
+    * later arrivals are shed. State is ONE counter per open (user,
+    * hour), removed by event-time timeout once the watermark passes
+    * the hour — bounded by (active users × horizon hours), not stream
+    * history.
+    */
+  def throttle(events: Dataset[Event], k: Int = 3,
+      watermarkDelay: String = "1 hour"): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.user_id, e.ts.getTime / 3600000L))
+      .flatMapGroupsWithState[Long, Event](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), evs: Iterator[Event], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var c = state.getOption.getOrElse(0L)
+            val kept = evs.toSeq
+              .sortBy(e => (e.ts.getTime, e.event_id))
+              .filter { _ => if (c < k) { c += 1; true } else false }
+            state.update(c)
+            // clean the counter once the hour can no longer receive
+            // events (strictly beyond the current watermark, or Spark
+            // rejects the timestamp)
+            state.setTimeoutTimestamp(
+              math.max((key._2 + 1) * 3600000L, state.getCurrentWatermarkMs + 1))
+            kept.iterator
+          }
+      }
+  }
+
   /** Run a streaming frame to completion against a finite source and
     * return the result via an in-memory sink (test/dev harness).
     */

@@ -48,6 +48,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming throttle admits exactly the batch keep-K set per (user, hour)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    def ev(id: Long, user: Long, sec: Long) =
+      Event(id, new java.sql.Timestamp(sec * 1000), user, "click", 0.0)
+    // user 1 hour 0: five events → first 3 by (ts, id) kept, 4/5 shed;
+    // user 1 hour 1: fresh quota; user 2 hour 0: two events, all kept.
+    // Events 10/11 share a timestamp — the id tie-break decides.
+    val all = Seq(
+      ev(10, 1, 100), ev(11, 1, 100), ev(12, 1, 200), ev(13, 1, 300),
+      ev(14, 1, 400),
+      ev(20, 1, 3700), ev(21, 1, 3800), ev(22, 1, 3900), ev(23, 1, 3950),
+      ev(30, 2, 500), ev(31, 2, 600))
+    source.addData(all: _*)
+    val q = EventsStreaming.throttle(source.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("throttled").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("throttled").as[Event].collect().map(_.event_id).toSet
+    assert(kept === Set(10L, 11L, 12L, 20L, 21L, 22L, 30L, 31L))
+  }
+
   test("streaming dedup drops watermark-window duplicates down to the distinct set") {
     val dir = TestSpark.scratch("stream-dedup")
     // two copies of the fixture → every event_id duplicated
