@@ -565,9 +565,143 @@ object Profiling {
       |  max(CASE WHEN rn = 1 THEN k END) AS hottest_key
       |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Time-decayed popularity with integer power-of-two half-life decay:
+    * an order's weight halves every 365 days of age, expressed as
+    * milli-weight = 1000 >> min(age_days div 365, 10) — pure integer
+    * shifts, no exp()/libm, order-independent sums. The
+    * recency-weighting primitive for trending-item stats and
+    * freshness-aware sampling, where a plain count would let dead
+    * history dominate. Age anchors at the corpus max date (derived, so
+    * reruns are stable — never wall-clock now()).
+    *
+    * One broadcast of the 1-row anchor, one partial+final aggregate
+    * keyed by priority bucket.
+    */
+  def q113DecayedCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables(spark, dir).orders
+    val anchor = orders.agg(max(unix_timestamp($"o_orderdate")).as("t1"))
+    orders
+      .select($"o_orderpriority",
+        unix_timestamp($"o_orderdate").as("t"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("halvings",
+        least(expr("(t1 - t) div (365 * 86400)"), lit(10L)))
+      .withColumn("w_milli", expr("shiftright(1000L, cast(halvings AS int))"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"w_milli").as("decayed_milli"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q113Sql: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority,
+      |         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS t
+      |  FROM orders),
+      |a AS (SELECT max(t) AS t1 FROM t)
+      |SELECT o_orderpriority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(1000 >> CAST(least((t1 - t) // (365 * 86400), 10) AS INTEGER))
+      |    AS BIGINT) AS decayed_milli
+      |FROM t CROSS JOIN a
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Benford first-digit forensics on the money column: real
+    * transactional amounts follow log10(1 + 1/d); fabricated, capped,
+    * or unit-mangled data does not. Reported as per-digit observed vs
+    * expected counts with chi-square contributions — the data-quality
+    * tripwire a migration (q94/q106) runs on arrival.
+    *
+    * The digit extraction is string-based (first char of the cent
+    * count) — integer-exact and engine-identical, no log10 on the data
+    * path; only the nine expected-share CONSTANTS are doubles, emitted
+    * as one rounded expectation per digit.
+    */
+  def q114Benford(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val cents = round($"o_totalprice" * 100).cast("long")
+    val counts = Tables(spark, dir).orders
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .filter($"digit" >= 1)
+      .groupBy($"digit").agg(count(lit(1)).as("observed"))
+    val total = Window.partitionBy(lit(1))
+    counts
+      .withColumn("n", sum($"observed").over(total))
+      .withColumn("expected",
+        round($"n" * log(10.0, lit(1.0) + lit(1.0) / $"digit"), 4))
+      .select($"digit", $"observed",
+        $"expected",
+        round(pow($"observed" - $"expected", 2) / $"expected", 4).as("chi2"))
+      .orderBy($"digit")
+  }
+
+  val q114Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |           AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders),
+      |c AS (SELECT digit, count(*) AS observed FROM d WHERE digit >= 1
+      |      GROUP BY digit),
+      |w AS (SELECT *, CAST(sum(observed) OVER () AS BIGINT) AS n FROM c)
+      |SELECT digit, observed,
+      |  round(n * log10(1.0 + 1.0 / digit), 4) AS expected,
+      |  round(pow(observed - round(n * log10(1.0 + 1.0 / digit), 4), 2)
+      |        / round(n * log10(1.0 + 1.0 / digit), 4), 4) AS chi2
+      |FROM w ORDER BY digit""".stripMargin
+
+  /** Supervised decile binning with per-bin target rates (the
+    * weight-of-evidence shape): order value is cut into 10 equal-count
+    * bins and each bin reports its failure ('F' status) rate — the
+    * feature-engineering primitive for monotonic-risk features and the
+    * fastest answer to "does this feature separate the target at all".
+    *
+    * ntile gives exact integer equal-count cuts (no percentile
+    * interpolation on the bin boundary); rates are exact integer
+    * ratios emitted as doubles.
+    */
+  def q115WoeBins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+    Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_totalprice",
+        ($"o_orderstatus" === "F").cast("long").as("is_f"))
+      .withColumn("bin", ntile(10).over(w))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        sum($"is_f").as("n_f"),
+        round(min($"o_totalprice"), 2).as("lo"),
+        round(max($"o_totalprice"), 2).as("hi"))
+      .select($"bin".cast("long").as("bin"), $"n", $"n_f",
+        ($"n_f".cast("double") / $"n").as("f_rate"), $"lo", $"hi")
+      .orderBy($"bin")
+  }
+
+  val q115Sql: String =
+    """WITH b AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f,
+      |         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      |  FROM orders)
+      |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+      |  CAST(sum(is_f) AS BIGINT) AS n_f,
+      |  CAST(sum(is_f) AS DOUBLE) / count(*) AS f_rate,
+      |  round(min(o_totalprice), 2) AS lo,
+      |  round(max(o_totalprice), 2) AS hi
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q53_skew_profile", q53SkewProfile, Some(q53Sql), Seq("X-scale"),
       "join-key skew profiler: cardinality, hot-key count, p95, skew ratio"),
+    Q("q113_decayed_counts", q113DecayedCounts, Some(q113Sql), Seq("X-temporal", "X-stats"),
+      "integer half-life decayed counts: power-of-two weights, no libm"),
+    Q("q114_benford", q114Benford, Some(q114Sql), Seq("X-stats", "Q2"),
+      "Benford first-digit forensics with chi-square contributions"),
+    Q("q115_woe_bins", q115WoeBins, Some(q115Sql), Seq("X-stats"),
+      "supervised decile binning with per-bin target rates (WOE shape)"),
     Q("q104_mad_outliers", q104MadOutliers, Some(q104Sql), Seq("X-stats"),
       "robust outliers: median/MAD with 3-robust-sigma flags, exact two-pass"),
     Q("q105_ks_drift", q105KsDrift, Some(q105Sql), Seq("X-stats", "X-scale"),

@@ -351,6 +351,65 @@ class ProfilingTextSpec extends AnyFunSuite {
     }
   }
 
+  test("decayed counts halve per 365-day age step and cap at 10 halvings") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("decay-orders")
+    def d(daysAgo: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2001-01-01 00:00:00").getTime - daysAgo * 86400000L)
+    // anchor = newest order. ages 0/400/800 days → 1000/500/250 milli;
+    // a 20-year fossil caps at 10 halvings → 1000 >> 10 = 0
+    Seq(
+      (1L, "A", d(0)), (2L, "A", d(400)), (3L, "A", d(800)),
+      (4L, "B", d(7300)))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .withColumn("o_custkey", lit(1L)).withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_totalprice", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = operators.Profiling.q113DecayedCounts(spark, dir)
+      .as[(String, Long, Long)].collect().toList
+    assert(out === List(("A", 3L, 1750L), ("B", 1L, 0L)))
+  }
+
+  test("Benford digits come from exact cent strings; expectations follow log10(1+1/d)") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("benford-orders")
+    // cent strings: 100, 150, 200, 999 → digits 1,1,2,9
+    Seq((1L, 1.00), (2L, 1.50), (3L, 2.00), (4L, 9.99))
+      .toDF("o_orderkey", "o_totalprice")
+      .withColumn("o_custkey", lit(1L)).withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_orderdate",
+        lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00")))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = operators.Profiling.q114Benford(spark, dir)
+      .as[(Long, Long, Double, Double)].collect().toList
+    def exp(d: Int) = BigDecimal(4 * math.log10(1.0 + 1.0 / d))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(r => (r._1, r._2)) === List((1L, 2L), (2L, 1L), (9L, 1L)))
+    assert(out.map(_._3) === List(exp(1), exp(2), exp(9)))
+    out.foreach(r => assert(r._4 >= 0.0))
+  }
+
+  test("WOE bins are equal-count and isolate the high-value failure band") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("woe-orders")
+    // prices 1..20, only the two most expensive are 'F' → bin 10 has
+    // f_rate 1.0, every other bin 0.0; all bins hold exactly 2 rows
+    val rows = (1 to 20).map(i =>
+      (i.toLong, i.toDouble, if (i > 18) "F" else "O"))
+    rows.toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+      .withColumn("o_custkey", lit(1L))
+      .withColumn("o_orderdate",
+        lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00")))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = operators.Profiling.q115WoeBins(spark, dir)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toList
+    assert(out.map(_._2) === List.fill(10)(2L))
+    assert(out.map(_._4) === (List.fill(9)(0.0) :+ 1.0))
+    assert(out.last._5 === 19.0 && out.last._6 === 20.0)
+  }
+
   test("NFC normalize: combining sequences compose, ASCII takes the zero-copy fast path") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.plans.TextExpressions
