@@ -992,9 +992,57 @@ object DedupOps {
        |FROM j WHERE rn = 1
        |ORDER BY cluster_id""".stripMargin
 
+  /** Dedup savings estimator: the pre-flight report that decides
+    * whether a dedup pass is worth its cluster bill. Exact-dup groups
+    * (the q19 fingerprint aggregate) roll up into a cluster-size
+    * histogram plus the headline numbers — rows removable, bytes
+    * removable, dedup ratio in exact milli — per source, so the answer
+    * is per-corpus-slice ("crawl-B is 40% copies, the curated slice is
+    * clean").
+    *
+    * Cost: the same single fingerprint shuffle as q19 (byte totals ride
+    * the same aggregate), then a source-keyed rollup of group-sized
+    * rows. Near-dup savings (the q21/q65 families) bound BELOW by this
+    * number — if exact savings alone justify the pass, no further
+    * estimation is needed.
+    */
+  def q117DedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val groups = Tables(spark, dir).documents
+      .groupBy($"source", md5($"text").as("fp"))
+      .agg(count(lit(1)).as("k"), sum($"n_chars").as("bytes"),
+        min($"n_chars").as("keep_bytes"))
+    groups.groupBy($"source")
+      .agg(
+        sum($"k").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum($"k" - 1).as("removable_docs"),
+        sum($"bytes" - $"keep_bytes").as("removable_bytes"),
+        max($"k").as("largest_family"))
+      .withColumn("dedup_milli",
+        expr("(removable_docs * 1000) div n_docs"))
+      .orderBy($"source")
+  }
+
+  val q117Sql: String =
+    """WITH g AS (
+      |  SELECT source, md5(text) AS fp, count(*) AS k,
+      |         sum(n_chars) AS bytes, min(n_chars) AS keep_bytes
+      |  FROM documents GROUP BY source, md5(text))
+      |SELECT source,
+      |  CAST(sum(k) AS BIGINT) AS n_docs,
+      |  count(*) AS n_distinct,
+      |  CAST(sum(k - 1) AS BIGINT) AS removable_docs,
+      |  CAST(sum(bytes - keep_bytes) AS BIGINT) AS removable_bytes,
+      |  CAST(max(k) AS BIGINT) AS largest_family,
+      |  CAST((sum(k - 1) * 1000) // sum(k) AS BIGINT) AS dedup_milli
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q19_dedup_exact", q19DedupExact, Some(q19Sql), Seq("X-dedup"),
       "exact dedup on md5 content fingerprint"),
+    Q("q117_dedup_savings", q117DedupSavings, Some(q117Sql), Seq("X-dedup", "X-scale"),
+      "dedup savings pre-flight: removable rows/bytes and family histogram per source"),
     Q("q65_dup_clusters", q65DupClusters, Some(q65Sql), Seq("X-dedup"),
       "transitive near-dup clustering: connected components over LSH pairs"),
     Q("q68_cluster_reps", q68ClusterReps, Some(q68Sql), Seq("X-dedup"),

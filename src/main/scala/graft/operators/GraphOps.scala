@@ -241,11 +241,76 @@ object GraphOps {
       |ORDER BY n_tri DESC, vertex
       |LIMIT 10""".stripMargin
 
+  /** Association rules from the frequent co-purchase pairs (q92's
+    * mining output upgraded to directional rules): for each frequent
+    * pair {a,b}, both rules a→b and b→a with
+    * confidence = supp(ab)/supp(a) and lift = N·supp(ab)/(supp(a)·supp(b)),
+    * emitted as exact milli-integers (floor) — no fp ratios, identical
+    * cross-engine. Lift > 1000 milli means the items co-occur beyond
+    * chance; confidence ranks the direction.
+    *
+    * Shape: the pair support table is one basket-local fanout + agg
+    * (the q92 shuffle); item supports are one more key-sized aggregate;
+    * rules join pair→item supports twice (key-sized, AQE). The
+    * basket count rides in as a 1-row broadcast.
+    */
+  def q116AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val minSupport = 2L
+    val items = Tables(spark, dir).lineitem
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val nBaskets = items.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val pairSupp = items.groupBy($"l_orderkey")
+      .agg(array_sort(collect_set($"l_partkey")).as("its"))
+      .select(posexplode($"its").as(Seq("i", "a")), $"its")
+      .select($"a", explode(slice($"its", $"i" + 2, size($"its"))).as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("s_ab"))
+      .filter($"s_ab" >= minSupport)
+    val itemSupp = items.groupBy($"l_partkey").agg(count(lit(1)).as("s"))
+    val directed = pairSupp.select($"a".as("lhs"), $"b".as("rhs"), $"s_ab")
+      .unionAll(pairSupp.select($"b".as("lhs"), $"a".as("rhs"), $"s_ab"))
+    directed
+      .join(itemSupp.select($"l_partkey".as("lhs"), $"s".as("s_lhs")), "lhs")
+      .join(itemSupp.select($"l_partkey".as("rhs"), $"s".as("s_rhs")), "rhs")
+      .crossJoin(broadcast(nBaskets))
+      .select($"lhs", $"rhs", $"s_ab", $"s_lhs", $"s_rhs",
+        expr("(s_ab * 1000) div s_lhs").as("conf_milli"),
+        expr("(s_ab * n_baskets * 1000) div (s_lhs * s_rhs)").as("lift_milli"))
+      .orderBy($"conf_milli".desc, $"lift_milli".desc, $"lhs", $"rhs")
+      .limit(25)
+  }
+
+  val q116Sql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+      |ps AS (
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS s_ab
+      |  FROM items x JOIN items y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |d AS (
+      |  SELECT a AS lhs, b AS rhs, s_ab FROM ps
+      |  UNION ALL SELECT b, a, s_ab FROM ps),
+      |ic AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1)
+      |SELECT lhs, rhs, CAST(s_ab AS BIGINT) AS s_ab,
+      |  CAST(sl.s AS BIGINT) AS s_lhs, CAST(sr.s AS BIGINT) AS s_rhs,
+      |  CAST((s_ab * 1000) // sl.s AS BIGINT) AS conf_milli,
+      |  CAST((s_ab * n_baskets * 1000) // (sl.s * sr.s) AS BIGINT) AS lift_milli
+      |FROM d JOIN ic sl ON sl.l_partkey = lhs
+      |       JOIN ic sr ON sr.l_partkey = rhs
+      |       CROSS JOIN nb
+      |ORDER BY conf_milli DESC, lift_milli DESC, lhs, rhs
+      |LIMIT 25""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q89_pagerank", q89PageRank, Some(q89Sql), Seq("X-graph", "X-scale"),
       "fixed-point integer PageRank over the purchase graph (5 damped rounds)"),
     Q("q103_triangles", q103Triangles, Some(q103Sql), Seq("X-graph", "X-scale"),
       "triangle counting with degree-ordered orientation (skew-proof wedge join)"),
     Q("q92_item_pairs", q92ItemPairs, Some(q92Sql), Seq("X-graph", "X-stats"),
-      "co-purchase pair mining: basket-local pair fanout, support pruning"))
+      "co-purchase pair mining: basket-local pair fanout, support pruning"),
+    Q("q116_assoc_rules", q116AssocRules, Some(q116Sql), Seq("X-graph", "X-stats"),
+      "association rules over frequent pairs: milli confidence/lift, exact integers"))
 }

@@ -394,6 +394,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     cmp.foreach { case (n, r) => assert(n == r, s"native $n != regex $r") }
   }
 
+  test("dedup savings report counts removable rows and bytes per source") {
+    val dir = TestSpark.scratch("savings-docs")
+    // source A: "x" ×3 (300 chars each) + "y" ×1 → 2 removable docs,
+    // 600 removable bytes, largest family 3, ratio 2000/4 = 500 milli;
+    // source B: all distinct → zero savings
+    Seq(
+      (1L, "x x x", "en", "A", 300L), (2L, "x x x", "en", "A", 300L),
+      (3L, "x x x", "en", "A", 300L), (4L, "y y y", "en", "A", 120L),
+      (5L, "p q r", "en", "B", 50L), (6L, "s t u", "en", "B", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.DedupOps.q117DedupSavings(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(out === List(
+      ("A", 4L, 2L, 2L, 600L, 3L, 500L),
+      ("B", 2L, 2L, 0L, 0L, 1L, 0L)))
+  }
+
   test("filtered ANN returns the best PASSING vector, not a post-filtered global top-k") {
     val dir = TestSpark.scratch("filtered-ann")
     // vec1 is the global nearest neighbour of the query but its document

@@ -103,4 +103,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out === List(
       (3L, 4L, 2L), (1L, 2L, 1L), (2L, 2L, 1L), (4L, 2L, 1L), (5L, 2L, 1L)))
   }
+
+  test("association rules: asymmetric confidence, shared lift, exact milli floors") {
+    val dir = TestSpark.scratch("assoc-graph")
+    // 6 baskets: {1,2} ×3, {1} ×2, {2,3} ×1 → supp(1)=5, supp(2)=4,
+    // supp(3)=1, supp({1,2})=3 (frequent), supp({2,3})=1 (pruned).
+    // conf(1→2)=3/5→600 milli, conf(2→1)=3/4→750; lift = 6·3/(5·4)=0.9→900
+    val baskets = Seq(
+      Seq(1L, 2L), Seq(1L, 2L), Seq(1L, 2L), Seq(1L), Seq(1L), Seq(2L, 3L))
+    val rows = for {
+      (items, ok) <- baskets.zipWithIndex
+      (p, i) <- items.zipWithIndex
+    } yield (ok.toLong, p, i + 1)
+    rows.toDF("l_orderkey", "l_partkey", "l_linenumber")
+      .withColumn("l_suppkey", lit(1L))
+      .withColumn("l_quantity", lit(1.0)).withColumn("l_extendedprice", lit(1.0))
+      .withColumn("l_discount", lit(0.0)).withColumn("l_tax", lit(0.0))
+      .withColumn("l_returnflag", lit("N")).withColumn("l_linestatus", lit("O"))
+      .withColumn("l_shipdate", lit(new java.sql.Timestamp(0L)))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = GraphOps.q116AssocRules(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(out === List(
+      (2L, 1L, 3L, 4L, 5L, 750L, 900L),
+      (1L, 2L, 3L, 5L, 4L, 600L, 900L)))
+  }
 }
