@@ -611,11 +611,15 @@ object CurationOps {
     import spark.implicits._
     val toks = Tables(spark, dir).documents
       .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+    // both LMs derive from the compact (doc, tok, occ) aggregate, which
+    // is published once — the raw token explode runs a single time and
+    // the model builds never rescan text (q89 pattern)
     val dt = toks.groupBy($"doc_id", $"lang", $"tok")
       .agg(count(lit(1)).as("occ"))
-    val cin = toks.filter($"lang" === "en")
-      .groupBy($"tok").agg(count(lit(1)).as("cin"))
-    val cgen = toks.groupBy($"tok").agg(count(lit(1)).as("cgen"))
+      .localCheckpoint()
+    val cin = dt.filter($"lang" === "en")
+      .groupBy($"tok").agg(sum($"occ").as("cin"))
+    val cgen = dt.groupBy($"tok").agg(sum($"occ").as("cgen"))
     val nin = cin.agg(sum($"cin").as("n_in"), count(lit(1)).as("v_in"))
     val ngen = cgen.agg(sum($"cgen").as("n_gen"), count(lit(1)).as("v_gen"))
     dt.filter($"lang" =!= "en")

@@ -755,7 +755,11 @@ object DedupOps {
   def q77IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir).documents
+    // the LSH pipeline is the expensive upstream and its pair output is
+    // tiny — publish it once instead of re-deriving it for the corpus-
+    // wins and batch-wins branches (q89 pattern)
     val pairs = minhashLsh(spark, dir, portable = true).select($"doc_a", $"doc_b")
+      .localCheckpoint()
     val split = docs.agg(floor(lit(0.8) * (max($"doc_id") + 1)).cast("long").as("s"))
     val p = pairs.crossJoin(broadcast(split))
     val corpusWins = p.filter($"doc_a" < $"s" && $"doc_b" >= $"s")
@@ -898,7 +902,11 @@ object DedupOps {
     */
   def q65DupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the LSH pipeline is the expensive upstream and its pair output is
+    // tiny — publish it once instead of re-deriving it for the corpus-
+    // wins and batch-wins branches (q89 pattern)
     val pairs = minhashLsh(spark, dir, portable = true).select($"doc_a", $"doc_b")
+      .localCheckpoint()
     val verts = Tables(spark, dir).documents.select($"doc_id".as("v"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
     connectedComponents(verts, pairs)
@@ -963,7 +971,11 @@ object DedupOps {
     */
   def q68ClusterReps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the LSH pipeline is the expensive upstream and its pair output is
+    // tiny — publish it once instead of re-deriving it for the corpus-
+    // wins and batch-wins branches (q89 pattern)
     val pairs = minhashLsh(spark, dir, portable = true).select($"doc_a", $"doc_b")
+      .localCheckpoint()
     val docs = Tables(spark, dir).documents
     val labels = connectedComponents(docs.select($"doc_id".as("v")), pairs)
       .select($"v".as("doc_id"), $"label".as("cluster_id"))

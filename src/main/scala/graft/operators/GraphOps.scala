@@ -257,8 +257,11 @@ object GraphOps {
   def q116AssocRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val minSupport = 2L
+    // the distinct (order, part) stream feeds the basket count, the
+    // pair fanout, and the item supports — publish it once (q89 pattern)
     val items = Tables(spark, dir).lineitem
       .select($"l_orderkey", $"l_partkey").distinct()
+      .localCheckpoint()
     val nBaskets = items.select($"l_orderkey").distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val pairSupp = items.groupBy($"l_orderkey")

@@ -788,8 +788,11 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val docs = Tables(spark, dir).documents
+    // the distinct token stream feeds the df table, the query tokens,
+    // and the candidate stream — publish it once (q89 pattern)
     val toks = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
       .distinct()
+      .localCheckpoint()
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val df = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
     val qtoks = toks.filter($"doc_id" === 0).select($"tok")

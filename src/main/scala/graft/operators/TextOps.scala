@@ -293,10 +293,15 @@ object TextOps {
         "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"))
         .as("b"))
       .select($"b.w1".as("w1"), $"b.w2".as("w2"))
+    // c12 feeds both unigram slots and the final join; uni feeds two
+    // broadcasts and the total — publish both once (q89 pattern), else
+    // the bigram explode re-derives ~5x
     val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val uni = c12.select($"w1".as("w"), $"c12")
       .unionByName(c12.select($"w2".as("w"), $"c12"))
       .groupBy($"w").agg(sum($"c12").as("c"))
+      .localCheckpoint()
     val n = uni.agg(sum($"c").as("n"))
     c12.join(broadcast(uni.select($"w".as("w1"), $"c".as("c1"))), "w1")
       .join(broadcast(uni.select($"w".as("w2"), $"c".as("c2"))), "w2")
