@@ -693,9 +693,72 @@ object Profiling {
       |  round(max(o_totalprice), 2) AS hi
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Per-group least-squares trend: order-value drift over time for
+    * each order priority — the "is this segment growing or shrinking"
+    * regression a dashboard fits per series. Slope and intercept come
+    * from the classic closed form over five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) — q79's correlation machinery pointed at
+    * the fitted-line coefficients instead of the normalized score.
+    *
+    * Determinism is the whole design: x is an ANCHORED day number
+    * (days since 1995-01-01 — small integers) and y is whole dollars,
+    * so all five statistics are exact long sums (order-independent, no
+    * fp merge drift; max |Σxy| ≈ 2^48, inside both long and
+    * double-exact range). Only the final slope/intercept division is
+    * floating point, computed row-locally from identical exact
+    * integers in both engines. One partial+final aggregate — the
+    * sufficient-statistics trick is also why this scales: no sort, no
+    * window, five longs per group of state.
+    */
+  def q119RegrTrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables(spark, dir).orders
+      .select($"o_orderpriority",
+        datediff($"o_orderdate", lit("1995-01-01")).cast("long").as("x"),
+        round($"o_totalprice").cast("long").as("y"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+    stats
+      .withColumn("den",
+        $"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx")
+      .withColumn("slope",
+        ($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") / $"den")
+      .select($"o_orderpriority", $"n",
+        round($"slope", 6).as("slope_per_day"),
+        round(($"sy".cast("double") - $"slope" * $"sx") / $"n", 2)
+          .as("intercept"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q119Sql: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority,
+      |         CAST(datediff('day', DATE '1995-01-01',
+      |                       CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+      |         CAST(round(o_totalprice) AS BIGINT) AS y
+      |  FROM orders),
+      |s AS (
+      |  SELECT o_orderpriority, count(*) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM t GROUP BY o_orderpriority),
+      |f AS (
+      |  SELECT *,
+      |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope
+      |  FROM s)
+      |SELECT o_orderpriority, n,
+      |  round(slope, 6) AS slope_per_day,
+      |  round((CAST(sy AS DOUBLE) - slope * sx) / n, 2) AS intercept
+      |FROM f ORDER BY o_orderpriority""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q53_skew_profile", q53SkewProfile, Some(q53Sql), Seq("X-scale"),
       "join-key skew profiler: cardinality, hot-key count, p95, skew ratio"),
+    Q("q119_regr_trend", q119RegrTrend, Some(q119Sql), Seq("X-stats"),
+      "per-group least-squares trend from exact integer sufficient stats"),
     Q("q113_decayed_counts", q113DecayedCounts, Some(q113Sql), Seq("X-temporal", "X-stats"),
       "integer half-life decayed counts: power-of-two weights, no libm"),
     Q("q114_benford", q114Benford, Some(q114Sql), Seq("X-stats", "Q2"),

@@ -500,6 +500,39 @@ object Relational {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  /** UNPIVOT (melt): q33's inverse — a wide per-group metrics row folded
+    * into long (group, metric, value) form, the shape feature stores
+    * and plotting layers want. Uses Spark's native `unpivot` (plans as
+    * an Expand node: each input row emits one output row per metric,
+    * row-local, no shuffle beyond the upstream aggregate). All melted
+    * measures are exact longs (counts / cents) so the shared `value`
+    * column needs no lossy common-type cast.
+    */
+  def q120Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents($"l_extendedprice")).as("revenue_cents"),
+        sum($"l_quantity".cast("long")).as("sum_qty"))
+      .unpivot(Array($"l_returnflag"),
+        Array($"n_rows", $"revenue_cents", $"sum_qty"),
+        "metric", "value")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
+  val q120Sql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag, count(*) AS n_rows,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS revenue_cents,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, value
+      |FROM (UNPIVOT wide ON n_rows, revenue_cents, sum_qty
+      |      INTO NAME metric VALUE value)
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   /** Window-frame running aggregate: per-supplier cumulative revenue in
     * shipdate order (rowsBetween frame; deterministic tie-break).
     */
@@ -838,6 +871,8 @@ object Relational {
       "INTERSECT/EXCEPT cohort analysis"),
     Q("q33_pivot", q33Pivot, Some(q33Sql), Seq("A1"),
       "pivot with fixed value list"),
+    Q("q120_unpivot", q120Unpivot, Some(q120Sql), Seq("A1", "P1"),
+      "UNPIVOT/melt: wide metrics row to long form via the Expand node"),
     Q("q34_running_sum", q34RunningSum, Some(q34Sql), Seq("W1"),
       "window frame running aggregate"),
     Q("q35_lead_lag", q35LeadLag, Some(q35Sql), Seq("W1"),

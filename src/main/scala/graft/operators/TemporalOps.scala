@@ -998,9 +998,61 @@ object TemporalOps {
       |  count(DISTINCT CASE WHEN rn > 3 THEN user_id END) AS n_users_throttled
       |FROM r GROUP BY hour_id ORDER BY hour_id""".stripMargin
 
+  /** CDC log compaction: apply an ordered insert/update/delete change
+    * feed to produce the current snapshot. Distinct from q6's upsert
+    * (which only merges inserts/updates): a CDC apply must honor
+    * per-key event ORDER and drop keys whose latest change is a
+    * delete — the lakehouse "apply changes" primitive behind
+    * merge-on-read compaction.
+    *
+    * The change feed here is the order history read as a log on
+    * o_custkey: each order is one change event at (o_orderdate,
+    * o_orderkey), a FINISHED status is a delete marker, anything else
+    * upserts the price. Latest-change-wins is one row_number over a
+    * single custkey-keyed sort — one shuffle, partial-free, and the
+    * per-key state the streaming twin would carry is exactly the rn=1
+    * row. Keys whose last event deletes them are filtered AFTER the
+    * window (not before — an earlier upsert must not resurrect them).
+    */
+  def q118CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wDesc = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables(spark, dir).orders
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        when($"o_orderstatus" === "F", "D").otherwise("U").as("op"),
+        round($"o_totalprice" * 100).cast("long").as("price_cents"))
+      .withColumn("rn", row_number().over(wDesc))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy($"o_custkey")))
+      .filter($"rn" === 1 && $"op" =!= "D")
+      .select($"o_custkey", $"price_cents".as("current_price_cents"),
+        $"o_orderdate".as("as_of"), $"n_changes")
+      .orderBy($"o_custkey")
+  }
+
+  val q118Sql: String =
+    """WITH log AS (
+      |  SELECT o_custkey, o_orderkey,
+      |         CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+      |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+      |    count(*) OVER (PARTITION BY o_custkey) AS n_changes
+      |  FROM log)
+      |SELECT o_custkey, price_cents AS current_price_cents,
+      |  o_orderdate AS as_of, CAST(n_changes AS BIGINT) AS n_changes
+      |FROM r WHERE rn = 1 AND op <> 'D'
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
+    Q("q118_cdc_apply", q118CdcApply, Some(q118Sql), Seq("X-temporal", "S7"),
+      "CDC log compaction: latest-change-wins with delete markers honored"),
     Q("q112_rate_limit", q112RateLimit, Some(q112Sql), Seq("X-temporal", "X-scale"),
       "per-user hourly admission quota: keep-K window, per-hour shed totals"),
     Q("q96_gap_fill", q96GapFill, Some(q96Sql), Seq("X-temporal"),

@@ -410,6 +410,26 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(out.last._5 === 19.0 && out.last._6 === 20.0)
   }
 
+  test("regression trend recovers an exact planted line per group") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("regr-orders")
+    def day(x: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(1995, 1, 1).plusDays(x).atStartOfDay())
+    // URGENT: y = 2x + 5 exactly (x = 0..4) → slope 2, intercept 5;
+    // LOW: constant y = 10 → slope 0, intercept 10
+    val rows =
+      (0 to 4).map(x => ((x + 1).toLong, day(x), 5.0 + 2 * x, "1-URGENT")) ++
+        (0 to 4).map(x => ((x + 10).toLong, day(x), 10.0, "5-LOW"))
+    rows.toDF("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+      .withColumn("o_custkey", lit(1L)).withColumn("o_orderstatus", lit("O"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = operators.Profiling.q119RegrTrend(spark, dir)
+      .as[(String, Long, Double, Double)].collect().toList
+    assert(out === List(
+      ("1-URGENT", 5L, 2.0, 5.0),
+      ("5-LOW", 5L, 0.0, 10.0)))
+  }
+
   test("NFC normalize: combining sequences compose, ASCII takes the zero-copy fast path") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.plans.TextExpressions

@@ -210,4 +210,24 @@ class RelationalSpec extends AnyFunSuite {
       (4L, 1L, 1L, 40.0, 40.0, "same"),
       (5L, 1L, 2L, 50.0, 50.0, "changed")))
   }
+
+  test("unpivot melts each wide row into one (metric, value) row per measure") {
+    val out = Relational.q120Unpivot(spark, sf)
+      .as[(String, String, Long)].collect().toList
+    val flags = out.map(_._1).distinct
+    // every group carries exactly the three measures, in metric order
+    flags.foreach { f =>
+      assert(out.filter(_._1 == f).map(_._2) ===
+        List("n_rows", "revenue_cents", "sum_qty"))
+    }
+    // melt preserves values: n_rows metric equals a direct count
+    val nRows = out.filter(_._2 == "n_rows").map(r => (r._1, r._3)).toMap
+    val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy($"l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    assert(nRows === direct)
+    // no shuffle beyond the aggregate: unpivot plans as Expand, not Exchange
+    val p = plan(Relational.q120Unpivot(spark, sf))
+    assert(p.contains("Expand"))
+  }
 }

@@ -280,4 +280,28 @@ class TemporalSpec extends AnyFunSuite {
     // vs 6060 → 6080) and [7000,7120] → covered 6080 + 120
     assert(out === List((1L, 2L, 4L, 6200L)))
   }
+
+  test("CDC apply: latest change wins, trailing deletes drop the key, earlier deletes do not") {
+    val dir = TestSpark.scratch("cdc-orders")
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"1995-01-$day%02d 00:00:00")
+    Seq(
+      // cust 1: upsert then DELETE ('F') last → key absent from snapshot
+      (1L, 1L, d(1), 100.0, "O"), (2L, 1L, d(2), 200.0, "F"),
+      // cust 2: delete then upsert → present (early delete must not kill it)
+      (3L, 2L, d(1), 300.0, "F"), (4L, 2L, d(2), 400.0, "O"),
+      // cust 3: single upsert
+      (5L, 3L, d(1), 500.0, "O"),
+      // cust 4: same-date tie → higher orderkey is the later change
+      (6L, 4L, d(1), 600.0, "O"), (7L, 4L, d(1), 700.0, "O"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        "o_orderstatus")
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = TemporalOps.q118CdcApply(spark, dir)
+      .as[(Long, Long, java.sql.Timestamp, Long)].collect().toList
+    assert(out === List(
+      (2L, 40000L, d(2), 2L),
+      (3L, 50000L, d(1), 1L),
+      (4L, 70000L, d(1), 2L)))
+  }
 }
