@@ -1050,6 +1050,69 @@ object DedupOps {
       |  CAST((sum(k - 1) * 1000) // sum(k) AS BIGINT) AS dedup_milli
       |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  /** Cross-source content-overlap matrix: for every pair of corpus
+    * sources, how many distinct word-3-gram shingles they share, and the
+    * Jaccard of their shingle vocabularies — the corpus-composition
+    * report that decides which sources are near-mirrors (crawl overlap)
+    * BEFORE committing to a mixture (q69/q91) or a full pairwise dedup.
+    *
+    * Scale shape: ONE shuffle keyed by shingle over the distinct
+    * (shingle, source) set; per-shingle state is a source set bounded by
+    * the number of sources (a small constant — 20 here, rarely >100 in
+    * practice), so no key can accumulate unbounded state, and the pair
+    * fanout per shingle is bounded by S². Pairs are emitted row-locally
+    * from each sorted source set (explode + higher-order filter — no
+    * self-join of the posting table, which would shuffle the whole
+    * distinct set twice). The final aggregate is S² rows.
+    */
+  def q122SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = Tables(spark, dir).documents
+      .filter(wordsGe3(col("text")))
+      .select($"source",
+        explode(array_distinct(
+          graft.plans.TextExpressions.wordTrigrams(col("text")))).as("s"))
+      .distinct()
+    val perSource = fs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val pairs = fs
+      .groupBy($"s").agg(sort_array(collect_set($"source")).as("srcs"))
+      .filter(size($"srcs") >= 2)
+      .select(explode($"srcs").as("source_a"), $"srcs")
+      .select($"source_a",
+        explode(expr("filter(srcs, x -> x > source_a)")).as("source_b"))
+      .groupBy($"source_a", $"source_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(perSource.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "n_a")), Seq("source_a"))
+      .join(broadcast(perSource.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "n_b")), Seq("source_b"))
+      .select($"source_a", $"source_b", $"n_shared", $"n_a", $"n_b",
+        ($"n_shared".cast("double") / ($"n_a" + $"n_b" - $"n_shared"))
+          .as("jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val q122Sql: String =
+    s"""WITH toks AS (
+      |  SELECT source, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT source, unnest(list_distinct($TrigramSqlExpr)) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |fs AS (SELECT DISTINCT source, s FROM sh),
+      |n AS (SELECT source, count(*) AS n FROM fs GROUP BY source),
+      |i AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         count(*) AS n_shared
+      |  FROM fs a JOIN fs b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_shared,
+      |  na.n AS n_a, nb.n AS n_b,
+      |  CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) AS jaccard
+      |FROM i
+      |JOIN n na ON source_a = na.source
+      |JOIN n nb ON source_b = nb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q19_dedup_exact", q19DedupExact, Some(q19Sql), Seq("X-dedup"),
       "exact dedup on md5 content fingerprint"),
@@ -1074,5 +1137,8 @@ object DedupOps {
     Q("q21_minhash_lsh", q21MinhashLsh, Some(q21Sql), Seq("X-dedup"),
       "MinHash+LSH banded near-dup with exact verify"),
     Q("q22_simhash", q22Simhash, Some(q22Sql), Seq("X-dedup"),
-      "SimHash-32 document signatures (narrow fold)"))
+      "SimHash-32 document signatures (narrow fold)"),
+    Q("q122_source_overlap", q122SourceOverlap, Some(q122Sql), Seq("X-dedup", "X-scale"),
+      "cross-source shingle-overlap matrix: shared trigrams + Jaccard per source pair"))
+
 }

@@ -611,9 +611,67 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Blocked fuzzy self-join (entity resolution): part-name pairs within
+    * edit distance ≤ 3, the record-linkage primitive behind catalog
+    * dedup and typo-tolerant matching. A naive fuzzy join is all-pairs
+    * O(N²); this one composes two standard blocking stages so the plan
+    * stays a HASH join at any scale:
+    *
+    *   1. equi-block on (p_brand, p_size) — candidate pairs only form
+    *      inside a block;
+    *   2. lossless length banding INSIDE each block (q44's band trick):
+    *      edit distance ≤ 3 forces |len(a) − len(b)| ≤ 3 < 4, so with
+    *      band = len div 4 a match's bands differ by at most 1.
+    *      Exploding one side into {band−1, band, band+1} and equi-
+    *      joining on the other's single band finds every such pair
+    *      exactly once — no BNLJ, no inequality join.
+    *
+    * The residual levenshtein runs only on in-block, in-band survivors,
+    * behind a cheap exact length pre-filter. Recall beyond the block
+    * key is a DOCUMENTED trade-off of blocking (a typo in p_brand
+    * escapes), exactly as in production ER systems.
+    */
+  def q121FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables(spark, dir).part
+      .select($"p_partkey", $"p_brand", $"p_size", $"p_name",
+        length($"p_name").as("len"),
+        expr("length(p_name) div 4").as("band"))
+    val probe = parts
+      .withColumn("band", explode(array($"band" - 1, $"band", $"band" + 1)))
+      .select($"p_partkey".as("key_a"), $"p_brand", $"p_size",
+        $"p_name".as("name_a"), $"len".as("len_a"), $"band")
+    val build = parts
+      .select($"p_partkey".as("key_b"), $"p_brand", $"p_size",
+        $"p_name".as("name_b"), $"len".as("len_b"), $"band")
+    probe.join(build, Seq("p_brand", "p_size", "band"))
+      .filter($"key_a" < $"key_b" &&
+        abs($"len_a" - $"len_b") <= 3 &&
+        levenshtein($"name_a", $"name_b") <= 3)
+      .select($"key_a", $"key_b", $"name_a", $"name_b",
+        levenshtein($"name_a", $"name_b").cast("long").as("dist"))
+      .orderBy($"key_a", $"key_b")
+  }
+
+  /** DuckDB twin: the banding is lossless, so the oracle states the
+    * plain within-block inequality join.
+    */
+  val q121Sql: String =
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+      | AND a.p_partkey < b.p_partkey
+      |WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+      |  AND levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY key_a, key_b""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q15_token_stats", q15TokenStats, Some(q15Sql), Seq("F-text"),
       "per-document token/length statistics"),
+    Q("q121_fuzzy_join", q121FuzzyJoin, Some(q121Sql), Seq("F-text", "X-scale"),
+      "blocked fuzzy self-join: equi-block + lossless length bands + edit distance"),
     Q("q102_normalize", q102Normalize, Some(q102Sql), Seq("F-text", "X-custom"),
       "canonical NFC + casefold + whitespace normalization, native expression"),
     Q("q67_surprisal", q67Surprisal, Some(q67Sql), Seq("F-text"),

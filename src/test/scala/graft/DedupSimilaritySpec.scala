@@ -486,4 +486,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (0L, 2L, 0L, 11.0), (1L, 2L, 1L, 11.0),
       (2L, 2L, 2L, 11.0), (3L, 2L, 3L, 11.0)))
   }
+
+  test("source overlap counts shared distinct trigrams per source pair, short docs excluded") {
+    import org.apache.spark.sql.functions.lit
+    val dir = TestSpark.scratch("srcoverlap-docs")
+    Seq(
+      // A: trigrams {w1 w2 w3, w2 w3 w4} → n_a = 2
+      (0L, "w1 w2 w3 w4", "en", "A"),
+      // B: {w1 w2 w3} shared with A → n_shared = 1; plus a <3-word doc
+      // that must contribute nothing
+      (1L, "w1 w2 w3", "en", "B"),
+      (2L, "too short", "en", "B"),
+      // C: disjoint vocabulary → no (A,C)/(B,C) rows at all
+      (3L, "x1 x2 x3", "en", "C"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", lit(10L))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.DedupOps.q122SourceOverlap(spark, dir)
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    assert(out === List(("A", "B", 1L, 2L, 1L, 0.5)))
+  }
 }

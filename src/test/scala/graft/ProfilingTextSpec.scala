@@ -410,6 +410,33 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(out.last._5 === 19.0 && out.last._6 === 20.0)
   }
 
+  test("fuzzy join matches within blocks across length bands; blocking excludes cross-brand twins") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("fuzzy-part")
+    Seq(
+      // same block, dist 1 → match
+      (1L, "abcd", "B1", 1), (2L, "abcde", "B1", 1),
+      // same block, lens 7 vs 10 straddle the div-4 band edge (bands 1
+      // vs 2) — only the adjacent-band explode can find this dist-3 pair
+      (3L, "abcdefg", "B1", 2), (4L, "abcdefghij", "B1", 2),
+      // identical name, DIFFERENT brand → blocked out by design
+      (5L, "abcd", "B2", 1),
+      // same block as 1/2 but dist > 3 → filtered
+      (6L, "zzzzzzzz", "B1", 1))
+      .toDF("p_partkey", "p_name", "p_brand", "p_size")
+      .withColumn("p_type", lit("t")).withColumn("p_retailprice", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = operators.TextOps.q121FuzzyJoin(spark, dir)
+      .as[(Long, Long, String, String, Long)].collect().toList
+    assert(out === List(
+      (1L, 2L, "abcd", "abcde", 1L),
+      (3L, 4L, "abcdefg", "abcdefghij", 3L)))
+    // the banded design must plan as a hash join — never BNLJ/cartesian
+    val plan = operators.TextOps.q121FuzzyJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"))
+  }
+
   test("regression trend recovers an exact planted line per group") {
     import org.apache.spark.sql.functions._
     val dir = TestSpark.scratch("regr-orders")
