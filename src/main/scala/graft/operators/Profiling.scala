@@ -754,9 +754,53 @@ object Profiling {
       |  round((CAST(sy AS DOUBLE) - slope * sx) / n, 2) AS intercept
       |FROM f ORDER BY o_orderpriority""".stripMargin
 
+  /** Count-min sketch point-frequency estimates, checked through the
+    * sketch's own guarantees (q41/q45's bounded-sketch oracle pattern):
+    * for the 10 hottest event users, the CMS estimate must (a) never
+    * undercount — a structural property, every occurrence incremented
+    * all Depth counters — and (b) stay within the (3/Width)·N collision
+    * bound. The raw estimate is engine-specific (xxhash64 placement), so
+    * the oracle asserts the two bounds as literal `true` over the exact
+    * counts: an out-of-bound sketch FAILS the gate rather than hiding
+    * behind a rows-only check.
+    *
+    * Scale shape: the sketch is one fixed 8 KiB buffer per task merged
+    * associatively (partial+final); the probe side is 10 rows
+    * cross-joined against the broadcast 1-row sketch, each estimate a
+    * row-local codegen'd array read. Nothing here grows with key
+    * cardinality — the whole point of CMS over an exact group-by when
+    * only point queries are needed.
+    */
+  def q123Cms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tables(spark, dir).events.select($"user_id")
+    val sketch = keys.agg(
+      graft.functions.CountMin.countMin($"user_id").as("sk"),
+      count(lit(1)).as("n_total"))
+    val top = keys.groupBy($"user_id").agg(count(lit(1)).as("exact"))
+      .orderBy($"exact".desc, $"user_id").limit(10)
+    top.crossJoin(broadcast(sketch))
+      .withColumn("est", graft.functions.CountMin.estimate($"sk", $"user_id"))
+      .select($"user_id", $"exact",
+        ($"est" >= $"exact").as("never_undercounts"),
+        ($"est" <= $"exact" + expr("(3 * n_total + 255) div 256"))
+          .as("within_eps_bound"))
+      .orderBy($"exact".desc, $"user_id")
+  }
+
+  val q123Sql: String =
+    """SELECT user_id, count(*) AS exact,
+      |  true AS never_undercounts, true AS within_eps_bound
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY exact DESC, user_id
+      |LIMIT 10""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q53_skew_profile", q53SkewProfile, Some(q53Sql), Seq("X-scale"),
       "join-key skew profiler: cardinality, hot-key count, p95, skew ratio"),
+    Q("q123_cms", q123Cms, Some(q123Sql), Seq("X-stats", "X-scale"),
+      "count-min sketch point frequencies, bound-asserted against exact"),
     Q("q119_regr_trend", q119RegrTrend, Some(q119Sql), Seq("X-stats"),
       "per-group least-squares trend from exact integer sufficient stats"),
     Q("q113_decayed_counts", q113DecayedCounts, Some(q113Sql), Seq("X-temporal", "X-stats"),

@@ -533,6 +533,58 @@ object Relational {
       |      INTO NAME metric VALUE value)
       |ORDER BY l_returnflag, metric""".stripMargin
 
+  /** The full SQL rank family in one pass — rank / dense_rank /
+    * percent_rank / cume_dist over VALUE ties (prices bucketed to
+    * thousands so ties actually occur and the four functions genuinely
+    * differ). Rank functions are deterministic under ties — they depend
+    * only on key comparisons, never on physical row order — so the
+    * value columns are engine-portable even though tied rows may arrive
+    * in any order; the EMITTED row set is then pinned by a fully-keyed
+    * row_number (top-5 per priority). percent_rank and cume_dist are
+    * exact integer ratios ((rank−1)/(n−1), rows≤current/n): identical
+    * doubles in both engines, emitted unrounded per the
+    * exact-ratio policy. Both windows share one partition exchange.
+    */
+  def q124RankFamily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byBucket = Window.partitionBy($"o_orderpriority")
+      .orderBy($"price_k".desc)
+    val pick = Window.partitionBy($"o_orderpriority")
+      .orderBy($"price_k".desc, $"o_orderkey")
+    Tables(spark, dir).orders
+      .select($"o_orderpriority", $"o_orderkey",
+        expr("cast(round(o_totalprice) as bigint) div 1000").as("price_k"))
+      .withColumn("rnk", rank().over(byBucket))
+      .withColumn("dense", dense_rank().over(byBucket))
+      .withColumn("pct_rank", percent_rank().over(byBucket))
+      .withColumn("cume", cume_dist().over(byBucket))
+      .withColumn("rn", row_number().over(pick))
+      .filter($"rn" <= 5)
+      .select($"o_orderpriority", $"rn", $"o_orderkey", $"price_k",
+        $"rnk", $"dense", $"pct_rank", $"cume")
+      .orderBy($"o_orderpriority", $"rn")
+  }
+
+  val q124Sql: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |         CAST(round(o_totalprice) AS BIGINT) // 1000 AS price_k
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_orderpriority, o_orderkey, price_k,
+      |    rank() OVER wb AS rnk,
+      |    dense_rank() OVER wb AS dense,
+      |    percent_rank() OVER wb AS pct_rank,
+      |    cume_dist() OVER wb AS cume,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY price_k DESC, o_orderkey) AS rn
+      |  FROM t
+      |  WINDOW wb AS (PARTITION BY o_orderpriority ORDER BY price_k DESC))
+      |SELECT o_orderpriority, rn, o_orderkey, price_k,
+      |       rnk, dense, pct_rank, cume
+      |FROM r WHERE rn <= 5
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
   /** Window-frame running aggregate: per-supplier cumulative revenue in
     * shipdate order (rowsBetween frame; deterministic tie-break).
     */
@@ -873,6 +925,8 @@ object Relational {
       "pivot with fixed value list"),
     Q("q120_unpivot", q120Unpivot, Some(q120Sql), Seq("A1", "P1"),
       "UNPIVOT/melt: wide metrics row to long form via the Expand node"),
+    Q("q124_rank_family", q124RankFamily, Some(q124Sql), Seq("W1"),
+      "rank/dense_rank/percent_rank/cume_dist under real value ties"),
     Q("q34_running_sum", q34RunningSum, Some(q34Sql), Seq("W1"),
       "window frame running aggregate"),
     Q("q35_lead_lag", q35LeadLag, Some(q35Sql), Seq("W1"),

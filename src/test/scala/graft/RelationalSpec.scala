@@ -211,6 +211,26 @@ class RelationalSpec extends AnyFunSuite {
       (5L, 1L, 2L, 50.0, 50.0, "changed")))
   }
 
+  test("rank family differs correctly under planted ties") {
+    val dir = TestSpark.scratch("rank-orders")
+    def d = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    // price_k buckets: 5, 5, 3, 3, 3, 1 → rank 1,1,3,3,3,6; dense 1,1,2,2,2,3
+    Seq((1L, 5000.0), (2L, 5400.0), (3L, 3000.0), (4L, 3100.0), (5L, 3200.0),
+      (6L, 1000.0))
+      .toDF("o_orderkey", "o_totalprice")
+      .withColumn("o_custkey", lit(1L)).withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_orderdate", lit(d))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Relational.q124RankFamily(spark, dir)
+      .as[(String, Int, Long, Long, Int, Int, Double, Double)].collect().toList
+    assert(out.map(r => (r._3, r._5, r._6)) === List(
+      (1L, 1, 1), (2L, 1, 1), (3L, 3, 2), (4L, 3, 2), (5L, 3, 2)))
+    // percent_rank = (rank-1)/(n-1) with n=6; cume_dist = rows<=bucket / n
+    assert(out.map(_._7) === List(0.0, 0.0, 0.4, 0.4, 0.4))
+    assert(out.map(_._8) === List(2.0 / 6, 2.0 / 6, 5.0 / 6, 5.0 / 6, 5.0 / 6))
+  }
+
   test("unpivot melts each wide row into one (metric, value) row per measure") {
     val out = Relational.q120Unpivot(spark, sf)
       .as[(String, String, Long)].collect().toList
