@@ -585,6 +585,49 @@ object Relational {
       |FROM r WHERE rn <= 5
       |ORDER BY o_orderpriority, rn""".stripMargin
 
+  /** Above-group-average filter — the classic correlated-subquery shape
+    * ("parts priced above their brand's average"), decorrelated the way
+    * Catalyst rewrites it: one partial+final aggregate per brand
+    * broadcast back onto the scan, instead of re-evaluating a subquery
+    * per row. The comparison price > avg is INTEGER cross-multiplied
+    * (price_cents·n > sum_cents) so no floating-point average ever
+    * exists to diverge between engines; premiums are exact cent·n
+    * integers scaled back to avg-relative cents via floor division.
+    */
+  def q126AboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables(spark, dir).part
+      .select($"p_partkey", $"p_brand", cents($"p_retailprice").as("pc"))
+    val brandSums = p.groupBy($"p_brand")
+      .agg(sum($"pc").as("s"), count(lit(1)).as("n"))
+    p.join(broadcast(brandSums), Seq("p_brand"))
+      .groupBy($"p_brand")
+      .agg(
+        max($"n").as("n_parts"),
+        sum(when($"pc" * $"n" > $"s", 1L).otherwise(0L)).as("n_above"),
+        // max premium over the brand avg, in cents, floor-divided from
+        // the exact (pc·n − s) numerator; max of a monotone transform =
+        // transform of max, so this is deterministic
+        max(when($"pc" * $"n" > $"s",
+          expr("(pc * n - s) div n")).otherwise(null)).as("max_premium_cents"))
+      .orderBy($"p_brand")
+  }
+
+  val q126Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_brand,
+      |         CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+      |  FROM part),
+      |b AS (SELECT p_brand, CAST(sum(pc) AS BIGINT) AS s, count(*) AS n
+      |      FROM p GROUP BY p_brand)
+      |SELECT p.p_brand, max(n) AS n_parts,
+      |  CAST(sum(CASE WHEN pc * n > s THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |  max(CASE WHEN pc * n > s THEN (pc * n - s) // n END)
+      |    AS max_premium_cents
+      |FROM p JOIN b USING (p_brand)
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""".stripMargin
+
   /** Window-frame running aggregate: per-supplier cumulative revenue in
     * shipdate order (rowsBetween frame; deterministic tie-break).
     */
@@ -927,6 +970,8 @@ object Relational {
       "UNPIVOT/melt: wide metrics row to long form via the Expand node"),
     Q("q124_rank_family", q124RankFamily, Some(q124Sql), Seq("W1"),
       "rank/dense_rank/percent_rank/cume_dist under real value ties"),
+    Q("q126_above_avg", q126AboveAvg, Some(q126Sql), Seq("A1", "J1"),
+      "decorrelated above-group-average filter, integer cross-multiplied"),
     Q("q34_running_sum", q34RunningSum, Some(q34Sql), Seq("W1"),
       "window frame running aggregate"),
     Q("q35_lead_lag", q35LeadLag, Some(q35Sql), Seq("W1"),

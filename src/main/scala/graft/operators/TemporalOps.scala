@@ -1048,9 +1048,79 @@ object TemporalOps {
       |FROM r WHERE rn = 1 AND op <> 'D'
       |ORDER BY o_custkey""".stripMargin
 
+  /** Multi-touch attribution: every purchase credits the click/view
+    * touches of the same user in the prior 24 hours, reported per
+    * channel under two standard models — last-touch (the final touch
+    * takes the conversion) and linear (the conversion's 1000 milli-
+    * credits split evenly, integer remainder to the LAST touch so
+    * every conversion's credits sum to exactly 1000).
+    *
+    * The touch↔purchase pairing is q44's lossless band trick at day
+    * width: a 24 h lookback spans at most the purchase's own day bucket
+    * and the previous one, so the purchase side explodes ×2 and the
+    * exact range predicate filters inside a (user, bucket) HASH join —
+    * no inequality BNLJ at any scale. Last-touch selection and the
+    * per-conversion touch count share one purchase-keyed window sort.
+    * Credits are integers end to end (order-independent sums).
+    */
+  def q125Attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val touches = ev.filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"event_type".as("channel"),
+        $"ts".as("tts"), $"event_id".as("touch_id"))
+      .withColumn("bucket", floor(unix_timestamp($"tts") / 86400))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("conv_id"), $"user_id", $"ts".as("pts"))
+      .withColumn("b0", floor(unix_timestamp($"pts") / 86400))
+      .withColumn("bucket", explode(array($"b0" - 1, $"b0")))
+    val wConv = Window.partitionBy($"conv_id")
+    val wLast = wConv.orderBy($"tts".desc, $"touch_id".desc)
+    val credited = purchases.join(touches, Seq("user_id", "bucket"))
+      .filter($"tts" < $"pts" && $"tts" >= $"pts" - expr("INTERVAL 24 HOURS"))
+      .withColumn("rn", row_number().over(wLast))
+      .withColumn("k", count(lit(1)).over(wConv))
+      .withColumn("linear_milli",
+        expr("1000 div k") + when($"rn" === 1, expr("1000 % k")).otherwise(0L))
+    credited
+      .groupBy($"channel")
+      .agg(count(when($"rn" === 1, 1)).as("last_touch_convs"),
+        sum($"linear_milli").as("linear_credit_milli"),
+        count(lit(1)).as("n_touches"))
+      .orderBy($"channel")
+  }
+
+  // micro-truncated ts on both sides — see q36Sql note
+  val q125Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_type AS channel, CAST(ts AS TIMESTAMP) AS tts,
+      |         event_id AS touch_id
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |p AS (
+      |  SELECT event_id AS conv_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT p.conv_id, t.channel, t.tts, t.touch_id
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |   AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 24 HOURS),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY conv_id
+      |                       ORDER BY tts DESC, touch_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY conv_id) AS k
+      |  FROM m)
+      |SELECT channel,
+      |  count(*) FILTER (rn = 1) AS last_touch_convs,
+      |  CAST(sum(1000 // k + CASE WHEN rn = 1 THEN 1000 % k ELSE 0 END)
+      |    AS BIGINT) AS linear_credit_milli,
+      |  count(*) AS n_touches
+      |FROM r GROUP BY channel ORDER BY channel""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
+    Q("q125_attribution", q125Attribution, Some(q125Sql), Seq("X-temporal", "X-scale"),
+      "multi-touch attribution: last-touch + integer linear credits, banded join"),
     Q("q118_cdc_apply", q118CdcApply, Some(q118Sql), Seq("X-temporal", "S7"),
       "CDC log compaction: latest-change-wins with delete markers honored"),
     Q("q112_rate_limit", q112RateLimit, Some(q112Sql), Seq("X-temporal", "X-scale"),

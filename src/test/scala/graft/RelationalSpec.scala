@@ -211,6 +211,24 @@ class RelationalSpec extends AnyFunSuite {
       (5L, 1L, 2L, 50.0, 50.0, "changed")))
   }
 
+  test("above-avg filter: integer cross-multiply, all-equal brands yield zero above") {
+    val dir = TestSpark.scratch("aboveavg-part")
+    Seq(
+      // B1 avg 20.00 → only the 30.00 part is above, premium 10.00
+      (1L, "B1", 10.00), (2L, "B1", 20.00), (3L, "B1", 30.00),
+      // B2 all equal → nobody above their own average
+      (4L, "B2", 5.00), (5L, "B2", 5.00))
+      .toDF("p_partkey", "p_brand", "p_retailprice")
+      .withColumn("p_name", lit("n")).withColumn("p_type", lit("t"))
+      .withColumn("p_size", lit(1))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = Relational.q126AboveAvg(spark, dir)
+      .as[(String, Long, Long, Option[Long])].collect().toList
+    assert(out === List(
+      ("B1", 3L, 1L, Some(1000L)),
+      ("B2", 2L, 0L, None)))
+  }
+
   test("rank family differs correctly under planted ties") {
     val dir = TestSpark.scratch("rank-orders")
     def d = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")

@@ -281,6 +281,31 @@ class TemporalSpec extends AnyFunSuite {
     assert(out === List((1L, 2L, 4L, 6200L)))
   }
 
+  test("attribution: 24h lookback, last-touch wins, linear remainder goes to the last touch") {
+    val dir = TestSpark.scratch("attr-events")
+    def ns(min: Long): Long = min * 60L * 1000000000L
+    def ev(id: Long, user: Long, min: Long, typ: String) =
+      (id, user, ns(min), typ, 1.0, "{}")
+    Seq(
+      // user 1: purchase at 6000 with 2 in-window touches (view 5000,
+      // click 5900=last), one outside 24h (4500), one AFTER (6010)
+      ev(1L, 1L, 6000, "purchase"),
+      ev(2L, 1L, 5000, "view"), ev(3L, 1L, 5900, "click"),
+      ev(4L, 1L, 4500, "click"), ev(5L, 1L, 6010, "click"),
+      // user 2: purchase with 3 view touches → 333/333/334, last=5800
+      ev(6L, 2L, 6000, "purchase"),
+      ev(7L, 2L, 5800, "view"), ev(8L, 2L, 5700, "view"), ev(9L, 2L, 5600, "view"),
+      // user 3: touch with no purchase → never credited
+      ev(10L, 3L, 5900, "click"))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TemporalOps.q125Attribution(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(out === List(
+      ("click", 1L, 500L, 1L),
+      ("view", 1L, 1500L, 4L)))
+  }
+
   test("CDC apply: latest change wins, trailing deletes drop the key, earlier deletes do not") {
     val dir = TestSpark.scratch("cdc-orders")
     def d(day: Int) = java.sql.Timestamp.valueOf(f"1995-01-$day%02d 00:00:00")
