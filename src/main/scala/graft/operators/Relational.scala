@@ -628,6 +628,47 @@ object Relational {
       |GROUP BY p.p_brand
       |ORDER BY p.p_brand""".stripMargin
 
+  /** Ordered string aggregation (LISTAGG / string_agg): the top-5 order
+    * keys per priority, price-descending, joined into one CSV cell — the
+    * "give me the IDs inline" report shape. The danger in a naive
+    * listagg is UNBOUNDED per-group state (collect_list of a whole
+    * group) and nondeterministic element order; here the window top-5
+    * bounds every group's list to ≤ 5 BEFORE the collect, and the
+    * elements carry their rank so array_sort fixes the order
+    * regardless of arrival — the same bounded-state discipline as
+    * q112's keep-K. One window sort + one tiny aggregate.
+    */
+  def q127StringAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pick = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables(spark, dir).orders
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(pick))
+      .filter($"rn" <= 5)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_in_list"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct($"rn", $"o_orderkey"))),
+            s => s("o_orderkey").cast("string")),
+          ",").as("top_keys_csv"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q127Sql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_orderpriority, count(*) AS n_in_list,
+      |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn)
+      |    AS top_keys_csv
+      |FROM r WHERE rn <= 5
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Window-frame running aggregate: per-supplier cumulative revenue in
     * shipdate order (rowsBetween frame; deterministic tie-break).
     */
@@ -972,6 +1013,8 @@ object Relational {
       "rank/dense_rank/percent_rank/cume_dist under real value ties"),
     Q("q126_above_avg", q126AboveAvg, Some(q126Sql), Seq("A1", "J1"),
       "decorrelated above-group-average filter, integer cross-multiplied"),
+    Q("q127_string_agg", q127StringAgg, Some(q127Sql), Seq("A1", "O2"),
+      "ordered LISTAGG bounded by a window top-5 before the collect"),
     Q("q34_running_sum", q34RunningSum, Some(q34Sql), Seq("W1"),
       "window frame running aggregate"),
     Q("q35_lead_lag", q35LeadLag, Some(q35Sql), Seq("W1"),

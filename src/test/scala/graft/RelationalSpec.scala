@@ -211,6 +211,25 @@ class RelationalSpec extends AnyFunSuite {
       (5L, 1L, 2L, 50.0, 50.0, "changed")))
   }
 
+  test("string agg keeps only the window top-5, ordered by price desc with key tie-break") {
+    val dir = TestSpark.scratch("stragg-orders")
+    def d = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    val rows =
+      // URGENT: 7 orders, prices descending by key except a tie pair
+      Seq((1L, 700.0), (2L, 600.0), (3L, 500.0), (4L, 500.0), (5L, 400.0),
+        (6L, 300.0), (7L, 200.0)).map { case (k, p) => (k, p, "1-URGENT") } ++
+        Seq((8L, 50.0), (9L, 60.0)).map { case (k, p) => (k, p, "5-LOW") }
+    rows.toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+      .withColumn("o_custkey", lit(1L)).withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_orderdate", lit(d))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Relational.q127StringAgg(spark, dir)
+      .as[(String, Long, String)].collect().toList
+    assert(out === List(
+      ("1-URGENT", 5L, "1,2,3,4,5"),
+      ("5-LOW", 2L, "9,8")))
+  }
+
   test("above-avg filter: integer cross-multiply, all-equal brands yield zero above") {
     val dir = TestSpark.scratch("aboveavg-part")
     Seq(
