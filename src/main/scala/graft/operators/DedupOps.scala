@@ -1067,12 +1067,17 @@ object DedupOps {
     */
   def q122SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // fs is consumed twice (per-source sizes + the pair fanout) —
+    // localCheckpoint-publish it so the shingling scan runs ONCE
+    // (q77/q78's shared-frame pattern; blocks are freed when the frame
+    // drops, nothing stays pinned)
     val fs = Tables(spark, dir).documents
       .filter(wordsGe3(col("text")))
       .select($"source",
         explode(array_distinct(
           graft.plans.TextExpressions.wordTrigrams(col("text")))).as("s"))
       .distinct()
+      .localCheckpoint()
     val perSource = fs.groupBy($"source").agg(count(lit(1)).as("n"))
     val pairs = fs
       .groupBy($"s").agg(sort_array(collect_set($"source")).as("srcs"))

@@ -1023,7 +1023,11 @@ object TemporalOps {
         when($"o_orderstatus" === "F", "D").otherwise("U").as("op"),
         round($"o_totalprice" * 100).cast("long").as("price_cents"))
       .withColumn("rn", row_number().over(wDesc))
-      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy($"o_custkey")))
+      // full-frame count over the SAME ordered window spec — shares the
+      // one custkey sort+exchange instead of adding a second window
+      // exchange for an unordered partition count
+      .withColumn("n_changes", count(lit(1)).over(
+        wDesc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter($"rn" === 1 && $"op" =!= "D")
       .select($"o_custkey", $"price_cents".as("current_price_cents"),
         $"o_orderdate".as("as_of"), $"n_changes")
@@ -1074,12 +1078,14 @@ object TemporalOps {
       .select($"event_id".as("conv_id"), $"user_id", $"ts".as("pts"))
       .withColumn("b0", floor(unix_timestamp($"pts") / 86400))
       .withColumn("bucket", explode(array($"b0" - 1, $"b0")))
-    val wConv = Window.partitionBy($"conv_id")
-    val wLast = wConv.orderBy($"tts".desc, $"touch_id".desc)
+    val wLast = Window.partitionBy($"conv_id").orderBy($"tts".desc, $"touch_id".desc)
     val credited = purchases.join(touches, Seq("user_id", "bucket"))
       .filter($"tts" < $"pts" && $"tts" >= $"pts" - expr("INTERVAL 24 HOURS"))
       .withColumn("rn", row_number().over(wLast))
-      .withColumn("k", count(lit(1)).over(wConv))
+      // full-frame count on the same ordered spec — one conv_id
+      // sort+exchange serves both the last-touch pick and the touch count
+      .withColumn("k", count(lit(1)).over(
+        wLast.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("linear_milli",
         expr("1000 div k") + when($"rn" === 1, expr("1000 % k")).otherwise(0L))
     credited
