@@ -1122,9 +1122,56 @@ object TemporalOps {
       |  count(*) AS n_touches
       |FROM r GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** Rolling engagement: daily active users, trailing-7-day active users,
+    * and the DAU/WAU stickiness ratio per day — the canonical product-
+    * analytics report, and the canonical "distinct count over a sliding
+    * window" trap. A windowed count(DISTINCT) cannot partial-aggregate
+    * and re-scans every frame; the scalable rewrite is contribution
+    * explosion: each distinct (user, day) row contributes to the 7
+    * window-days it is visible in (explode ×7, row-local), then ONE
+    * distinct on (user, window_day) and ONE count per day — two
+    * bounded-fanout shuffles, no frame re-scans, partial aggregation
+    * everywhere. Days with no activity of their own are not reported
+    * (inner join with the DAU frame), matching the oracle.
+    * Stickiness is an exact-integer ratio, emitted unrounded.
+    */
+  def q128RollingActive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables(spark, dir).events
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val dau = days.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select($"user_id",
+        explode(sequence($"day", date_add($"day", 6))).as("wday"))
+      .distinct()
+      .groupBy($"wday").agg(count(lit(1)).as("wau"))
+    dau.join(wau, $"day" === $"wday")
+      // DATE columns reach the gate as pandas objects on the Spark side
+      // but datetime64 from DuckDB — emit midnight timestamps on both
+      // sides instead (same lesson as q84's valid_from)
+      .select($"day".cast("timestamp").as("day"), $"dau", $"wau",
+        ($"dau".cast("double") / $"wau").as("stickiness"))
+      .orderBy($"day")
+  }
+
+  val q128Sql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM d GROUP BY day),
+      |wd AS (
+      |  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS wday
+      |  FROM d, range(0, 7) r(i)),
+      |wau AS (SELECT wday, count(*) AS wau FROM wd GROUP BY wday)
+      |SELECT CAST(day AS TIMESTAMP) AS day, dau, wau,
+      |  CAST(dau AS DOUBLE) / wau AS stickiness
+      |FROM dau JOIN wau ON day = wday
+      |ORDER BY day""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
+    Q("q128_rolling_active", q128RollingActive, Some(q128Sql), Seq("X-temporal", "X-scale"),
+      "DAU/WAU/stickiness via contribution explosion — no windowed count(DISTINCT)"),
     Q("q125_attribution", q125Attribution, Some(q125Sql), Seq("X-temporal", "X-scale"),
       "multi-touch attribution: last-touch + integer linear credits, banded join"),
     Q("q118_cdc_apply", q118CdcApply, Some(q118Sql), Seq("X-temporal", "S7"),

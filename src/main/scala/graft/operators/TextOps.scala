@@ -630,13 +630,37 @@ object TextOps {
     * behind a cheap exact length pre-filter. Recall beyond the block
     * key is a DOCUMENTED trade-off of blocking (a typo in p_brand
     * escapes), exactly as in production ER systems.
+    *
+    * Cost is O(block²) in the blocking key's bucket sizes — the same
+    * contract as q23's blocked cosine, guarded the same way: a
+    * pre-flight aggregate refuses blocks past `maxBlock` with a pointer
+    * at the sub-quadratic alternatives instead of silently running
+    * quadratic. (The sf1 fixture multiplies every (brand, size) block
+    * 10× and pair volume grows SF² — measured 0.66s→48s for 10× data,
+    * oracle twin identical; a production corpus re-blocks on a
+    * higher-cardinality key — brand × size × name-prefix-token — or
+    * routes through q20/q21's shingle-LSH candidates before the edit
+    * distance.)
     */
-  def q121FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+  def q121FuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    fuzzyJoin(spark, dir)
+
+  private[graft] def fuzzyJoin(spark: SparkSession, dir: String,
+      maxBlock: Int = 4096): DataFrame = {
     import spark.implicits._
     val parts = Tables(spark, dir).part
       .select($"p_partkey", $"p_brand", $"p_size", $"p_name",
         length($"p_name").as("len"),
         expr("length(p_name) div 4").as("band"))
+    val oversized = parts.groupBy($"p_brand", $"p_size")
+      .agg(count(lit(1)).as("n")).filter($"n" > maxBlock).take(1)
+    require(oversized.isEmpty, {
+      val r = oversized.head
+      s"block (${r.get(0)}, ${r.get(1)}) holds ${r.get(2)} rows (> $maxBlock): " +
+        "blocked edit-distance join is O(block^2) per block - re-block on a " +
+        "higher-cardinality key or route candidates through the shingle-LSH " +
+        "path (q20/q21) before the levenshtein verify"
+    })
     val probe = parts
       .withColumn("band", explode(array($"band" - 1, $"band", $"band" + 1)))
       .select($"p_partkey".as("key_a"), $"p_brand", $"p_size",

@@ -437,6 +437,20 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"))
   }
 
+  test("fuzzy join refuses oversized blocks with a pointer at the LSH path") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.scratch("fuzzy-part-big")
+    (1 to 40).map(i => (i.toLong, s"name$i", "B1", 1))
+      .toDF("p_partkey", "p_name", "p_brand", "p_size")
+      .withColumn("p_type", lit("t")).withColumn("p_retailprice", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val e = intercept[IllegalArgumentException] {
+      operators.TextOps.fuzzyJoin(spark, dir, maxBlock = 16).count()
+    }
+    assert(e.getMessage.contains("O(block^2)"))
+    assert(e.getMessage.contains("q20"))
+  }
+
   test("regression trend recovers an exact planted line per group") {
     import org.apache.spark.sql.functions._
     val dir = TestSpark.scratch("regr-orders")

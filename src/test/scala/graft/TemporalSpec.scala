@@ -281,6 +281,29 @@ class TemporalSpec extends AnyFunSuite {
     assert(out === List((1L, 2L, 4L, 6200L)))
   }
 
+  test("rolling active: WAU is the trailing-7-day distinct, multi-event days count once") {
+    val dir = TestSpark.scratch("wau-events")
+    def ns(day: Int, hour: Int): Long =
+      (day.toLong * 86400 + hour * 3600) * 1000000000L
+    def ev(id: Long, user: Long, day: Int, hour: Int) =
+      (id, user, ns(day, hour), "click", 1.0, "{}")
+    Seq(
+      // u1 active on day 0 (twice — must count once) and day 8
+      ev(1L, 1L, 0, 1), ev(2L, 1L, 0, 5), ev(3L, 1L, 8, 1),
+      // u2 active on day 6 only: visible in day-6 WAU alongside u1
+      // (day 0 is within day 6's trailing week), and in day 8's too
+      ev(4L, 2L, 6, 1))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TemporalOps.q128RollingActive(spark, dir)
+      .as[(java.sql.Timestamp, Long, Long, Double)].collect().toList
+      .map(r => (r._1.toInstant.toString.take(10), r._2, r._3, r._4))
+    assert(out === List(
+      ("1970-01-01", 1L, 1L, 1.0),        // day 0: u1 only
+      ("1970-01-07", 1L, 2L, 0.5),        // day 6: dau=u2, wau={u1,u2}
+      ("1970-01-09", 1L, 2L, 0.5)))       // day 8: dau=u1, wau={u1,u2}
+  }
+
   test("attribution: 24h lookback, last-touch wins, linear remainder goes to the last touch") {
     val dir = TestSpark.scratch("attr-events")
     def ns(min: Long): Long = min * 60L * 1000000000L
