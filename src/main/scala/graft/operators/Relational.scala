@@ -669,6 +669,58 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Revenue concentration ("whale analysis"): per market segment, the
+    * share of order revenue contributed by the top decile of customers —
+    * the Pareto check behind account-tiering and risk-of-concentration
+    * reports. Two key-sized stages after one fact shuffle: orders
+    * aggregate to per-customer cents (the only row-scaled shuffle),
+    * customers rank into exact-count deciles per segment (ntile — q115's
+    * integer cut, fully tie-broken), and the final rollup compares the
+    * decile-1 sum against the segment total. All money stays in exact
+    * long cents; the share is an exact-integer ratio emitted unrounded.
+    */
+  def q130RevenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables(spark, dir).orders
+      .groupBy($"o_custkey")
+      .agg(sum(cents($"o_totalprice")).as("rev_cents"))
+    val seg = Tables(spark, dir).customer
+      .select($"c_custkey", $"c_mktsegment")
+    val tiled = perCust
+      .join(seg, $"o_custkey" === $"c_custkey")
+      .withColumn("tile", ntile(10).over(
+        Window.partitionBy($"c_mktsegment")
+          .orderBy($"rev_cents".desc, $"o_custkey")))
+    tiled.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"rev_cents").as("total_cents"),
+        sum(when($"tile" === 1, $"rev_cents").otherwise(0L))
+          .as("top_decile_cents"))
+      .withColumn("top_decile_share",
+        $"top_decile_cents".cast("double") / $"total_cents")
+      .orderBy($"c_mktsegment")
+  }
+
+  val q130Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS rev_cents
+      |  FROM orders GROUP BY o_custkey),
+      |t AS (
+      |  SELECT c_mktsegment, rev_cents,
+      |    ntile(10) OVER (PARTITION BY c_mktsegment
+      |                    ORDER BY rev_cents DESC, o_custkey) AS tile
+      |  FROM pc JOIN customer ON o_custkey = c_custkey)
+      |SELECT c_mktsegment, count(*) AS n_customers,
+      |  CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+      |  CAST(sum(CASE WHEN tile = 1 THEN rev_cents ELSE 0 END) AS BIGINT)
+      |    AS top_decile_cents,
+      |  CAST(sum(CASE WHEN tile = 1 THEN rev_cents ELSE 0 END) AS DOUBLE)
+      |    / sum(rev_cents) AS top_decile_share
+      |FROM t GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** Window-frame running aggregate: per-supplier cumulative revenue in
     * shipdate order (rowsBetween frame; deterministic tie-break).
     */
@@ -1015,6 +1067,8 @@ object Relational {
       "decorrelated above-group-average filter, integer cross-multiplied"),
     Q("q127_string_agg", q127StringAgg, Some(q127Sql), Seq("A1", "O2"),
       "ordered LISTAGG bounded by a window top-5 before the collect"),
+    Q("q130_revenue_concentration", q130RevenueConcentration, Some(q130Sql), Seq("A1", "W1"),
+      "top-decile revenue share per segment, exact long cents end to end"),
     Q("q34_running_sum", q34RunningSum, Some(q34Sql), Seq("W1"),
       "window frame running aggregate"),
     Q("q35_lead_lag", q35LeadLag, Some(q35Sql), Seq("W1"),

@@ -1167,9 +1167,75 @@ object TemporalOps {
       |FROM dau JOIN wau ON day = wday
       |ORDER BY day""".stripMargin
 
+  /** Growth accounting: each active (user, week) is classified NEW
+    * (first week ever), RETAINED (also active the immediately previous
+    * week) or RESURRECTED (returning after a gap), and each week's
+    * CHURN is derived as last week's actives minus this week's
+    * retained — the standard startup growth-decomposition report
+    * (new + retained + resurrected − churned = Δactives).
+    *
+    * One user-keyed sort classifies every activity row (lag over the
+    * distinct (user, week) frame); the weekly rollup is key-sized, and
+    * churn falls out of a lag over the WEEK frame (5 rows per year) —
+    * no user-level anti-join per week pair, which is the naive
+    * quadratic formulation. Churn is NULL for a week not preceded by
+    * an adjacent active week (nothing to churn from).
+    */
+  def q129GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weeks = Tables(spark, dir).events
+      .select($"user_id", date_trunc("week", $"ts").as("week")).distinct()
+    val wUser = Window.partitionBy($"user_id").orderBy($"week")
+    val classified = weeks
+      .withColumn("prev", lag($"week", 1).over(wUser))
+      .withColumn("status",
+        when($"prev".isNull, "new")
+          .when($"prev" === $"week" - expr("INTERVAL 7 DAYS"), "retained")
+          .otherwise("resurrected"))
+    val weekly = classified.groupBy($"week")
+      .agg(count(lit(1)).as("n_active"),
+        count(when($"status" === "new", 1)).as("n_new"),
+        count(when($"status" === "retained", 1)).as("n_retained"),
+        count(when($"status" === "resurrected", 1)).as("n_resurrected"))
+    val wWeek = Window.orderBy($"week")
+    weekly
+      .withColumn("prev_week", lag($"week", 1).over(wWeek))
+      .withColumn("prev_active", lag($"n_active", 1).over(wWeek))
+      .withColumn("n_churned",
+        when($"prev_week" === $"week" - expr("INTERVAL 7 DAYS"),
+          $"prev_active" - $"n_retained"))
+      .select($"week", $"n_active", $"n_new", $"n_retained",
+        $"n_resurrected", $"n_churned")
+      .orderBy($"week")
+  }
+
+  val q129Sql: String =
+    """WITH w AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week
+      |  FROM events),
+      |c AS (
+      |  SELECT *, lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev
+      |  FROM w),
+      |s AS (
+      |  SELECT week,
+      |    count(*) AS n_active,
+      |    count(*) FILTER (prev IS NULL) AS n_new,
+      |    count(*) FILTER (prev = week - INTERVAL 7 DAYS) AS n_retained,
+      |    count(*) FILTER (prev IS NOT NULL
+      |                     AND prev <> week - INTERVAL 7 DAYS) AS n_resurrected
+      |  FROM c GROUP BY week)
+      |SELECT week, n_active, n_new, n_retained, n_resurrected,
+      |  CASE WHEN lag(week) OVER (ORDER BY week) = week - INTERVAL 7 DAYS
+      |       THEN lag(n_active) OVER (ORDER BY week) - n_retained
+      |  END AS n_churned
+      |FROM s ORDER BY week""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
+    Q("q129_growth_accounting", q129GrowthAccounting, Some(q129Sql), Seq("X-temporal"),
+      "new/retained/resurrected/churned weekly growth decomposition"),
     Q("q128_rolling_active", q128RollingActive, Some(q128Sql), Seq("X-temporal", "X-scale"),
       "DAU/WAU/stickiness via contribution explosion — no windowed count(DISTINCT)"),
     Q("q125_attribution", q125Attribution, Some(q125Sql), Seq("X-temporal", "X-scale"),

@@ -211,6 +211,25 @@ class RelationalSpec extends AnyFunSuite {
       (5L, 1L, 2L, 50.0, 50.0, "changed")))
   }
 
+  test("revenue concentration: exactly one decile-1 whale per 10 customers, exact cents") {
+    val dir = TestSpark.scratch("conc-orders")
+    def d = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    // 10 customers in one segment: customer i has revenue i·10.00 →
+    // ntile(10) puts exactly one (the 100.00 whale) in tile 1
+    val orders = (1 to 10).map(i => (i.toLong, i.toLong, d, i * 10.0))
+    orders.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (1 to 10).map(i => (i.toLong, s"c$i", 0, 1.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = Relational.q130RevenueConcentration(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().toList
+    // total = 10+20+...+100 = 550.00; top decile = the 100.00 customer
+    assert(out === List(("SEG", 10L, 55000L, 10000L, 10000.0 / 55000.0)))
+  }
+
   test("string agg keeps only the window top-5, ordered by price desc with key tie-break") {
     val dir = TestSpark.scratch("stragg-orders")
     def d = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")

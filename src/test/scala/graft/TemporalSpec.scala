@@ -281,6 +281,32 @@ class TemporalSpec extends AnyFunSuite {
     assert(out === List((1L, 2L, 4L, 6200L)))
   }
 
+  test("growth accounting: new/retained/resurrected classify per user, churn derives from adjacency") {
+    val dir = TestSpark.scratch("growth-events")
+    // weeks anchored to Mondays: 1970-01-05 is a Monday
+    def ns(week: Int, day: Int): Long =
+      ((4 + week * 7 + day).toLong * 86400L + 3600L) * 1000000000L
+    def ev(id: Long, user: Long, week: Int) = (id, user, ns(week, 0), "click", 1.0, "{}")
+    Seq(
+      // u1: weeks 0,1,3 → new, retained, resurrected
+      ev(1L, 1L, 0), ev(2L, 1L, 1), ev(3L, 1L, 3),
+      // u2: weeks 0,1 → new, retained; absent week 2+ → churns in week 2?
+      // week 2 has NO activity at all → not reported; week 3's previous
+      // reported week is week 1 (not adjacent) → churn NULL there
+      ev(4L, 2L, 0), ev(5L, 2L, 1),
+      // u3: week 3 only → new
+      ev(6L, 3L, 3))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TemporalOps.q129GrowthAccounting(spark, dir)
+      .as[(java.sql.Timestamp, Long, Long, Long, Long, Option[Long])]
+      .collect().toList.map(r => (r._2, r._3, r._4, r._5, r._6))
+    assert(out === List(
+      (2L, 2L, 0L, 0L, None),        // week 0: both new
+      (2L, 0L, 2L, 0L, Some(0L)),    // week 1: both retained, churn 0
+      (2L, 1L, 0L, 1L, None)))       // week 3: u3 new, u1 resurrected, gap → null churn
+  }
+
   test("rolling active: WAU is the trailing-7-day distinct, multi-event days count once") {
     val dir = TestSpark.scratch("wau-events")
     def ns(day: Int, hour: Int): Long =
