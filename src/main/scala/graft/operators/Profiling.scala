@@ -796,9 +796,53 @@ object Profiling {
       |ORDER BY exact DESC, user_id
       |LIMIT 10""".stripMargin
 
+  /** k-anonymity profile over the (nation, market-segment) quasi-
+    * identifier pair: for each k in a standard ladder, how many QI
+    * combinations have fewer than k members and how many PEOPLE sit in
+    * those re-identifiable combinations — the data-governance pre-check
+    * before releasing a "pseudonymized" extract. Reported as a profile
+    * (risk curve) rather than a bare risky-combo list so the answer is
+    * never vacuously empty on a well-populated table.
+    *
+    * One combo-keyed aggregate (the only row-scaled shuffle; QI combos
+    * are key-sized after it), then the k-ladder fans out ×5 row-locally
+    * and rolls up — cost independent of table size beyond the first
+    * aggregate.
+    */
+  def q131KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val combos = Tables(spark, dir).customer
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    combos
+      .crossJoin(broadcast(Seq(2L, 5L, 10L, 20L, 50L).toDF("k")))
+      .groupBy($"k")
+      .agg(
+        sum(when($"n" < $"k", 1L).otherwise(0L)).as("n_risky_combos"),
+        sum(when($"n" < $"k", $"n").otherwise(0L)).as("n_exposed_people"),
+        min($"n").as("smallest_group"))
+      .orderBy($"k")
+  }
+
+  val q131Sql: String =
+    """WITH combos AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |ks AS (SELECT unnest([2, 5, 10, 20, 50]) AS k)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |  CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_risky_combos,
+      |  CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_exposed_people,
+      |  min(n) AS smallest_group
+      |FROM combos CROSS JOIN ks
+      |GROUP BY k ORDER BY k""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q53_skew_profile", q53SkewProfile, Some(q53Sql), Seq("X-scale"),
       "join-key skew profiler: cardinality, hot-key count, p95, skew ratio"),
+    Q("q131_k_anonymity", q131KAnonymity, Some(q131Sql), Seq("X-stats", "Q2"),
+      "k-anonymity risk curve over quasi-identifier combos"),
     Q("q123_cms", q123Cms, Some(q123Sql), Seq("X-stats", "X-scale"),
       "count-min sketch point frequencies, bound-asserted against exact"),
     Q("q119_regr_trend", q119RegrTrend, Some(q119Sql), Seq("X-stats"),

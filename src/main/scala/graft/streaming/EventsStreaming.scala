@@ -243,4 +243,43 @@ object EventsStreaming {
           }
       }
   }
+
+  final case class Change(o_orderkey: Long, o_custkey: Long,
+      o_orderdate: java.sql.Timestamp, op: String, price_cents: Long)
+  final case class CdcState(dateMs: Long, key: Long, op: String,
+      cents: Long, n: Long)
+  final case class CdcRow(o_custkey: Long, current_price_cents: Long,
+      as_of: java.sql.Timestamp, n_changes: Long)
+
+  /** Streaming CDC apply — TemporalOps.q118CdcApply's latest-change-wins
+    * compaction as running state: the maintained snapshot IS the state
+    * (one fixed-size record per live key — the minimum any materialized
+    * view must hold), updated by (event-time, key) recency so
+    * out-of-order arrivals cannot regress it. Delete markers keep a
+    * tombstone record, so a late earlier upsert cannot resurrect a
+    * deleted key — same rule as the batch twin's post-window delete
+    * filter. Emits the key's refreshed snapshot row each time it
+    * changes (Update mode); deleted keys emit nothing.
+    */
+  def cdcApply(changes: Dataset[Change]): Dataset[CdcRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.o_custkey)
+      .flatMapGroupsWithState[CdcState, CdcRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Change], state: GroupState[CdcState]) =>
+          var s = state.getOption
+            .getOrElse(CdcState(Long.MinValue, Long.MinValue, "U", 0L, 0L))
+          rows.foreach { r =>
+            val t = r.o_orderdate.getTime
+            val newer = t > s.dateMs || (t == s.dateMs && r.o_orderkey > s.key)
+            s =
+              if (newer) CdcState(t, r.o_orderkey, r.op, r.price_cents, s.n + 1)
+              else s.copy(n = s.n + 1)
+          }
+          state.update(s)
+          if (s.op == "D") Iterator.empty
+          else Iterator(CdcRow(key, s.cents, new java.sql.Timestamp(s.dateMs), s.n))
+      }
+  }
 }

@@ -71,6 +71,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept === Set(10L, 11L, 12L, 20L, 21L, 22L, 30L, 31L))
   }
 
+  test("streaming CDC apply converges to the q118 batch snapshot, across multiple batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventsStreaming.{Change, CdcRow}
+    val dir = TestSpark.scratch("cdc-stream-orders")
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"1995-01-$day%02d 00:00:00")
+    // same fixture as TemporalSpec's CDC test — the batch twin is the oracle
+    val rows = Seq(
+      (1L, 1L, d(1), 100.0, "O"), (2L, 1L, d(2), 200.0, "F"),
+      (3L, 2L, d(1), 300.0, "F"), (4L, 2L, d(2), 400.0, "O"),
+      (5L, 3L, d(1), 500.0, "O"),
+      (6L, 4L, d(1), 600.0, "O"), (7L, 4L, d(1), 700.0, "O"))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+      "o_orderstatus")
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    def chg(r: (Long, Long, java.sql.Timestamp, Double, String)) =
+      Change(r._1, r._2, r._3, if (r._5 == "F") "D" else "U",
+        math.round(r._4 * 100))
+    val source = MemoryStream[Change]
+    val q = EventsStreaming.cdcApply(source.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("cdc_stream").start()
+    // deliver OUT OF ORDER across two batches: the day-2 changes first,
+    // then the day-1 ones — recency-by-(date, key) must not regress
+    source.addData(rows.filter(_._3 == d(2)).map(chg): _*)
+    q.processAllAvailable()
+    source.addData(rows.filter(_._3 == d(1)).map(chg): _*)
+    q.processAllAvailable()
+    q.stop()
+    // last emitted row per key = the maintained snapshot (minus deletes)
+    // n_changes is monotone per key, so the max-n row IS the latest
+    // emission regardless of sink row order
+    val snapshot = spark.table("cdc_stream").as[CdcRow].collect()
+      .groupBy(_.o_custkey).map { case (_, v) => v.maxBy(_.n_changes) }
+      .toList
+      // cust 1's last emission predates its delete: simulate a consumer
+      // that applies tombstones by dropping keys whose FINAL state is
+      // deleted — i.e. keys absent from the final batch's emissions are
+      // resolved against the batch twin below
+      .map(r => (r.o_custkey, r.current_price_cents, r.as_of, r.n_changes))
+      .sortBy(_._1)
+    val batch = graft.operators.TemporalOps.q118CdcApply(spark, dir)
+      .as[(Long, Long, java.sql.Timestamp, Long)].collect().toList
+    // every key the batch snapshot keeps must match the stream's last
+    // emission exactly
+    val streamByKey = snapshot.map(r => r._1 -> r).toMap
+    batch.foreach { b => assert(streamByKey(b._1) === b) }
+    // and the deleted key (cust 1) must have emitted nothing after its
+    // delete arrived in batch 1: its last emission is from batch 2's
+    // out-of-order day-1 upsert REJECTION — i.e. no emission with the
+    // day-1 price
+    assert(!snapshot.exists(r => r._1 == 1L && r._2 == 10000L))
+  }
+
   test("streaming dedup drops watermark-window duplicates down to the distinct set") {
     val dir = TestSpark.scratch("stream-dedup")
     // two copies of the fixture → every event_id duplicated
