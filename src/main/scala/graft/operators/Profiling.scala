@@ -703,10 +703,13 @@ object Profiling {
     * Determinism is the whole design: x is an ANCHORED day number
     * (days since 1995-01-01 — small integers) and y is whole dollars,
     * so all five statistics are exact long sums (order-independent, no
-    * fp merge drift; max |Σxy| ≈ 2^48, inside both long and
-    * double-exact range). Only the final slope/intercept division is
+    * fp merge drift). Only the final slope/intercept division is
     * floating point, computed row-locally from identical exact
-    * integers in both engines. One partial+final aggregate — the
+    * integers in both engines, so parity holds at any SF even once the
+    * sums exceed double-exact range. A degenerate group (single date,
+    * or n=1) has den=0; slope and intercept are NULLed rather than
+    * letting ±Infinity/NaN semantics diverge between engines.
+    * One partial+final aggregate — the
     * sufficient-statistics trick is also why this scales: no sort, no
     * window, five longs per group of state.
     */
@@ -723,7 +726,9 @@ object Profiling {
       .withColumn("den",
         $"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx")
       .withColumn("slope",
-        ($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") / $"den")
+        when($"den" =!= 0d,
+          ($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") /
+            $"den"))
       .select($"o_orderpriority", $"n",
         round($"slope", 6).as("slope_per_day"),
         round(($"sy".cast("double") - $"slope" * $"sx") / $"n", 2)
@@ -747,7 +752,8 @@ object Profiling {
       |f AS (
       |  SELECT *,
       |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-      |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope
+      |      / NULLIF(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0)
+      |      AS slope
       |  FROM s)
       |SELECT o_orderpriority, n,
       |  round(slope, 6) AS slope_per_day,
@@ -783,8 +789,9 @@ object Profiling {
       .withColumn("est", graft.functions.CountMin.estimate($"sk", $"user_id"))
       .select($"user_id", $"exact",
         ($"est" >= $"exact").as("never_undercounts"),
-        ($"est" <= $"exact" + expr("(3 * n_total + 255) div 256"))
-          .as("within_eps_bound"))
+        ($"est" <= $"exact" + expr(
+          s"(3 * n_total + ${graft.functions.CountMin.Width - 1}) div " +
+            s"${graft.functions.CountMin.Width}")).as("within_eps_bound"))
       .orderBy($"exact".desc, $"user_id")
   }
 

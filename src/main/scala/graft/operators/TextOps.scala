@@ -645,6 +645,17 @@ object TextOps {
   def q121FuzzyJoin(spark: SparkSession, dir: String): DataFrame =
     fuzzyJoin(spark, dir)
 
+  /** One guard verdict per (dir, maxBlock): the pre-flight block-size
+    * aggregate is an eager Spark job, so without memoization every
+    * plan CONSTRUCTION (not execution) of the fuzzy join re-scans
+    * `part` — specs that build the frame twice paid the scan twice.
+    * The fixture dirs are immutable snapshots, so a passed guard stays
+    * valid for the process lifetime; a failed guard throws and caches
+    * nothing (a retry against regenerated data re-checks).
+    */
+  private val fuzzyGuardPassed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+
   private[graft] def fuzzyJoin(spark: SparkSession, dir: String,
       maxBlock: Int = 4096): DataFrame = {
     import spark.implicits._
@@ -652,15 +663,18 @@ object TextOps {
       .select($"p_partkey", $"p_brand", $"p_size", $"p_name",
         length($"p_name").as("len"),
         expr("length(p_name) div 4").as("band"))
-    val oversized = parts.groupBy($"p_brand", $"p_size")
-      .agg(count(lit(1)).as("n")).filter($"n" > maxBlock).take(1)
-    require(oversized.isEmpty, {
-      val r = oversized.head
-      s"block (${r.get(0)}, ${r.get(1)}) holds ${r.get(2)} rows (> $maxBlock): " +
-        "blocked edit-distance join is O(block^2) per block - re-block on a " +
-        "higher-cardinality key or route candidates through the shingle-LSH " +
-        "path (q20/q21) before the levenshtein verify"
-    })
+    if (!fuzzyGuardPassed.contains((dir, maxBlock))) {
+      val oversized = parts.groupBy($"p_brand", $"p_size")
+        .agg(count(lit(1)).as("n")).filter($"n" > maxBlock).take(1)
+      require(oversized.isEmpty, {
+        val r = oversized.head
+        s"block (${r.get(0)}, ${r.get(1)}) holds ${r.get(2)} rows (> $maxBlock): " +
+          "blocked edit-distance join is O(block^2) per block - re-block on a " +
+          "higher-cardinality key or route candidates through the shingle-LSH " +
+          "path (q20/q21) before the levenshtein verify"
+      })
+      fuzzyGuardPassed.add((dir, maxBlock))
+    }
     val probe = parts
       .withColumn("band", explode(array($"band" - 1, $"band", $"band" + 1)))
       .select($"p_partkey".as("key_a"), $"p_brand", $"p_size",
@@ -669,11 +683,10 @@ object TextOps {
       .select($"p_partkey".as("key_b"), $"p_brand", $"p_size",
         $"p_name".as("name_b"), $"len".as("len_b"), $"band")
     probe.join(build, Seq("p_brand", "p_size", "band"))
-      .filter($"key_a" < $"key_b" &&
-        abs($"len_a" - $"len_b") <= 3 &&
-        levenshtein($"name_a", $"name_b") <= 3)
-      .select($"key_a", $"key_b", $"name_a", $"name_b",
-        levenshtein($"name_a", $"name_b").cast("long").as("dist"))
+      .filter($"key_a" < $"key_b" && abs($"len_a" - $"len_b") <= 3)
+      .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+      .filter($"dist" <= 3)
+      .select($"key_a", $"key_b", $"name_a", $"name_b", $"dist")
       .orderBy($"key_a", $"key_b")
   }
 

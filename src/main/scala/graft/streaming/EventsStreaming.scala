@@ -260,26 +260,62 @@ object EventsStreaming {
     * deleted key — same rule as the batch twin's post-window delete
     * filter. Emits the key's refreshed snapshot row each time it
     * changes (Update mode); deleted keys emit nothing.
+    *
+    * Tombstone lifetime is a stated trade-off: with
+    * `tombstoneTtl = None` (default) a deleted key's marker lives
+    * forever — the resurrection guard is absolute, but a delete-heavy
+    * feed grows state without bound. Passing a TTL arms a
+    * processing-time timeout WHEN the key's latest change is a delete;
+    * on expiry the tombstone is dropped, bounding state at the cost of
+    * a documented resurrection window (an upsert older than the delete
+    * arriving > TTL late re-creates the key). Live keys never time out
+    * either way — the snapshot row per live key is the floor any
+    * materialized view pays.
     */
-  def cdcApply(changes: Dataset[Change]): Dataset[CdcRow] = {
+  def cdcApply(changes: Dataset[Change],
+      tombstoneTtl: Option[scala.concurrent.duration.FiniteDuration] = None)
+      : Dataset[CdcRow] = {
     import changes.sparkSession.implicits._
+    val timeoutConf = tombstoneTtl match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout()
+      case None => GroupStateTimeout.NoTimeout()
+    }
     changes
       .groupByKey(_.o_custkey)
-      .flatMapGroupsWithState[CdcState, CdcRow](
-        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
-        (key: Long, rows: Iterator[Change], state: GroupState[CdcState]) =>
-          var s = state.getOption
-            .getOrElse(CdcState(Long.MinValue, Long.MinValue, "U", 0L, 0L))
-          rows.foreach { r =>
-            val t = r.o_orderdate.getTime
-            val newer = t > s.dateMs || (t == s.dateMs && r.o_orderkey > s.key)
-            s =
-              if (newer) CdcState(t, r.o_orderkey, r.op, r.price_cents, s.n + 1)
-              else s.copy(n = s.n + 1)
-          }
-          state.update(s)
-          if (s.op == "D") Iterator.empty
-          else Iterator(CdcRow(key, s.cents, new java.sql.Timestamp(s.dateMs), s.n))
+      .flatMapGroupsWithState[CdcState, CdcRow](OutputMode.Update, timeoutConf)(
+        cdcUpdate(tombstoneTtl.map(_.toMillis)))
+  }
+
+  /** The CDC state transition, named so specs can drive it directly
+    * through `TestGroupState` — a live ProcessingTimeTimeout query
+    * busy-loops timeout-check microbatches, which starves
+    * `processAllAvailable` in a test harness.
+    */
+  private[graft] def cdcUpdate(tombstoneTtlMs: Option[Long])(
+      key: Long, rows: Iterator[Change], state: GroupState[CdcState])
+      : Iterator[CdcRow] = {
+    if (state.hasTimedOut) {
+      // only armed for tombstones: the delete's retention window has
+      // elapsed, drop the marker entirely
+      state.remove()
+      Iterator.empty
+    } else {
+      var s = state.getOption
+        .getOrElse(CdcState(Long.MinValue, Long.MinValue, "U", 0L, 0L))
+      rows.foreach { r =>
+        val t = r.o_orderdate.getTime
+        val newer = t > s.dateMs || (t == s.dateMs && r.o_orderkey > s.key)
+        s =
+          if (newer) CdcState(t, r.o_orderkey, r.op, r.price_cents, s.n + 1)
+          else s.copy(n = s.n + 1)
       }
+      state.update(s)
+      if (s.op == "D") {
+        tombstoneTtlMs.foreach(state.setTimeoutDuration)
+        Iterator.empty
+      } else {
+        Iterator(CdcRow(key, s.cents, new java.sql.Timestamp(s.dateMs), s.n))
+      }
+    }
   }
 }

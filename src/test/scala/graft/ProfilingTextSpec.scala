@@ -12,6 +12,26 @@ class ProfilingTextSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("regr trend NULLs slope and intercept for degenerate groups") {
+    // a group whose orders all share one date (den = n·Σx² − (Σx)² = 0)
+    // and a singleton group must yield NULL, not NaN/±Infinity — the
+    // TPC-H fixture never hits this, so pin it on a planted one
+    val dir = TestSpark.scratch("regr-degenerate")
+    def d(n: Int) = java.sql.Date.valueOf(f"1995-02-$n%02d")
+    Seq(
+      ("1-SAME", d(5), 100.0), ("1-SAME", d(5), 200.0),
+      ("2-ONE", d(7), 300.0),
+      ("3-OK", d(1), 100.0), ("3-OK", d(3), 300.0))
+      .toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = Profiling.q119RegrTrend(spark, dir).collect()
+    val byP = rows.map(r => r.getString(0) -> r).toMap
+    assert(byP("1-SAME").isNullAt(2) && byP("1-SAME").isNullAt(3))
+    assert(byP("2-ONE").isNullAt(2) && byP("2-ONE").isNullAt(3))
+    // the healthy group still fits: slope (300−100)/(2 days) = 100/day
+    assert(byP("3-OK").getDouble(2) == 100.0)
+  }
+
   test("keySkew reports uniform keys as ratio 1 and a hot key as its multiple") {
     // uniform fixture: 4 keys × 2 rows → skew ratio exactly 1.
     // hot fixture: keys 1..3 with 2 rows each plus 8 rows of key 9 →

@@ -125,6 +125,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(!snapshot.exists(r => r._1 == 1L && r._2 == 10000L))
   }
 
+  test("cdc tombstone TTL drops the delete marker; default keeps it forever") {
+    // drives the state transition directly via TestGroupState — a live
+    // ProcessingTimeTimeout query busy-loops timeout-check microbatches
+    // and starves processAllAvailable in this harness
+    import graft.streaming.EventsStreaming.{cdcUpdate, CdcState, Change}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    def day(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-$n%02d 00:00:00")
+    val ttl = Some(60000L)
+
+    // delete arrives → tombstone stored, TTL armed, nothing emitted
+    val s1 = TestGroupState.create[CdcState](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L, Optional.empty(), hasTimedOut = false)
+    assert(cdcUpdate(ttl)(10L, Iterator(Change(2L, 10L, day(2), "D", 0L)), s1)
+      .isEmpty)
+    assert(s1.get.op == "D" && s1.getTimeoutTimestampMs.get == 61000L)
+
+    // TTL expires → tombstone removed (state bounded)
+    val s2 = TestGroupState.create[CdcState](Optional.of(s1.get),
+      GroupStateTimeout.ProcessingTimeTimeout, 62000L, Optional.empty(), hasTimedOut = true)
+    assert(cdcUpdate(ttl)(10L, Iterator.empty, s2).isEmpty)
+    assert(s2.isRemoved)
+
+    // late OLDER upsert after expiry re-creates the key — the
+    // documented resurrection window is the price of bounded state
+    val s3 = TestGroupState.create[CdcState](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, 63000L, Optional.empty(), hasTimedOut = false)
+    val res = cdcUpdate(ttl)(10L,
+      Iterator(Change(1L, 10L, day(1), "U", 100L)), s3).toList
+    assert(res.map(r => (r.o_custkey, r.current_price_cents)) ==
+      List((10L, 100L)))
+
+    // WITHOUT a TTL the tombstone never times out and keeps rejecting
+    // the same late older upsert — absolute resurrection guard
+    val k1 = TestGroupState.create[CdcState](Optional.empty(),
+      GroupStateTimeout.NoTimeout, 1000L, Optional.empty(), hasTimedOut = false)
+    assert(cdcUpdate(None)(10L, Iterator(Change(2L, 10L, day(2), "D", 0L)), k1)
+      .isEmpty)
+    assert(!k1.getTimeoutTimestampMs.isPresent)
+    val k2 = TestGroupState.create[CdcState](Optional.of(k1.get),
+      GroupStateTimeout.NoTimeout, 999999000L, Optional.empty(), hasTimedOut = false)
+    assert(cdcUpdate(None)(10L,
+      Iterator(Change(1L, 10L, day(1), "U", 100L)), k2).isEmpty)
+    assert(k2.get.op == "D")
+  }
+
   test("streaming dedup drops watermark-window duplicates down to the distinct set") {
     val dir = TestSpark.scratch("stream-dedup")
     // two copies of the fixture → every event_id duplicated
