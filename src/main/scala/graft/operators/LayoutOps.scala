@@ -140,9 +140,71 @@ object LayoutOps {
       |FROM c GROUP BY source, bin_id
       |ORDER BY source, bin_id""".stripMargin
 
+  /** Copy-on-write rewrite planner with write-amplification accounting:
+    * given a key-range file layout (512 orders per "file" — the fixed-
+    * width stand-in for real file metadata) and an update predicate
+    * (one week of order dates), compute per file how many rows change
+    * and how many must be REWRITTEN — under copy-on-write, one changed
+    * row rewrites its whole file. The trailing total row (file_id NULL)
+    * is the number the lakehouse operator actually stares at: total
+    * rows_rewritten / total n_changed is the write amplification, and
+    * this layout makes the pathology visible — a date-scattered ~0.3%
+    * update touches ~¾ of key-ranged files, which is exactly why
+    * date-partitioned or Z-ordered layouts (q75) exist, and why
+    * merge-on-read trades this write cost for read-time reconciliation.
+    *
+    * Scale shape: one scan, one groupBy on the file key (in production
+    * the scan side is the file-metadata table joined against update-key
+    * zone maps — never the data). The total row folds from the per-file
+    * frame, not from the base, so the plan is per-file agg → tiny
+    * re-agg.
+    */
+  def q134CowPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perFile = Tables(spark, dir).orders
+      .select(expr("o_orderkey div 512").as("file_id"),
+        to_date($"o_orderdate").between("1996-03-01", "1996-03-07")
+          .cast("long").as("chg"))
+      .groupBy($"file_id")
+      .agg(count(lit(1)).as("n_rows"), sum($"chg").as("n_changed"))
+      .withColumn("rows_rewritten",
+        when($"n_changed" > 0, $"n_rows").otherwise(lit(0L)))
+    val total = perFile.agg(
+      lit(null).cast("long").as("file_id"),
+      sum($"n_rows").as("n_rows"), sum($"n_changed").as("n_changed"),
+      sum($"rows_rewritten").as("rows_rewritten"))
+    perFile.unionByName(total).orderBy($"file_id".asc_nulls_last)
+  }
+
+  val q134Sql: String =
+    """WITH f AS (
+      |  SELECT o_orderkey // 512 AS file_id,
+      |         CASE WHEN CAST(o_orderdate AS DATE)
+      |                BETWEEN DATE '1996-03-01' AND DATE '1996-03-07'
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM orders),
+      |pf AS (
+      |  SELECT file_id, count(*) AS n_rows,
+      |         CAST(sum(chg) AS BIGINT) AS n_changed
+      |  FROM f GROUP BY file_id),
+      |pr AS (
+      |  SELECT file_id, n_rows, n_changed,
+      |         CASE WHEN n_changed > 0 THEN n_rows ELSE 0 END
+      |           AS rows_rewritten
+      |  FROM pf)
+      |SELECT * FROM pr
+      |UNION ALL
+      |SELECT NULL AS file_id, CAST(sum(n_rows) AS BIGINT),
+      |       CAST(sum(n_changed) AS BIGINT),
+      |       CAST(sum(rows_rewritten) AS BIGINT)
+      |FROM pr
+      |ORDER BY file_id NULLS LAST""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q75_zorder_layout", q75ZorderLayout, Some(q75Sql), Seq("X-scale"),
       "Z-order (Morton) clustering key + tile for two-dimensional file skipping"),
     Q("q101_compaction_plan", q101CompactionPlan, Some(q101Sql), Seq("X-scale"),
-      "small-file compaction planner: cumsum bin-packing over the file inventory"))
+      "small-file compaction planner: cumsum bin-packing over the file inventory"),
+    Q("q134_cow_plan", q134CowPlan, Some(q134Sql), Seq("X-scale"),
+      "copy-on-write rewrite planner: per-file change counts + write amplification total"))
 }

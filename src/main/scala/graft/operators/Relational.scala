@@ -1022,7 +1022,60 @@ object Relational {
       |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  /** Per-brand Pareto frontier (skyline): the parts not dominated on
+    * (price, size) within their brand — for every kept part there is no
+    * same-brand part that is both cheaper-or-equal and at-least-as-big
+    * with strict improvement somewhere. The "efficient frontier" cut
+    * behind best-value product pickers and multi-objective pruning.
+    *
+    * Scale shape: the textbook skyline is an all-pairs NOT EXISTS
+    * (the oracle states exactly that — O(n²) per brand). With two
+    * criteria a single sort eliminates the quadratic: order each brand
+    * by price and keep a row iff (a) every STRICTLY cheaper row has a
+    * strictly smaller size (max-size-over-cheaper window) and (b) no
+    * price-peer beats its size (max-size-up-to-here window). Both
+    * windows share one (brand, price) sort — one exchange, one sort,
+    * O(n log n), and brands parallelize across partitions. Equal
+    * (price, size) twins dominate neither direction and both survive,
+    * matching the NOT EXISTS semantics exactly. Money compares in
+    * exact long cents.
+    */
+  def q132Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables(spark, dir).part
+      .select($"p_brand", $"p_partkey",
+        cents($"p_retailprice").as("price_cents"),
+        $"p_size".cast("long").as("size"))
+    val byPrice = Window.partitionBy($"p_brand").orderBy($"price_cents")
+    val cheaper = byPrice.rangeBetween(Window.unboundedPreceding, -1)
+    val upTo = byPrice.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    p.withColumn("best_cheaper", max($"size").over(cheaper))
+      .withColumn("best_up_to", max($"size").over(upTo))
+      .filter(($"best_cheaper".isNull || $"best_cheaper" < $"size") &&
+        $"best_up_to" === $"size")
+      .select($"p_brand", $"p_partkey", $"price_cents", $"size")
+      .orderBy($"p_brand", $"price_cents", $"p_partkey")
+  }
+
+  /** DuckDB twin: the quadratic dominance definition itself. */
+  val q132Sql: String =
+    """WITH p AS (
+      |  SELECT p_brand, p_partkey,
+      |         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |         CAST(p_size AS BIGINT) AS size
+      |  FROM part)
+      |SELECT r.p_brand, r.p_partkey, r.price_cents, r.size
+      |FROM p r
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p q
+      |  WHERE q.p_brand = r.p_brand
+      |    AND q.price_cents <= r.price_cents AND q.size >= r.size
+      |    AND (q.price_cents < r.price_cents OR q.size > r.size))
+      |ORDER BY p_brand, price_cents, p_partkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q132_skyline", q132Skyline, Some(q132Sql), Seq("W1", "X-scale"),
+      "per-brand Pareto frontier: two shared-sort windows replace the O(n²) dominance join"),
     Q("q1_agg", q1Agg, Some(q1Sql), Seq("A1", "A4", "A5", "F1", "F2"),
       "multi-aggregate hash group-by (pricing summary)"),
     Q("q86_bloom_semi_join", q86BloomSemiJoin, Some(q86Sql), Seq("J3", "X-scale"),

@@ -1231,7 +1231,61 @@ object TemporalOps {
       |  END AS n_churned
       |FROM s ORDER BY week""".stripMargin
 
+  /** Incremental materialized-view refresh (delta maintenance): the
+    * per-customer order-book aggregate is maintained as STATE
+    * (everything before the cut date, the last materialization) plus a
+    * DELTA (the new partition), merged algebraically — never by
+    * re-aggregating the base table. (count, sum) is a commutative
+    * monoid, so refreshed state = state ⊕ agg(delta): a full-outer
+    * join of two key-sized relations with coalesce-add, after each
+    * side has already collapsed to |keys| rows. avg is DERIVED from
+    * the merged sums at read time — merging averages directly is the
+    * classic MV bug this operator exists to not have.
+    *
+    * Scale shape: refresh cost is O(|delta| + |state|), independent of
+    * the base table — the whole point at 100 TB, where the base is
+    * historical partitions you never rescan. Both pre-aggregates
+    * shuffle once on the same key, so AQE plans the merge join on
+    * key-sized inputs; in production the state side is the previously
+    * written parquet artifact, here it is derived from the same table
+    * so the full-recompute oracle can pin merge == recompute exactly
+    * (money in long cents; the avg division is performed identically
+    * on both engines from the same exact integers).
+    */
+  def q133ViewDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit("2000-01-01").cast("date")
+    def orderBook(df: DataFrame, nc: String, tc: String): DataFrame =
+      df.groupBy($"o_custkey")
+        .agg(count(lit(1)).as(nc),
+          sum(Relational.cents($"o_totalprice")).as(tc))
+    val orders = Tables(spark, dir).orders
+    val state = orderBook(orders.filter($"o_orderdate" < cut), "n_s", "tc_s")
+    val delta = orderBook(orders.filter($"o_orderdate" >= cut), "n_d", "tc_d")
+    state.join(delta, Seq("o_custkey"), "full_outer")
+      .select($"o_custkey",
+        (coalesce($"n_s", lit(0L)) + coalesce($"n_d", lit(0L))).as("n_orders"),
+        (coalesce($"tc_s", lit(0L)) + coalesce($"tc_d", lit(0L)))
+          .as("total_cents"))
+      .withColumn("avg_dollars",
+        $"total_cents".cast("double") / $"n_orders" / 100.0)
+      .orderBy($"o_custkey")
+  }
+
+  /** DuckDB twin: the full recompute the incremental path must equal. */
+  val q133Sql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / count(*) / 100.0 AS avg_dollars
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q133_view_delta", q133ViewDelta, Some(q133Sql), Seq("X-temporal", "X-scale", "A1"),
+      "incremental MV refresh: state ⊕ agg(delta) merge equals the full recompute"),
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),
       "as-of join composed from union + last-over-window"),
     Q("q129_growth_accounting", q129GrowthAccounting, Some(q129Sql), Seq("X-temporal"),
