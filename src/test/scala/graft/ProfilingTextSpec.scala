@@ -457,18 +457,43 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"))
   }
 
-  test("fuzzy join refuses oversized blocks with a pointer at the LSH path") {
+  test("fuzzy join matches brute force exactly on a dense block (PassJoin losslessness)") {
     import org.apache.spark.sql.functions._
     val dir = TestSpark.scratch("fuzzy-part-big")
-    (1 to 40).map(i => (i.toLong, s"name$i", "B1", 1))
-      .toDF("p_partkey", "p_name", "p_brand", "p_size")
+    // A single 46-name block (the old guard refused >16) mixing clones,
+    // 1–3-char typos, length straddles, and far strings — every segment
+    // slot and shift sign of the PassJoin window gets exercised.
+    val base = Seq("almond antique blue", "midnight linen rose",
+      "goldenrod lace spring", "burnished plum metallic")
+    val names = base.zipWithIndex.flatMap { case (n, bi) =>
+      Seq(n, n, // clones (dist 0)
+        n.replace('a', 'o'), // scattered substitutions
+        n.dropRight(2), // suffix deletions (dist 2)
+        "xy" + n, // prefix insertions (dist 2)
+        n.take(3) + "qqq" + n.drop(6), // mid substitutions (dist 3)
+        s"unrelated string $bi zz", // far
+        n.reverse, // far
+        n.toUpperCase, // far (case = many substitutions)
+        n + " xyz") // suffix insertions (dist 4 — just outside)
+    } ++ Seq("ab", "abc", "abcf", "zzz") // short-path strings
+    val rows = names.zipWithIndex.map { case (n, i) => ((i + 1).toLong, n, "B1", 1) }
+    rows.toDF("p_partkey", "p_name", "p_brand", "p_size")
       .withColumn("p_type", lit("t")).withColumn("p_retailprice", lit(1.0))
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
-    val e = intercept[IllegalArgumentException] {
-      operators.TextOps.fuzzyJoin(spark, dir, maxBlock = 16).count()
-    }
-    assert(e.getMessage.contains("O(block^2)"))
-    assert(e.getMessage.contains("q20"))
+    val got = operators.TextOps.q121FuzzyJoin(spark, dir)
+      .as[(Long, Long, String, String, Long)].collect().toList
+    val p = spark.read.parquet(s"$dir/part.parquet")
+      .select($"p_partkey", $"p_name")
+    val brute = p.toDF("key_a", "name_a")
+      .crossJoin(p.toDF("key_b", "name_b"))
+      .filter($"key_a" < $"key_b" &&
+        levenshtein($"name_a", $"name_b") <= 3)
+      .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+      .select($"key_a", $"key_b", $"name_a", $"name_b", $"dist")
+      .orderBy($"key_a", $"key_b")
+      .as[(Long, Long, String, String, Long)].collect().toList
+    assert(brute.nonEmpty) // fixture actually plants matches
+    assert(got === brute)
   }
 
   test("regression trend recovers an exact planted line per group") {
