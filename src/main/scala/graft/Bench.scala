@@ -27,11 +27,16 @@ object Bench {
     // warm-up outside timing: parquet footers (+ first row group) of
     // every table, then one full query for JIT — so the first timed
     // queries don't pay one-off IO/compile costs the rest never see.
-    // events MUST go through Tables (nanos-timestamp handling).
+    // events MUST go through Tables (nanos-timestamp handling). Each
+    // loader is itself inside the try: `Tables.events` analyzes eagerly
+    // (withColumn), so a schema surprise must degrade to a cold first
+    // query, not kill the whole bench before a single timing is taken.
     val t = Tables(spark, sfDir)
-    Seq(t.region, t.nation, t.customer, t.supplier, t.part, t.orders,
-      t.lineitem, t.events, t.documents, t.embeddings).foreach { df =>
-      try df.limit(1).collect(): Unit
+    Seq[() => org.apache.spark.sql.DataFrame](
+      () => t.region, () => t.nation, () => t.customer, () => t.supplier,
+      () => t.part, () => t.orders, () => t.lineitem, () => t.events,
+      () => t.documents, () => t.embeddings).foreach { mk =>
+      try mk().limit(1).collect(): Unit
       catch { case _: Throwable => () }
     }
     try SparkEntry.queries.head._2(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -81,7 +86,16 @@ object Bench {
     // anything failed (per-query times stay available above)
     val total =
       if (errs.isEmpty) results.map(_._2).sum else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's stdout capture truncates long output (BENCH_r07 lost 70
+    // of 134 per-query numbers that way) — persist the complete line to a
+    // stable path as well, so every round's evidence survives verbatim
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/bench_full.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -21,16 +21,30 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and narrow to microseconds with
-    * integer division (`div` — a double division would lose precision at
-    * 1e18 ns magnitudes).
+  /** events.parquet has shipped with two `ts` encodings across fixture
+    * generations: TIMESTAMP(NANOS) (rejected by Spark's vectorized reader —
+    * read nanos as long via the legacy flag and narrow with integer
+    * division; `div`, not `/`, to keep precision at 1e18 ns magnitudes)
+    * and plain TIMESTAMP(MICROS), which needs no conversion. Branch on the
+    * actual file schema so either generation loads.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // plain TIMESTAMP(MICROS) parquet surfaces as NTZ; present it as
+        // TIMESTAMP (LTZ) like the legacy path did — the session runs in
+        // UTC so the cast is value-preserving, and watermarks/windows in
+        // the streaming twins require LTZ event time
+        raw.withColumn("ts",
+          raw("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -17,8 +17,10 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** The long/nanos-at-rest schema of the events fixture (TIMESTAMP(NANOS)
-    * parquet — read as long, converted in-plan; see graft.Tables.events).
+  /** The long/nanos-at-rest schema of the legacy events fixture
+    * (TIMESTAMP(NANOS) parquet — read as long, converted in-plan; see
+    * graft.Tables.events). Newer fixture generations write plain
+    * TIMESTAMP(MICROS), handled by the second branch of [[readEvents]].
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -28,13 +30,28 @@ object EventsStreaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over a parquet directory of events. */
+  /** Streaming source over a parquet directory of events. Streaming scans
+    * need an explicit schema, so sniff the at-rest `ts` type with a cheap
+    * batch footer read (driver-side metadata only, no data scan) and pick
+    * the matching schema + conversion.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val atRest = spark.read.parquet(dir).schema
+    atRest("ts").dataType match {
+      case LongType =>
+        spark.readStream
+          .schema(eventsRawSchema)
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // NTZ-at-rest: watermarks demand TIMESTAMP (LTZ); the session is
+        // pinned to UTC so the cast is value-preserving
+        spark.readStream
+          .schema(atRest)
+          .parquet(dir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling hourly aggregate per event type with a 1-hour watermark —
