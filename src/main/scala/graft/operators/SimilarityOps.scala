@@ -596,43 +596,20 @@ object SimilarityOps {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  /** Lloyd's k-means over the embedding corpus: k=4, deterministic init
-    * (the k lowest vec_ids), 2 assign/update rounds, final assignment.
-    * The clustering primitive behind corpus bucketing, IVF coarse
-    * quantizer training (q25 consumes exactly this artifact shape), and
-    * diversity-aware sampling.
+  /** Shared Lloyd machinery for q99 (reporting) and q135 (SemDeDup):
+    * quantize to integer millis, deterministic init (the k lowest
+    * vec_ids), 2 assign/update rounds, final assignment. Returns
+    * (final centroids (cid, cq), final assignment (vec_id, eq, cid)).
     *
-    * Scale shape — the textbook broadcast k-means: centroids are k×dim
-    * integers broadcast to every task; assignment is a row-local argmin
-    * over the broadcast (k·N projected rows, no shuffle of the corpus);
-    * the update shuffles only (cid, pos) partial sums — k·dim rows after
-    * map-side combine. Iterations are driver-sequenced (2 here; a real
-    * run loops to movement < ε) but each round's lineage is 2 stages.
-    *
-    * Oracle-parity: the whole iteration is INTEGER arithmetic.
-    * Embeddings quantize once to integer millis, and each round's
-    * centroids snap back to the millis grid (round-half-up of the exact
-    * integer mean, via the engine-portable floor-div identity — BOTH
-    * Spark's `div` and DuckDB's `//` truncate toward zero, so the
-    * non-negative remainder is removed first on both sides, making the
-    * division exact and floor-valued). Distances are then integer sums of squares: order-
-    * independent, no fp summation drift — at sf1 the earlier
-    * double-distance variant flipped ONE near-equidistant vector's
-    * argmin between engines (last-ulp divergence); on the grid that
-    * class of failure cannot exist. Ties break (dist, cid)
-    * lexicographic. Snapping to a 0.001 grid changes centroids by at
-    * most 0.5 millis per coordinate — far below the fixture's
-    * inter-cluster distances (a production run tightens the grid, not
-    * the algorithm).
+    * The quantized corpus is re-read by every assignment round and the
+    * centroid frames by every consumer — localCheckpoint-publish both
+    * (centroids are k rows; the corpus blocks are freed by the
+    * ContextCleaner when the frame drops — q89's pattern) so the
+    * 3-assign/2-update chain is 5 passes, not an exponential re-derive.
     */
-  def q99Kmeans(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def kmeansAssign(spark: SparkSession, dir: String,
+      k: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val k = 4
-    // the quantized corpus is re-read by every assignment round and the
-    // centroid frames by every consumer — localCheckpoint-publish both
-    // (centroids are k rows; the corpus blocks are freed by the
-    // ContextCleaner when the frame drops — q89's pattern) so the
-    // 3-assign/2-update chain is 5 passes, not an exponential re-derive
     val eq = Tables(spark, dir).embeddings
       .select($"vec_id",
         transform($"embedding",
@@ -667,10 +644,45 @@ object SimilarityOps {
     val init = eq.filter($"vec_id" < k)
       .select($"vec_id".as("cid"), $"eq".as("cq"))
     val c2 = update(assign(update(assign(init))))
+    (c2, assign(c2))
+  }
+
+  /** Lloyd's k-means over the embedding corpus: k=4, deterministic init
+    * (the k lowest vec_ids), 2 assign/update rounds, final assignment.
+    * The clustering primitive behind corpus bucketing, IVF coarse
+    * quantizer training (q25 consumes exactly this artifact shape), and
+    * diversity-aware sampling.
+    *
+    * Scale shape — the textbook broadcast k-means: centroids are k×dim
+    * integers broadcast to every task; assignment is a row-local argmin
+    * over the broadcast (k·N projected rows, no shuffle of the corpus);
+    * the update shuffles only (cid, pos) partial sums — k·dim rows after
+    * map-side combine. Iterations are driver-sequenced (2 here; a real
+    * run loops to movement < ε) but each round's lineage is 2 stages.
+    *
+    * Oracle-parity: the whole iteration is INTEGER arithmetic.
+    * Embeddings quantize once to integer millis, and each round's
+    * centroids snap back to the millis grid (round-half-up of the exact
+    * integer mean, via the engine-portable floor-div identity — BOTH
+    * Spark's `div` and DuckDB's `//` truncate toward zero, so the
+    * non-negative remainder is removed first on both sides, making the
+    * division exact and floor-valued). Distances are then integer sums of squares: order-
+    * independent, no fp summation drift — at sf1 the earlier
+    * double-distance variant flipped ONE near-equidistant vector's
+    * argmin between engines (last-ulp divergence); on the grid that
+    * class of failure cannot exist. Ties break (dist, cid)
+    * lexicographic. Snapping to a 0.001 grid changes centroids by at
+    * most 0.5 millis per coordinate — far below the fixture's
+    * inter-cluster distances (a production run tightens the grid, not
+    * the algorithm).
+    */
+  def q99Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (c2, assigned) = kmeansAssign(spark, dir, k = 4)
     val norms = c2.select($"cid",
       round(sqrt(aggregate($"cq", lit(0L), (acc, x) => acc + x * x)
         .cast("double")) / 1000.0, 4).as("centroid_norm"))
-    assign(c2)
+    assigned
       .groupBy($"cid")
       .agg(count(lit(1)).as("n_members"), min($"vec_id").as("rep_vec"))
       .join(norms, Seq("cid"))
@@ -725,6 +737,151 @@ object SimilarityOps {
       |FROM a3 JOIN norms ON a3.cid = norms.cid
       |GROUP BY a3.cid
       |ORDER BY a3.cid""".stripMargin
+
+  /** SemDeDup-style semantic dedup (cluster-then-prune; Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540 — published method, no code
+    * consulted): k-means-partition the embedding corpus, compute pairwise
+    * cosine ONLY within each cluster, and drop every vector that is
+    * ≥ τ-similar to an earlier (lower vec_id) vector of its cluster.
+    * Output: one row per dropped vector with its cluster, the kept
+    * representative (the lowest qualifying vec_id), and the similarity.
+    *
+    * Scale shape — this is the algorithm whose entire point is making
+    * embedding dedup sub-quadratic: k grows with the corpus
+    * (k = clamp(n/128, 4, 4096) here; web-scale runs use ~10⁵ clusters)
+    * so E[cluster size] stays constant and the within-cluster pair join
+    * is O(n · c̄), not O(n²). The pair generation is one shuffle on cid;
+    * the k-means phase is the broadcast-centroid shape documented on
+    * [[kmeansAssign]]. A histogram guard refuses degenerate clusterings
+    * (a runaway cluster would silently reintroduce the quadratic
+    * regime) and points them at the SRP-LSH path (q60) that needs no
+    * clustering — same guard philosophy as q23's block cap.
+    *
+    * Oracle-parity: cluster assignment is exact integer arithmetic
+    * (kmeansAssign); the cosine is computed from integer dot/norm sums
+    * (exact in both engines) with the only fp ops being one cast, two
+    * sqrts, one multiply, one divide — the same IEEE sequence on both
+    * sides, so the τ cut cannot straddle engines. SemDeDup's documented
+    * blind spot — near-dups split across cluster boundaries are never
+    * compared — is inherent to the method, not this implementation.
+    *
+    * τ is corpus-calibrated (the paper tunes it per corpus/dedup budget;
+    * production text embeddings use ~0.95+, the API default is 0.85).
+    * The driver's regenerated random fixture has a flat similarity
+    * spectrum with max pairwise cosine ≈ 0.51, so the REGISTERED query
+    * runs at τ = 0.45 — the spectrum's upper tail — to keep the oracle
+    * hash check exercising real prune decisions instead of an empty set.
+    * True near-dup semantics are pinned by the planted-cluster spec at
+    * the default τ.
+    */
+  def q135SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(spark, dir, tau = 0.45)
+
+  private[graft] def semanticDedup(spark: SparkSession, dir: String,
+      tau: Double = 0.85, maxCluster: Long = 16384L): DataFrame = {
+    import spark.implicits._
+    // corpus-proportional k: one 1-row count at plan-build time (setup,
+    // not per-row work — requireDim's precedent)
+    val n = Tables(spark, dir).embeddings.count()
+    val k = math.min(4096L, math.max(4L, n / 128L)).toInt
+    val (_, assigned) = kmeansAssign(spark, dir, k)
+    val e = assigned
+      .select($"vec_id", $"cid", $"eq",
+        aggregate($"eq", lit(0L), (acc, x) => acc + x * x).as("n2"))
+      .localCheckpoint()
+    val oversized = e.groupBy($"cid").agg(count(lit(1)).as("cn"))
+      .filter($"cn" > maxCluster).take(1)
+    require(oversized.isEmpty, {
+      val r = oversized.head
+      s"cluster ${r.get(0)} holds ${r.get(1)} vectors (> $maxCluster): " +
+        "within-cluster pairwise cosine is O(cluster^2) - raise k or route " +
+        "the corpus through the SRP-LSH path (q60_srp_dedup)"
+    })
+    e.as("a").join(e.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("a.cid").as("cid"),
+        (aggregate(zip_with(col("a.eq"), col("b.eq"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).cast("double") /
+          (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double"))))
+          .as("cos_raw"))
+      .filter($"cos_raw" >= tau)
+      .groupBy($"vb", $"cid")
+      .agg(min(struct($"va", $"cos_raw")).as("m"))
+      .select($"vb".as("vec_id"), $"cid", $"m.va".as("kept_id"),
+        round($"m.cos_raw", 4).as("cos_sim"))
+      .orderBy($"vec_id")
+  }
+
+  /** q99's Lloyd chain with corpus-proportional k, then the within-cluster
+    * pair prune. Same integer grid, same floor-div centroid identity.
+    */
+  val q135Sql: String =
+    """WITH kk AS (
+      |  SELECT LEAST(4096, GREATEST(4, count(*) // 128)) AS k FROM embeddings),
+      |u AS (
+      |  SELECT vec_id,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v,
+      |         generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, pos, v AS cq FROM u
+      |       WHERE vec_id < (SELECT k FROM kk)),
+      |d1 AS (SELECT u.vec_id, c0.cid,
+      |              CAST(sum((u.v - c0.cq) * (u.v - c0.cq)) AS BIGINT) AS dist
+      |       FROM u JOIN c0 USING (pos) GROUP BY u.vec_id, c0.cid),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.cid, u.pos,
+      |              (2*sum(u.v) + count(*)
+      |               - (((2*sum(u.v) + count(*)) % (2*count(*)) + 2*count(*))
+      |                  % (2*count(*)))) // (2*count(*)) AS cq
+      |       FROM u JOIN a1 USING (vec_id) GROUP BY a1.cid, u.pos),
+      |d2 AS (SELECT u.vec_id, c1.cid,
+      |              CAST(sum((u.v - c1.cq) * (u.v - c1.cq)) AS BIGINT) AS dist
+      |       FROM u JOIN c1 USING (pos) GROUP BY u.vec_id, c1.cid),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |         FROM d2) WHERE rn = 1),
+      |c2 AS (SELECT a2.cid, u.pos,
+      |              (2*sum(u.v) + count(*)
+      |               - (((2*sum(u.v) + count(*)) % (2*count(*)) + 2*count(*))
+      |                  % (2*count(*)))) // (2*count(*)) AS cq
+      |       FROM u JOIN a2 USING (vec_id) GROUP BY a2.cid, u.pos),
+      |d3 AS (SELECT u.vec_id, c2.cid,
+      |              CAST(sum((u.v - c2.cq) * (u.v - c2.cq)) AS BIGINT) AS dist
+      |       FROM u JOIN c2 USING (pos) GROUP BY u.vec_id, c2.cid),
+      |a3 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |         FROM d3) WHERE rn = 1),
+      |vn AS (SELECT u.vec_id, a3.cid,
+      |              CAST(sum(u.v * u.v) AS BIGINT) AS n2
+      |       FROM u JOIN a3 USING (vec_id) GROUP BY u.vec_id, a3.cid),
+      |pr AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cid,
+      |              CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
+      |              max(a.n2) AS na2, max(b.n2) AS nb2
+      |       FROM vn a JOIN vn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |       JOIN u ua ON ua.vec_id = a.vec_id
+      |       JOIN u ub ON ub.vec_id = b.vec_id AND ua.pos = ub.pos
+      |       GROUP BY a.vec_id, b.vec_id, a.cid),
+      |qual AS (SELECT va, vb, cid,
+      |                CAST(dot AS DOUBLE) /
+      |                  (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+      |                  AS cos_raw
+      |         FROM pr
+      |         WHERE CAST(dot AS DOUBLE) /
+      |                 (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+      |               >= CAST('0.45' AS DOUBLE)),
+      |dr AS (SELECT vb AS vec_id, cid, va, cos_raw,
+      |              row_number() OVER (PARTITION BY vb ORDER BY va) AS rn
+      |       FROM qual)
+      |SELECT vec_id, cid, va AS kept_id, round(cos_raw, 4) AS cos_sim
+      |FROM dr WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
 
   /** Filtered vector search: ANN under a metadata predicate — the
     * production vector-retrieval shape (a RAG query is never "nearest
@@ -879,6 +1036,8 @@ object SimilarityOps {
       "hybrid keyword+vector retrieval fused with integer reciprocal-rank fusion"),
     Q("q99_kmeans", q99Kmeans, Some(q99Sql), Seq("X-sim", "X-scale"),
       "broadcast k-means: deterministic init, 2 Lloyd rounds, exact-integer updates"),
+    Q("q135_semantic_dedup", q135SemanticDedup, Some(q135Sql), Seq("X-dedup", "X-sim", "X-scale"),
+      "SemDeDup: corpus-proportional k-means partition, within-cluster cosine prune"),
     Q("q24_ann_brute", q24AnnBrute, Some(q24Sql), Seq("X-sim"),
       "brute-force cosine top-k (exact baseline)"),
     Q("q25_ann_ivf", q25AnnIvf, Some(q25Sql), Seq("X-sim"),

@@ -506,4 +506,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(String, String, Long, Long, Long, Double)].collect().toList
     assert(out === List(("A", "B", 1L, 2L, 1L, 0.5)))
   }
+
+  test("semantic dedup prunes within-cluster near-dups, keeps distinct cluster members") {
+    val dir = TestSpark.scratch("semdedup-emb")
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // four well-separated cluster anchors are the k-means seeds (ids 0–3);
+    // planted semantics: 8/9 exact copies of 0; 10 exact copy of 1;
+    // 11 near-dup of 1 at cos ≈ 0.950; 12/13 share 2's/3's cluster but sit
+    // at cos ≈ 0.815 (below the 0.85 default τ — must survive); 14/15 are
+    // an identical off-seed pair that co-clusters wherever it lands
+    val e0 = v(10, 0, 0, 0, 1, 0, 0, 0)
+    val e1 = v(0, 10, 0, 0, 0, 1, 0, 0)
+    val e2 = v(0, 0, 10, 0, 0, 0, 1, 0)
+    val e3 = v(0, 0, 0, 10, 0, 0, 0, 1)
+    val near1 = v(0, 10, 0, 0, 0, 1, 3.3, 0) // cos(e1, near1) ≈ 0.9500
+    val far2 = v(0, 0, 10, 0, 7, 0, 0, 0) // cos(e2, far2) ≈ 0.815
+    val far3 = v(0, 0, 0, 10, 0, 7, 0, 0) // cos(e3, far3) ≈ 0.815
+    val mid = v(5, 5, 5, 5, 0, 0, 0, 0)
+    val rows = Seq(
+      (0L, e0, 0), (1L, e1, 1), (2L, e2, 2), (3L, e3, 3),
+      (8L, e0, 0), (9L, e0, 0), (10L, e1, 1), (11L, near1, 1),
+      (12L, far2, 2), (13L, far3, 3), (14L, mid, 0), (15L, mid, 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = operators.SimilarityOps.semanticDedup(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toList
+    // (dropped, kept) pairs: exact copies drop to their group minimum, the
+    // 0.95 near-dup drops to its anchor, the 0.815 members survive
+    assert(out.map(r => (r._1, r._3)) ===
+      List((8L, 0L), (9L, 0L), (10L, 1L), (11L, 1L), (15L, 14L)))
+    val exact = out.filter(r => Set(8L, 9L, 10L, 15L).contains(r._1))
+    assert(exact.forall(_._4 == 1.0))
+    val cos11 = out.find(_._1 == 11L).get._4
+    assert(cos11 > 0.94 && cos11 < 0.96)
+  }
 }
