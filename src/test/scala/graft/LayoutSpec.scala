@@ -97,4 +97,30 @@ class LayoutSpec extends AnyFunSuite {
       ("a", 3L, 1L, 5000L, 5L, 5L),
       ("b", 0L, 1L, 100L, 6L, 6L)))
   }
+
+  test("copy-on-write planner: touched files rewrite whole, total row sums the amplification") {
+    val dir = TestSpark.scratch("cow-orders")
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // file 0 (keys < 512): one changed row drags all 3 into the rewrite;
+    // file 1 (512..1023): untouched → rewrites nothing; file 2 (1024..):
+    // a 1-row file fully rewritten. Week boundary dates are inclusive.
+    Seq(
+      (1L, d("1996-03-01")), (2L, d("1995-01-01")), (3L, d("1997-12-31")),
+      (512L, d("1995-06-01")), (513L, d("1996-03-08")), // day AFTER the window
+      (514L, d("1996-02-29")), (515L, d("1994-01-01")), // day BEFORE the window
+      (1024L, d("1996-03-07"))) // last day, inclusive
+      .toDF("o_orderkey", "o_orderdate")
+      .withColumn("o_custkey", lit(1L))
+      .withColumn("o_totalprice", lit(1.0))
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = LayoutOps.q134CowPlan(spark, dir)
+      .as[(Option[Long], Long, Long, Long)].collect().toList
+    assert(out === List(
+      (Some(0L), 3L, 1L, 3L),
+      (Some(1L), 4L, 0L, 0L),
+      (Some(2L), 1L, 1L, 1L),
+      (None, 8L, 2L, 4L))) // write amplification: 4 rewritten / 2 changed
+  }
 }

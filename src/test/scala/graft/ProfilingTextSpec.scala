@@ -542,4 +542,28 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(out.map(_._3).distinct.size === 1)
     assert(out.forall(_._2 === "caf\u00e9 latte".length))
   }
+
+  test("k-anonymity ladder: planted risky combos, strict-< boundary at the ladder rung") {
+    import org.apache.spark.sql.functions.lit
+    val dir = TestSpark.scratch("kanon-customer")
+    // planted QI combo sizes: 1, 3, 7, 25, and EXACTLY 5 \u2014 the k=5 rung
+    // must NOT count the 5-member combo (n < k is strict), the k=10 rung
+    // must; 25 is risky only at k=50
+    val sizes = Seq((1, "A", 1), (1, "B", 3), (2, "A", 7), (2, "B", 25), (3, "C", 5))
+    val rows = for {
+      ((nat, seg, n), g) <- sizes.zipWithIndex
+      i <- 0 until n
+    } yield ((g * 100 + i).toLong, s"c$g-$i", nat, seg)
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      .withColumn("c_acctbal", lit(0.0))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = Profiling.q131KAnonymity(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(out === List(
+      (2L, 1L, 1L, 1L),
+      (5L, 2L, 4L, 1L),
+      (10L, 4L, 16L, 1L),
+      (20L, 4L, 16L, 1L),
+      (50L, 5L, 41L, 1L)))
+  }
 }

@@ -306,4 +306,26 @@ class RelationalSpec extends AnyFunSuite {
     val p = plan(Relational.q120Unpivot(spark, sf))
     assert(p.contains("Expand"))
   }
+
+  test("skyline keeps the planted frontier, drops dominated parts, keeps equal twins") {
+    val dir = TestSpark.scratch("skyline-part")
+    // brand B1: pk6 cheapest frontier point; pk1/pk5 equal (price, size)
+    // twins — dominate neither direction, both must survive; pk2 dominated
+    // by pk1 (cheaper AND bigger); pk3 frontier (pays more for more size);
+    // pk4 dominated by pk3 (same size, strictly cheaper exists)
+    Seq(
+      (1L, "B1", 5, 10.00), (2L, "B1", 4, 20.00), (3L, "B1", 9, 20.00),
+      (4L, "B1", 9, 30.00), (5L, "B1", 5, 10.00), (6L, "B1", 1, 5.00),
+      (7L, "B2", 1, 100.00)) // singleton brand is its own frontier
+      .toDF("p_partkey", "p_brand", "p_size", "p_retailprice")
+      .withColumn("p_name", lit("n")).withColumn("p_type", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = Relational.q132Skyline(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(out === List(
+      ("B1", 6L, 500L, 1L),
+      ("B1", 1L, 1000L, 5L), ("B1", 5L, 1000L, 5L),
+      ("B1", 3L, 2000L, 9L),
+      ("B2", 7L, 10000L, 1L)))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{count, lit, sum}
 import graft.operators.TemporalOps
 
 /** Edge semantics of the composed as-of join: equal-timestamp inclusion,
@@ -377,5 +377,38 @@ class TemporalSpec extends AnyFunSuite {
       (2L, 40000L, d(2), 2L),
       (3L, 50000L, d(1), 1L),
       (4L, 70000L, d(1), 2L)))
+  }
+
+  test("incremental MV refresh equals the full recompute on a hand-built delta") {
+    val dir = TestSpark.scratch("viewdelta-orders")
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // cust 1 straddles the 2000-01-01 cut (2 state + 1 delta orders),
+    // cust 2 is state-only, cust 3 is delta-only — the three merge arms
+    // (add, state-side null, delta-side null) all exercised
+    Seq(
+      (1L, 1L, d("1999-06-01"), 10.00), (2L, 1L, d("1999-07-01"), 20.00),
+      (3L, 1L, d("2000-02-01"), 5.50),
+      (4L, 2L, d("1998-01-01"), 7.25),
+      (5L, 3L, d("2000-03-01"), 100.01), (6L, 3L, d("2000-04-01"), 100.01))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = TemporalOps.q133ViewDelta(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out === List(
+      (1L, 3L, 3550L, 3550.0 / 3 / 100.0),
+      (2L, 1L, 725L, 7.25),
+      (3L, 2L, 20002L, 100.01)))
+    // delta-vs-recompute: the merged state must equal a one-shot groupBy
+    // over the same table, bit for bit
+    val recompute = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(graft.operators.Relational.cents($"o_totalprice")).as("total_cents"))
+      .withColumn("avg_dollars", $"total_cents".cast("double") / $"n_orders" / 100.0)
+      .orderBy($"o_custkey")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out === recompute)
   }
 }
