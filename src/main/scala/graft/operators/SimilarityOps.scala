@@ -616,12 +616,14 @@ object SimilarityOps {
           x => round(x.cast("double") * 1000).cast("long")).as("eq"))
       .localCheckpoint()
 
+    // the N×k distance kernel runs as the native codegen'd SqDistI64 —
+    // long addition is associative/exact, so this is bit-identical to
+    // the zip_with/aggregate fold it replaces, which evaluated an
+    // interpreted lambda per element and dominated the sf1 runtime
     def assign(cents: DataFrame): DataFrame =
       eq.crossJoin(broadcast(cents))
         .select($"vec_id", $"eq", $"cid",
-          aggregate(
-            zip_with($"eq", $"cq", (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("dist"))
+          graft.plans.FloatVectorExpressions.sqDistI64($"eq", $"cq").as("dist"))
         .groupBy($"vec_id", $"eq")
         .agg(min(struct($"dist", $"cid")).as("m"))
         .select($"vec_id", $"eq", $"m.cid".as("cid"))
@@ -788,7 +790,7 @@ object SimilarityOps {
     val (_, assigned) = kmeansAssign(spark, dir, k)
     val e = assigned
       .select($"vec_id", $"cid", $"eq",
-        aggregate($"eq", lit(0L), (acc, x) => acc + x * x).as("n2"))
+        graft.plans.FloatVectorExpressions.normSqI64($"eq").as("n2"))
       .localCheckpoint()
     val oversized = e.groupBy($"cid").agg(count(lit(1)).as("cn"))
       .filter($"cn" > maxCluster).take(1)
@@ -802,8 +804,8 @@ object SimilarityOps {
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         col("a.cid").as("cid"),
-        (aggregate(zip_with(col("a.eq"), col("b.eq"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).cast("double") /
+        (graft.plans.FloatVectorExpressions.dotI64(col("a.eq"), col("b.eq"))
+          .cast("double") /
           (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double"))))
           .as("cos_raw"))
       .filter($"cos_raw" >= tau)

@@ -155,10 +155,147 @@ object FloatVectorExpressions {
     override protected def withNewChildInternal(c: Expression): NormSqF32 = copy(child = c)
   }
 
+  /** The integer twins, for the exact-integer (quantized-millis) vector
+    * paths — k-means assignment and the SemDeDup pair cosine, where the
+    * interpreted zip_with/aggregate fold was the dominant N×k cost (the
+    * q135 sf1 run spent ~100 of 103 seconds in it). Long addition is
+    * associative and exact, so these are bit-identical to the
+    * higher-order folds AND to the DuckDB oracle's integer sums —
+    * unlike the fp family there is not even an ordering contract to
+    * preserve.
+    */
+  private def requireLongArray(name: String, types: DataType*): TypeCheckResult =
+    if (types.forall { case ArrayType(LongType, _) => true; case _ => false })
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<bigint> inputs, got ${types.map(_.sql).mkString(", ")}")
+
+  /** Σ xᵢ·yᵢ over two array<bigint> columns (length = min of the two). */
+  case class DotI64(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "dot_i64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongArray(prettyName, left.dataType, right.dataType)
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getLong($i) * $b.getLong($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotI64 =
+      copy(left = l, right = r)
+  }
+
+  /** Σ (xᵢ−yᵢ)² over two array<bigint> columns — the k-means assignment
+    * kernel (N×k evaluations per round).
+    */
+  case class SqDistI64(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sq_dist_i64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongArray(prettyName, left.dataType, right.dataType)
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) { val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $d = $a.getLong($i) - $b.getLong($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistI64 =
+      copy(left = l, right = r)
+  }
+
+  /** Σ xᵢ² over an array<bigint> column. */
+  case class NormSqI64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "norm_sq_i64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongArray(prettyName, child.dataType)
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var s = 0L
+      var i = 0
+      while (i < n) { val x = a.getLong(i); s += x * x; i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val x = ctx.freshName("x")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = $a.numElements();
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $x = $a.getLong($i);
+           |  $acc += $x * $x;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): NormSqI64 = copy(child = c)
+  }
+
   def dotF32(x: Column, y: Column): Column =
     ColumnBridge.column(DotF32(ColumnBridge.expression(x), ColumnBridge.expression(y)))
   def normSqF32(x: Column): Column =
     ColumnBridge.column(NormSqF32(ColumnBridge.expression(x)))
   def sqDistF32(x: Column, y: Column): Column =
     ColumnBridge.column(SqDistF32(ColumnBridge.expression(x), ColumnBridge.expression(y)))
+  def dotI64(x: Column, y: Column): Column =
+    ColumnBridge.column(DotI64(ColumnBridge.expression(x), ColumnBridge.expression(y)))
+  def normSqI64(x: Column): Column =
+    ColumnBridge.column(NormSqI64(ColumnBridge.expression(x)))
+  def sqDistI64(x: Column, y: Column): Column =
+    ColumnBridge.column(SqDistI64(ColumnBridge.expression(x), ColumnBridge.expression(y)))
 }
