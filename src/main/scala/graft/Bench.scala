@@ -95,6 +95,12 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_full.json"),
         (line + "\n").getBytes("UTF-8"))
+      // sf-suffixed copy so a later run at another SF doesn't clobber
+      // this one's evidence (subset runs at other SFs did exactly that)
+      val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"target/bench_full-$sfTag.json"),
+        (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)

@@ -606,6 +606,10 @@ object SimilarityOps {
     * (centroids are k rows; the corpus blocks are freed by the
     * ContextCleaner when the frame drops — q89's pattern) so the
     * 3-assign/2-update chain is 5 passes, not an exponential re-derive.
+    * Each assignment round collects the k centroids to the driver and
+    * evaluates a single codegen'd argmin kernel per row (see `assign`
+    * below) — the broadcast-k-means shape, with the broadcast realized
+    * as a literal.
     */
   private[graft] def kmeansAssign(spark: SparkSession, dir: String,
       k: Int): (DataFrame, DataFrame) = {
@@ -616,17 +620,25 @@ object SimilarityOps {
           x => round(x.cast("double") * 1000).cast("long")).as("eq"))
       .localCheckpoint()
 
-    // the N×k distance kernel runs as the native codegen'd SqDistI64 —
-    // long addition is associative/exact, so this is bit-identical to
-    // the zip_with/aggregate fold it replaces, which evaluated an
-    // interpreted lambda per element and dominated the sf1 runtime
-    def assign(cents: DataFrame): DataFrame =
-      eq.crossJoin(broadcast(cents))
-        .select($"vec_id", $"eq", $"cid",
-          graft.plans.FloatVectorExpressions.sqDistI64($"eq", $"cq").as("dist"))
-        .groupBy($"vec_id", $"eq")
-        .agg(min(struct($"dist", $"cid")).as("m"))
-        .select($"vec_id", $"eq", $"m.cid".as("cid"))
+    // assignment: centroids collect to the driver (k·dim longs, ≤ 2 MB
+    // at the k = 4096 cap — the MLlib broadcast-k-means contract, same
+    // class as the PQ codebook literals) and ride into ONE codegen'd
+    // argmin kernel as a row-major literal matrix. One row-local
+    // projection, no join: the earlier crossJoin-against-centroids form
+    // materialized N·k rows each dragging the dim-long array (765s at
+    // sf10); this is the same exact integer arithmetic — strict-<
+    // first-min over cid-sorted rows IS the (dist, cid) lexicographic
+    // tie-break — in a tight flat loop.
+    def assign(cents: DataFrame): DataFrame = {
+      val rows = cents.select($"cid", $"cq").collect()
+        .sortBy(_.getLong(0))
+      val cids = rows.map(_.getLong(0))
+      val flat = rows.flatMap(_.getSeq[Long](1))
+      eq.select($"vec_id", $"eq",
+        element_at(lit(cids),
+          graft.plans.FloatVectorExpressions.argMinSqDistI64($"eq", lit(flat))
+            + 1).as("cid"))
+    }
 
     // nearest-integer (half-up) of the exact mean S/n, all integer:
     // floor((2S + n) / (2n)) — the remainder reduction makes Spark's

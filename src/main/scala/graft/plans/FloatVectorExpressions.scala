@@ -249,6 +249,86 @@ object FloatVectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** argmin over a centroid matrix: for a vector v (array<bigint>, dim d)
+    * and a row-major flattened matrix of k centroids (array<bigint>,
+    * length k·d), returns the 0-based index of the centroid with the
+    * smallest Σ(vᵢ−cᵢ)². Strict `<` keeps the FIRST minimum, so with
+    * centroid rows sorted by cid the result reproduces the
+    * min-on-(dist, cid) struct exactly.
+    *
+    * This is the k-means assignment kernel. The matrix rides in as a
+    * LITERAL (centroids are collected to the driver each round — k·d
+    * longs, ≤ 2 MB at the k = 4096 cap; the same contract as MLlib's
+    * broadcast k-means and the PQ codebook literals), so assignment is
+    * ONE row-local projection. The crossJoin-against-centroids form it
+    * replaces materialized N·k intermediate rows each dragging the
+    * d-long array — 765s for the sf10 point; this kernel does the same
+    * arithmetic inside one codegen'd double loop over flat primitives.
+    */
+  case class ArgMinSqDistI64(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "argmin_sq_dist_i64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongArray(prettyName, left.dataType, right.dataType)
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val v = l.asInstanceOf[ArrayData]
+      val m = r.asInstanceOf[ArrayData]
+      val d = v.numElements()
+      if (d == 0) 0
+      else {
+        val k = m.numElements() / d
+        var best = Long.MaxValue
+        var bi = 0
+        var j = 0
+        while (j < k) {
+          var s = 0L
+          var i = 0
+          val base = j * d
+          while (i < d) { val df = v.getLong(i) - m.getLong(base + i); s += df * df; i += 1 }
+          if (s < best) { best = s; bi = j }
+          j += 1
+        }
+        bi
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, m) => {
+        val d = ctx.freshName("d")
+        val k = ctx.freshName("k")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val s = ctx.freshName("s")
+        val df = ctx.freshName("df")
+        val base = ctx.freshName("base")
+        val best = ctx.freshName("best")
+        val bi = ctx.freshName("bi")
+        s"""
+           |int $d = $v.numElements();
+           |int $bi = 0;
+           |if ($d > 0) {
+           |  int $k = $m.numElements() / $d;
+           |  long $best = Long.MAX_VALUE;
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    long $s = 0L;
+           |    int $base = $j * $d;
+           |    for (int $i = 0; $i < $d; $i++) {
+           |      long $df = $v.getLong($i) - $m.getLong($base + $i);
+           |      $s += $df * $df;
+           |    }
+           |    if ($s < $best) { $best = $s; $bi = $j; }
+           |  }
+           |}
+           |${ev.value} = $bi;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgMinSqDistI64 =
+      copy(left = l, right = r)
+  }
+
   /** Σ xᵢ² over an array<bigint> column. */
   case class NormSqI64(child: Expression)
       extends UnaryExpression {
@@ -298,4 +378,6 @@ object FloatVectorExpressions {
     ColumnBridge.column(NormSqI64(ColumnBridge.expression(x)))
   def sqDistI64(x: Column, y: Column): Column =
     ColumnBridge.column(SqDistI64(ColumnBridge.expression(x), ColumnBridge.expression(y)))
+  def argMinSqDistI64(v: Column, mat: Column): Column =
+    ColumnBridge.column(ArgMinSqDistI64(ColumnBridge.expression(v), ColumnBridge.expression(mat)))
 }
