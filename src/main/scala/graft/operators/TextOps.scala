@@ -662,7 +662,8 @@ object TextOps {
     * O(distinct names) and every remaining quadratic term is pure
     * OUTPUT volume (the pairs themselves), inherent to the operator,
     * not planning waste. No pre-flight guard remains: there is no
-    * quadratic regime left to refuse.
+    * quadratic SEARCH regime left to refuse — the clone-pair output is
+    * still quadratic in clone-group size, because that is the answer.
     */
   def q121FuzzyJoin(spark: SparkSession, dir: String): DataFrame =
     fuzzyJoin(spark, dir)
