@@ -14,10 +14,11 @@ import org.apache.spark.sql.graft.FunctionBridge
   * call sites.
   */
 object RewriteSelfDot extends Rule[LogicalPlan] {
-  import FloatVectorExpressions.{DotF32, NormSqF32}
+  import FloatVectorExpressions.{DotF32, DotI64, NormSqF32, NormSqI64}
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case DotF32(l, r) if l.semanticEquals(r) && l.deterministic => NormSqF32(l)
+      case DotI64(l, r) if l.semanticEquals(r) && l.deterministic => NormSqI64(l)
     }
 }
 
@@ -45,6 +46,18 @@ object GraftExtensions {
     ("sq_dist_f32",
       es => FloatVectorExpressions.SqDistF32(es(0), es(1)),
       "sq_dist_f32(x, y) - ordered-fold squared L2 distance over two array<float> columns"),
+    ("dot_i64",
+      es => FloatVectorExpressions.DotI64(es(0), es(1)),
+      "dot_i64(x, y) - exact integer dot product over two array<bigint> columns"),
+    ("norm_sq_i64",
+      es => FloatVectorExpressions.NormSqI64(es.head),
+      "norm_sq_i64(x) - exact integer squared L2 norm of an array<bigint> column"),
+    ("sq_dist_i64",
+      es => FloatVectorExpressions.SqDistI64(es(0), es(1)),
+      "sq_dist_i64(x, y) - exact integer squared L2 distance over two array<bigint> columns"),
+    ("argmin_sq_dist_i64",
+      es => FloatVectorExpressions.ArgMinSqDistI64(es(0), es(1)),
+      "argmin_sq_dist_i64(v, mat) - index of the nearest row of a flattened row-major array<bigint> centroid matrix"),
     ("word_trigrams",
       es => TextExpressions.WordTrigrams(es.head),
       "word_trigrams(s) - overlapping word 3-grams of a single-space-separated string"),

@@ -86,4 +86,22 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("k-means assignment plans join-free: no nested-loop centroid cross join") {
+    // the sf10 regression this pins: assignment once crossJoined the
+    // corpus against the centroid frame (plans as BNLJ, materializes
+    // N·k rows). The literal-matrix argmin kernel must keep the whole
+    // q99 chain free of nested-loop joins; q99's only join is the
+    // k-row centroid-norm attach.
+    val plan = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        operators.SimilarityOps.q99Kmeans(spark, TestSpark.sf).explain("formatted")
+      }
+      out.toString
+    }
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("argmin_sq_dist_i64"), plan.take(3000))
+  }
 }

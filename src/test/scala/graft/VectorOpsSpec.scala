@@ -116,4 +116,57 @@ class VectorOpsSpec extends AnyFunSuite {
       .head().isNullAt(0)
     assert(z)
   }
+
+  test("integer kernels match their higher-order folds exactly and codegen fused") {
+    import graft.plans.FloatVectorExpressions._
+    val df = Seq((Seq(3L, -4L, 5L), Seq(-1L, 2L, 7L))).toDF("x", "y")
+    def oneL(c: org.apache.spark.sql.Column): Long =
+      df.select(c.as("v")).as[Long].head()
+    assert(oneL(dotI64(col("x"), col("y"))) == (-3L - 8L + 35L))
+    assert(oneL(normSqI64(col("x"))) == (9L + 16L + 25L))
+    assert(oneL(sqDistI64(col("x"), col("y"))) == (16L + 36L + 4L))
+    // parity with the interpreted fold (associative long sums — exact)
+    val hof = oneL(aggregate(
+      zip_with(col("x"), col("y"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, d) => acc + d))
+    assert(oneL(sqDistI64(col("x"), col("y"))) == hof)
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val fused = df.select((dotI64(col("x"), col("y"))
+        + sqDistI64(col("x"), col("y")) + normSqI64(col("y"))).as("v"))
+        .as[Long].head()
+      assert(fused == 24L + 56L + (1L + 4L + 49L))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("argmin kernel picks the nearest centroid row, first on ties") {
+    import graft.plans.FloatVectorExpressions._
+    // matrix rows: [0,0], [3,4], [1,1] — v=[1,1] is exactly row 2;
+    // v=[2,2] ties rows 1? no: d([2,2],[0,0])=8, d([2,2],[3,4])=5,
+    // d([2,2],[1,1])=2 → row 2. Tie case: rows [0,0] and [0,0] dup —
+    // first wins.
+    val m = Seq(0L, 0L, 3L, 4L, 1L, 1L)
+    def arg(v: Seq[Long], mat: Seq[Long]): Int =
+      Seq(Tuple1(v)).toDF("v")
+        .select(argMinSqDistI64(col("v"), lit(mat.toArray)).as("i"))
+        .as[Int].head()
+    assert(arg(Seq(1L, 1L), m) == 2)
+    assert(arg(Seq(3L, 3L), m) == 1)
+    assert(arg(Seq(0L, 0L), Seq(0L, 0L, 0L, 0L)) == 0) // tie → first row
+    // empty vector degenerates to 0, not a crash
+    assert(arg(Seq.empty[Long], m) == 0)
+  }
+
+  test("SQL surface: the i64 family registers; self-dot rewrites to norm") {
+    graft.plans.GraftExtensions.registerRuntime(spark)
+    val row = spark.sql(
+      """SELECT dot_i64(array(2L, 3L), array(4L, 5L)) AS d,
+        |       norm_sq_i64(array(3L, 4L)) AS n,
+        |       sq_dist_i64(array(1L, 2L), array(4L, 6L)) AS s,
+        |       argmin_sq_dist_i64(array(5L, 5L), array(0L, 0L, 5L, 5L)) AS a
+        |""".stripMargin)
+      .as[(Long, Long, Long, Int)].head()
+    assert(row == ((23L, 25L, 25L, 1)))
+  }
 }
