@@ -223,7 +223,9 @@ object SimilarityOps {
       |ORDER BY dot / (ne * nq) DESC, vec_id
       |LIMIT 10""".stripMargin
 
-  /** Embedding near-dup: pairs within the same cell with cosine ≥ 0.92.
+  /** Embedding near-dup: pairs within the same cell with cosine ≥ τ
+    * (API default 0.92 — the dup regime; the REGISTERED query runs the
+    * fixture-calibrated τ, see [[q23EmbedNearDup]]).
     * The label blocking bounds pair count; per-pair work is one native
     * dot product (norms precomputed per row). The ≥ cut happens on the
     * pre-round double (portable across engines).
@@ -237,10 +239,16 @@ object SimilarityOps {
     * silently running a quadratic stage.
     */
   def q23EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
-    embedNearDup(spark, dir)
+    // τ is fixture-calibrated (q135's convention): the regenerated
+    // driver embeddings have no planted near-identical pairs (max
+    // pairwise cosine ≈ 0.51, within-label ≈ 0.475), so the registered
+    // query cuts at the within-label spectrum's upper tail to keep the
+    // oracle hash exercising real pair decisions; the planted spec
+    // pins dup semantics at the 0.92 API default.
+    embedNearDup(spark, dir, tau = 0.4)
 
   private[graft] def embedNearDup(spark: SparkSession, dir: String,
-      maxBlock: Int = 4096): DataFrame = {
+      maxBlock: Int = 4096, tau: Double = 0.92): DataFrame = {
     import spark.implicits._
     val e = withNorm(spark, dir)
     val oversized = e.groupBy($"label").agg(count(lit(1)).as("n"))
@@ -256,7 +264,7 @@ object SimilarityOps {
       .select(
         $"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         (VectorOps.dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cos_raw"))
-      .filter($"cos_raw" >= 0.92)
+      .filter($"cos_raw" >= tau)
       .select($"vec_a", $"vec_b", round($"cos_raw", 4).as("cos_sim"))
       .orderBy($"vec_a", $"vec_b")
   }
@@ -273,7 +281,7 @@ object SimilarityOps {
       |             sqrt(sum(y * y)) AS nb
       |      FROM u GROUP BY vec_a, vec_b)
       |SELECT vec_a, vec_b, round(dot / (na * nb), 4) AS cos_sim
-      |FROM s WHERE dot / (na * nb) >= 0.92
+      |FROM s WHERE dot / (na * nb) >= CAST('0.4' AS DOUBLE)
       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Product quantization geometry: the 64-dim space splits into M=8
@@ -553,6 +561,17 @@ object SimilarityOps {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** q60 keeps its τ = 0.99 duplicate-detection regime even though the
+    * regenerated fixture has no near-identical pairs (max cosine
+    * ≈ 0.51): SRP banding's recall contract is calibrated to that
+    * regime ((1 − θ/π)^bandBits collision probability collapses at
+    * loose thresholds), so chasing a fixture-calibrated τ would be
+    * dishonest about what the operator recalls. On this corpus the
+    * registered query is therefore the NEGATIVE control — both engines
+    * must agree the dup set is exactly empty through the same
+    * bucketing — and the planted DedupSimilaritySpec fixture pins the
+    * positive recall (finds exactly the planted ~0.99-cosine copies).
+    */
   def q60SrpDedup(spark: SparkSession, dir: String): DataFrame =
     srpDedup(Tables(spark, dir).embeddings, threshold = 0.99)
 
