@@ -88,6 +88,39 @@ object DedupOps {
       .select(col("doc_id"),
         explode(graft.plans.TextExpressions.wordTrigrams(col("text"))).as("s"))
 
+  /** Sized shared-rare-shingle pair frame (doc_a, doc_b, n_a, n_b, inter)
+    * from a shingled frame — the one-shuffle inverted-index core shared by
+    * the Jaccard (q20) and containment (q136) pair queries. The posting
+    * stream carries each doc's full set size alongside the shingle, so
+    * pair rows come out of the combination explode ALREADY sized — no
+    * join back to a per-doc counts frame. The df cap is enforced INSIDE
+    * the collection (functions.BoundedCollect): a group past the cap
+    * would be discarded by the df filter anyway, so the aggregate keeps
+    * ≤ cap+1 postings per shingle and finishes overflowed groups as null.
+    * One by-shingle shuffle total, per-group state capped at every stage —
+    * a stop-shingle in millions of docs ships ≤ cap+1 rows per map task.
+    */
+  private[graft] def sizedPairs(sh: DataFrame, dfCap: Int): DataFrame = {
+    import sh.sparkSession.implicits._
+    val postN = sh.select(
+      $"doc_id", size($"shingles").cast("long").as("n_sh"),
+      explode($"shingles").as("s"))
+    // position order downstream is doc_id order (finish sorts), so
+    // i < j keeps doc_a < doc_b by construction
+    postN
+      .groupBy($"s")
+      .agg(graft.functions.BoundedCollect
+        .boundedPostings($"doc_id", $"n_sh", dfCap).as("ds"))
+      .filter($"ds".isNotNull)
+      .select(posexplode($"ds").as(Seq("i", "a")), $"ds")
+      .select($"i", $"a", posexplode($"ds").as(Seq("j", "b")))
+      .filter($"i" < $"j")
+      .groupBy(
+        $"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.n_sh".as("n_a"), $"b.n_sh".as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
   private[graft] def shingledFrom(docs: DataFrame): DataFrame =
     docs
       .filter(wordsGe3(col("text")))
@@ -164,38 +197,13 @@ object DedupOps {
     // scale you recompute a projection rather than pin the shingle set
     val sh = shingledFrom(docs)
     if (!prefixFilter) {
-      // One-pass default path. The posting stream carries each doc's
-      // full set size alongside the shingle, so pair rows come out of
-      // the combination explode ALREADY sized — no join back to a
-      // per-doc counts frame. The df cap is enforced INSIDE the
-      // collection (functions.BoundedCollect): a group past the cap
-      // would be discarded by the df filter anyway, so the aggregate
-      // keeps ≤ cap+1 postings per shingle and finishes overflowed
-      // groups as null. One by-shingle shuffle total — the classic
-      // dfreq-aggregate + join-back plan costs a second shuffle and a
-      // second pass over the (uncached) shingling upstream — and
-      // per-group state is capped at every stage, so a stop-shingle in
-      // millions of docs ships ≤ cap+1 rows per map task. The
-      // PropertySpec path-equivalence tests pin this against the
-      // dfreq-join formulation the prefix branch still uses.
-      val postN = sh.select(
-        $"doc_id", size($"shingles").cast("long").as("n_sh"),
-        explode($"shingles").as("s"))
-      // position order downstream is doc_id order (finish sorts), so
-      // i < j keeps doc_a < doc_b by construction
-      val pairs = postN
-        .groupBy($"s")
-        .agg(graft.functions.BoundedCollect
-          .boundedPostings($"doc_id", $"n_sh", dfCap).as("ds"))
-        .filter($"ds".isNotNull)
-        .select(posexplode($"ds").as(Seq("i", "a")), $"ds")
-        .select($"i", $"a", posexplode($"ds").as(Seq("j", "b")))
-        .filter($"i" < $"j")
-        .groupBy(
-          $"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-          $"a.n_sh".as("n_a"), $"b.n_sh".as("n_b"))
-        .agg(count(lit(1)).as("inter"))
-      return jaccardFromSized(pairs, threshold)
+      // One-pass default path: the sizedPairs inverted-index core (one
+      // by-shingle shuffle; see its scaladoc — the classic dfreq-aggregate
+      // + join-back plan costs a second shuffle and a second pass over
+      // the uncached shingling upstream). The PropertySpec
+      // path-equivalence tests pin this against the dfreq-join
+      // formulation the prefix branch still uses.
+      return jaccardFromSized(sizedPairs(sh, dfCap), threshold)
     }
     val counts = sh.select($"doc_id", size($"shingles").as("n_sh"))
     val post = sh.select($"doc_id", explode($"shingles").as("s"))
@@ -259,6 +267,66 @@ object DedupOps {
       |  JOIN counts cb ON doc_b = cb.doc_id)
       |SELECT doc_a, doc_b, jaccard_raw AS jaccard
       |FROM j WHERE jaccard_raw >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q136: asymmetric shingle CONTAINMENT pairs — the subset-duplicate
+    * detector Jaccard structurally misses. A document that is a clean
+    * truncation, excerpt, or quote of a larger one has
+    * |A∩B|/|A| ≈ 1 while |A∩B|/|A∪B| can sit far below any sane Jaccard
+    * threshold (a 10% excerpt of a long doc has Jaccard ≤ 0.1), so a
+    * Jaccard-only dedup pass ships both copies and the training set
+    * memorizes the excerpt twice. Containment = inter / min(|A|, |B|)
+    * scores the pair by how much of the SMALLER set the larger one
+    * swallows; both full set sizes, the raw intersection, and the
+    * Jaccard ride along so a curation policy can distinguish
+    * "near-identical twins" (high containment, high Jaccard) from
+    * "excerpt swallowed by superset" (high containment, low Jaccard).
+    *
+    * Plan: identical to q20 — the shared sizedPairs inverted-index core
+    * (ONE by-shingle shuffle, df-capped posting lists, pair rows sized
+    * at the explode) with a different finisher; intersection semantics
+    * are q20's documented "shared RARE shingles" (df ≤ cap) against the
+    * FULL distinct set sizes. Doubles are quotients of exact integers —
+    * bit-identical cross-engine, no rounding (jaccardFromSized's
+    * no-round-on-exact-ratios policy).
+    */
+  def q136Containment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables(spark, dir).documents, 0.5)
+
+  private[graft] def containmentPairs(docs: DataFrame, threshold: Double,
+      dfCap: Int = 25): DataFrame = {
+    import docs.sparkSession.implicits._
+    sizedPairs(shingledFrom(docs), dfCap)
+      .withColumn("containment", $"inter".cast("double") / least($"n_a", $"n_b"))
+      .filter($"containment" >= threshold)
+      .select($"doc_a", $"doc_b", $"n_a", $"n_b", $"inter", $"containment",
+        ($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter")).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q136Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct($TrigramSqlExpr) AS shingles
+      |  FROM toks WHERE len(t) >= 3),
+      |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+      |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |rare AS (SELECT s FROM post GROUP BY s HAVING count(*) <= 25),
+      |pr AS (SELECT post.doc_id, post.s FROM post JOIN rare USING (s)),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT doc_a, doc_b, ca.n_sh AS n_a, cb.n_sh AS n_b, inter,
+      |    CAST(inter AS DOUBLE) / least(ca.n_sh, cb.n_sh) AS containment
+      |  FROM inter
+      |  JOIN counts ca ON doc_a = ca.doc_id
+      |  JOIN counts cb ON doc_b = cb.doc_id)
+      |SELECT doc_a, doc_b, n_a, n_b, inter, containment,
+      |  CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard
+      |FROM c WHERE containment >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   private[graft] val NumHashes = 16
@@ -1139,6 +1207,8 @@ object DedupOps {
       "benchmark-contamination flags via broadcast shingle overlap"),
     Q("q20_ngram_jaccard", q20NgramJaccard, Some(q20Sql), Seq("X-dedup"),
       "3-gram Jaccard near-dup via inverted-index join"),
+    Q("q136_containment", q136Containment, Some(q136Sql), Seq("X-dedup"),
+      "asymmetric shingle containment: subset/excerpt duplicate pairs"),
     Q("q21_minhash_lsh", q21MinhashLsh, Some(q21Sql), Seq("X-dedup"),
       "MinHash+LSH banded near-dup with exact verify"),
     Q("q22_simhash", q22Simhash, Some(q22Sql), Seq("X-dedup"),

@@ -845,9 +845,83 @@ object Profiling {
       |FROM combos CROSS JOIN ks
       |GROUP BY k ORDER BY k""".stripMargin
 
+  /** Referential-integrity audit of one FK edge, at KEY granularity.
+    *
+    * The child collapses to its per-key counts first (one partial+final
+    * hash aggregate — shuffle payload is |distinct keys| rows, never
+    * |rows|), then left-joins the parent's distinct key set; orphan ROW
+    * counts are recovered from the carried per-key counts. At 100 TB both
+    * sides of the join are key-sized frames, AQE broadcasts whichever is
+    * dimension-small, and the fact table is scanned exactly once with
+    * only the key column read (ReadSchema pruning). NULL FKs are reported
+    * separately — a NULL is "unknown parent", not an orphan, and lumping
+    * the two is how integrity dashboards lie.
+    */
+  private[graft] def fkAudit(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, edge: String): DataFrame = {
+    val keyCounts = child.groupBy(col(childKey).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val parentKeys = parent.select(col(parentKey).as("k")).distinct()
+      .withColumn("__p", lit(1))
+    keyCounts.join(parentKeys, Seq("k"), "left")
+      .agg(
+        lit(edge).as("edge"),
+        sum(col("cnt")).as("child_rows"),
+        count(when(col("k").isNotNull, 1)).as("child_keys"),
+        coalesce(sum(when(col("k").isNull, col("cnt"))), lit(0L)).as("null_rows"),
+        coalesce(sum(when(col("k").isNotNull && col("__p").isNull, col("cnt"))), lit(0L))
+          .as("orphan_rows"),
+        count(when(col("k").isNotNull && col("__p").isNull, 1)).as("orphan_keys"))
+  }
+
+  /** q138: referential-integrity audit of every FK edge in the star
+    * schema — the pre-flight a warehouse runs before trusting a join to
+    * be lossless (an inner join silently DROPS orphan child rows; this
+    * report is the difference between "the join is safe" and "we lost
+    * 2% of revenue in the dashboard"). One row per edge: child volume,
+    * distinct keys, NULL FKs, orphan rows/keys.
+    */
+  def q138IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    fkAudit(t.lineitem, "l_orderkey", t.orders, "o_orderkey", "lineitem.l_orderkey->orders")
+      .unionByName(fkAudit(t.lineitem, "l_partkey", t.part, "p_partkey", "lineitem.l_partkey->part"))
+      .unionByName(fkAudit(t.lineitem, "l_suppkey", t.supplier, "s_suppkey", "lineitem.l_suppkey->supplier"))
+      .unionByName(fkAudit(t.orders, "o_custkey", t.customer, "c_custkey", "orders.o_custkey->customer"))
+      .unionByName(fkAudit(t.customer, "c_nationkey", t.nation, "n_nationkey", "customer.c_nationkey->nation"))
+      .unionByName(fkAudit(t.supplier, "s_nationkey", t.nation, "n_nationkey", "supplier.s_nationkey->nation"))
+      .unionByName(fkAudit(t.nation, "n_regionkey", t.region, "r_regionkey", "nation.n_regionkey->region"))
+      .orderBy($"edge")
+  }
+
+  val q138Sql: String = {
+    def edge(child: String, ck: String, parent: String, pk: String): String =
+      s"""SELECT '$child.$ck->$parent' AS edge,
+         |  CAST(count(*) AS BIGINT) AS child_rows,
+         |  CAST(count(DISTINCT c.$ck) AS BIGINT) AS child_keys,
+         |  CAST(count(*) FILTER (c.$ck IS NULL) AS BIGINT) AS null_rows,
+         |  CAST(count(*) FILTER (c.$ck IS NOT NULL AND p.$pk IS NULL) AS BIGINT)
+         |    AS orphan_rows,
+         |  CAST(count(DISTINCT CASE WHEN p.$pk IS NULL THEN c.$ck END) AS BIGINT)
+         |    AS orphan_keys
+         |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+         |  ON c.$ck = p.$pk""".stripMargin
+    Seq(
+      edge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("supplier", "s_nationkey", "nation", "n_nationkey"),
+      edge("nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q53_skew_profile", q53SkewProfile, Some(q53Sql), Seq("X-scale"),
       "join-key skew profiler: cardinality, hot-key count, p95, skew ratio"),
+    Q("q138_integrity_audit", q138IntegrityAudit, Some(q138Sql), Seq("Q2", "X-scale"),
+      "referential-integrity audit: per-FK-edge orphan and NULL-key report"),
     Q("q131_k_anonymity", q131KAnonymity, Some(q131Sql), Seq("X-stats", "Q2"),
       "k-anonymity risk curve over quasi-identifier combos"),
     Q("q123_cms", q123Cms, Some(q123Sql), Seq("X-stats", "X-scale"),

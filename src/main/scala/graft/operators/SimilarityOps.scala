@@ -1060,7 +1060,183 @@ object SimilarityOps {
       |ORDER BY rrf_micro DESC, kr.doc_id
       |LIMIT 10""".stripMargin
 
+  /** q137: k-NN graph construction over the embedding corpus — the
+    * shared upstream of graph-based curation (SemDeDup neighborhoods,
+    * kNN-density quality scoring, label propagation, diversity
+    * sampling). Each vector gets its k=3 nearest neighbors by cosine
+    * WITHIN its coarse-quantizer cell (the fixture's `label` — the same
+    * IVF-cell role it plays for q25): block-local exact search is
+    * exactly how production kNN-graph builds run at scale (kNN within
+    * IVF/k-means cells, optionally cross-probing adjacent cells), and
+    * block sizes stay bounded as the corpus grows because the quantizer
+    * grows with it (q135's k ∝ n policy). The join is a hash
+    * equi-join on the cell id — never a cross join — and the per-vector
+    * top-k is a WindowGroupLimit (rank ≤ k pushed into the sort), so
+    * pair volume is Σ|cell|² bounded by the q23-style guard below.
+    *
+    * Exactness: embeddings quantize once to the integer-millis grid
+    * (q99/q135 precedent) so dot products and norms are exact long
+    * sums — order-independent, no fp summation drift; the cosine is one
+    * IEEE division/sqrt over identical integers on both engines, hence
+    * bit-identical, and ships unrounded (no-round-on-exact-inputs
+    * policy). Ties (exact duplicate vectors at equal cosine) break to
+    * the smaller neighbor id.
+    */
+  def q137KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(spark, dir, k = 3, maxBlock = 16384L)
+
+  private[graft] def knnGraph(spark: SparkSession, dir: String,
+      k: Int, maxBlock: Long): DataFrame =
+    knnGraphOf(Tables(spark, dir).embeddings, k, maxBlock)
+
+  /** Frame-level core over (vec_id, label, embedding FLOAT[]). */
+  private[graft] def knnGraphOf(emb: DataFrame, k: Int,
+      maxBlock: Long): DataFrame = {
+    import emb.sparkSession.implicits._
+    val e = emb
+      .select($"vec_id", $"label",
+        transform($"embedding",
+          x => round(x.cast("double") * 1000).cast("long")).as("eq"))
+      .select($"vec_id", $"label", $"eq",
+        graft.plans.FloatVectorExpressions.normSqI64($"eq").as("n2"))
+      .localCheckpoint() // guard aggregate + both self-join sides re-read this
+    val oversized = e.groupBy($"label").agg(count(lit(1)).as("cn"))
+      .filter($"cn" > maxBlock).take(1)
+    require(oversized.isEmpty, {
+      val r = oversized.head
+      s"cell ${r.get(0)} holds ${r.get(1)} vectors (> $maxBlock): " +
+        "within-cell kNN is O(cell^2) - refine the quantizer (q135's " +
+        "k-means) or route through the SRP-LSH candidate path (q60)"
+    })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cos_sim".desc, $"nbr_id")
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        (graft.plans.FloatVectorExpressions.dotI64(col("a.eq"), col("b.eq"))
+          .cast("double") /
+          (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double"))))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"vec_id", $"rank", $"nbr_id", $"cos_sim")
+      .orderBy($"vec_id", $"rank")
+  }
+
+  val q137Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |         [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding]
+      |           AS eq
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, a.eq AS ea, b.eq AS eb
+      |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      |u AS (SELECT vec_id, nbr_id, unnest(ea) AS x, unnest(eb) AS y FROM p),
+      |s AS (SELECT vec_id, nbr_id, sum(x * y) AS dot,
+      |             sum(x * x) AS na, sum(y * y) AS nb
+      |      FROM u GROUP BY 1, 2),
+      |c AS (
+      |  SELECT vec_id, nbr_id,
+      |    CAST(dot AS DOUBLE)
+      |      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos_sim
+      |  FROM s),
+      |r AS (
+      |  SELECT vec_id, nbr_id, cos_sim,
+      |    CAST(row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY cos_sim DESC, nbr_id) AS BIGINT) AS rank
+      |  FROM c)
+      |SELECT vec_id, rank, nbr_id, cos_sim
+      |FROM r WHERE rank <= 3
+      |ORDER BY vec_id, rank""".stripMargin
+
+  /** q141: pairwise-cosine spectrum of the embedding corpus — the
+    * threshold-calibration diagnostic every near-dup deployment needs
+    * BEFORE picking its τ. (Rounds 8–9 re-calibrated q23/q135 by hand
+    * when a regenerated fixture shifted the corpus's max pairwise cosine
+    * from ~0.99 to 0.51; this operator is that measurement, productized:
+    * run it once per corpus generation and read the histogram's upper
+    * tail.) Exhaustive O(N²) pairing is impossible at scale, so pairs
+    * are sampled by a deterministic hash-bucket join: each vector lands
+    * in one of ⌈N/8⌉ buckets via a bit-mixed integer hash (Knuth
+    * multiplicative — portable exact int64 arithmetic, no engine hash),
+    * only within-bucket pairs are scored — expected bucket size stays 8
+    * as N grows, so pair volume is LINEAR in N and the sample is
+    * unbiased for the bulk spectrum (planted near-dup pairs are caught
+    * by the dedicated dedup queries, not this diagnostic). One
+    * bucket-keyed shuffle; the histogram aggregate is ≤ 41 rows.
+    * Cosines are exact integer-millis sums (q99 grid); bin share is an
+    * exact-int ratio emitted unrounded.
+    */
+  def q141CosineSpectrum(spark: SparkSession, dir: String): DataFrame =
+    cosineSpectrumOf(Tables(spark, dir).embeddings)
+
+  /** Frame-level core over (vec_id, embedding FLOAT[]). */
+  private[graft] def cosineSpectrumOf(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val nBuckets = math.max(1L, emb.count() / 8L)
+    val e = emb
+      .select($"vec_id",
+        transform($"embedding",
+          x => round(x.cast("double") * 1000).cast("long")).as("eq"),
+        (($"vec_id" * lit(2654435761L)) % lit(2147483648L) % nBuckets).as("bkt"))
+      .localCheckpoint()
+    val hist = e.as("a").join(e.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        (graft.plans.FloatVectorExpressions.dotI64(col("a.eq"), col("b.eq"))
+          .cast("double") /
+          (sqrt(graft.plans.FloatVectorExpressions.normSqI64(col("a.eq")).cast("double")) *
+            sqrt(graft.plans.FloatVectorExpressions.normSqI64(col("b.eq")).cast("double"))))
+          .as("cos_raw"))
+      .select(floor($"cos_raw" * 20).cast("long").as("bin_idx"))
+      .groupBy($"bin_idx").agg(count(lit(1)).as("n_pairs"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // histogram frame: ≤ 41 rows, single partition is the point
+    hist
+      .withColumn("share",
+        $"n_pairs".cast("double") / sum($"n_pairs").over(wAll))
+      .select($"bin_idx", ($"bin_idx".cast("double") / 20.0).as("bin_lo"),
+        $"n_pairs", $"share")
+      .orderBy($"bin_idx")
+  }
+
+  val q141Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding]
+      |           AS eq
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, eq,
+      |    ((vec_id * 2654435761) % 2147483648)
+      |      % greatest(1, (SELECT count(*) FROM q) // 8) AS bkt
+      |  FROM q),
+      |p AS (
+      |  SELECT a.vec_id AS va, b2.vec_id AS vb, a.eq AS ea, b2.eq AS eb
+      |  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id),
+      |u AS (SELECT va, vb, unnest(ea) AS x, unnest(eb) AS y FROM p),
+      |s AS (SELECT va, vb, sum(x * y) AS dot,
+      |             sum(x * x) AS na, sum(y * y) AS nb
+      |      FROM u GROUP BY 1, 2),
+      |c AS (
+      |  SELECT CAST(floor(CAST(dot AS DOUBLE)
+      |    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 20) AS BIGINT)
+      |    AS bin_idx
+      |  FROM s),
+      |h AS (SELECT bin_idx, CAST(count(*) AS BIGINT) AS n_pairs
+      |      FROM c GROUP BY 1)
+      |SELECT bin_idx, CAST(bin_idx AS DOUBLE) / 20.0 AS bin_lo, n_pairs,
+      |  CAST(n_pairs AS DOUBLE) / (SELECT sum(n_pairs) FROM h) AS share
+      |FROM h
+      |ORDER BY bin_idx""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q141_cosine_spectrum", q141CosineSpectrum, Some(q141Sql),
+      Seq("X-sim", "X-stats", "X-scale"),
+      "pairwise-cosine spectrum histogram over hash-bucket-sampled pairs"),
+    Q("q137_knn_graph", q137KnnGraph, Some(q137Sql), Seq("X-sim", "X-scale"),
+      "cell-blocked exact kNN graph: integer-millis cosine, top-3 per vector"),
     Q("q23_embed_neardup", q23EmbedNearDup, Some(q23Sql), Seq("X-dedup", "X-sim"),
       "embedding near-dup: blocked pairwise cosine"),
     Q("q110_filtered_ann", q110FilteredAnn, Some(q110Sql), Seq("X-sim"),

@@ -1283,7 +1283,165 @@ object TemporalOps {
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  /** q139: clamped-at-zero running inventory balance per supplier — the
+    * canonical NON-ASSOCIATIVE per-key sequential fold
+    * (b_t = max(0, b_{t-1} + δ_t): a return restocks, a shipment
+    * depletes, and demand against an empty shelf is LOST, not owed).
+    * The naive expression is a per-key sequential scan — recursion (the
+    * DuckDB twin of last resort), or flatMapGroups over a sorted
+    * iterator, both of which abandon whole-stage codegen.
+    *
+    * The clamp has a closed form instead (Lindley's recursion /
+    * reflection): with S_t the UNCLAMPED running sum and
+    * m_t = min(0, min_{j≤t} S_j) its running floor,
+    *   b_t = S_t − m_t,   lost_t = m_{t−1} − m_t,
+    * so three window functions over ONE shared (supplier, time) sort —
+    * running sum, running min, and the 1-row-lagged running min —
+    * replace the sequential fold entirely. Everything stays in
+    * whole-stage codegen, one exchange + one sort per key, exact long
+    * arithmetic throughout; stockout events are the strict new lows
+    * (S_t < m_{t−1}), and total lost demand is −m_T.  The ordering key
+    * (shipdate, orderkey, linenumber) is unique per supplier, so ROWS
+    * frames are deterministic; both engines pin ROWS explicitly (the
+    * default ORDER BY frame is RANGE in both — ties would alias).
+    */
+  def q139ClampedBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    clampedBalance(Tables(spark, dir).lineitem
+      .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
+        when($"l_returnflag" === "R", $"l_quantity")
+          .otherwise(-$"l_quantity").cast("long").as("delta")))
+  }
+
+  /** Frame-level core over (l_suppkey, l_shipdate, l_orderkey,
+    * l_linenumber, delta) — the ordering key must be unique per supplier.
+    */
+  private[graft] def clampedBalance(li: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
+    val ord = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    val wRun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    li.withColumn("s", sum($"delta").over(wRun))
+      .withColumn("m", least(min($"s").over(wRun), lit(0L)))
+      .withColumn("mprev", least(coalesce(min($"s").over(wPrev), lit(0L)), lit(0L)))
+      .groupBy($"l_suppkey")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum($"delta") - least(min($"s"), lit(0L))).as("end_balance"),
+        max($"s" - $"m").as("peak_balance"),
+        (-least(min($"s"), lit(0L))).as("lost_demand"),
+        sum(($"s" < $"mprev").cast("long")).as("stockouts"))
+      .orderBy($"l_suppkey")
+  }
+
+  val q139Sql: String =
+    """WITH d AS (
+      |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      |    CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
+      |              ELSE -l_quantity END AS BIGINT) AS delta
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, delta,
+      |    sum(delta) OVER w AS s
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY l_suppkey
+      |               ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |r2 AS (
+      |  SELECT l_suppkey, delta, s,
+      |    least(min(s) OVER w2, 0) AS m,
+      |    least(coalesce(min(s) OVER w3, 0), 0) AS mprev
+      |  FROM r
+      |  WINDOW
+      |    w2 AS (PARTITION BY l_suppkey
+      |           ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    w3 AS (PARTITION BY l_suppkey
+      |           ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT l_suppkey,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(delta) - least(min(s), 0) AS BIGINT) AS end_balance,
+      |  CAST(max(s - m) AS BIGINT) AS peak_balance,
+      |  CAST(-least(min(s), 0) AS BIGINT) AS lost_demand,
+      |  CAST(sum(CASE WHEN s < mprev THEN 1 ELSE 0 END) AS BIGINT) AS stockouts
+      |FROM r2
+      |GROUP BY l_suppkey
+      |ORDER BY l_suppkey""".stripMargin
+
+  /** q142: seasonality detection via raw autocorrelation of the hourly
+    * event-count series at the three lags that matter for operational
+    * traffic (1h adjacency, 24h daily cycle, 168h weekly cycle). The
+    * scores decide real pipeline knobs: a strong 24h component argues
+    * for day-aligned partitions and day-boundary watermarks; a strong
+    * weekly component argues for 7-day retention windows (q128's
+    * trailing-7 choice) and week-aligned cohorts (q83/q129).
+    *
+    * Shape: the raw series collapses to per-hour counts FIRST (one
+    * partial+final aggregate — the frame is |hours| rows, ~720 here and
+    * bounded by calendar time at any corpus size, so everything after
+    * the first aggregate is constant-cost). Each lag's term pairs come
+    * from an equi-join of the hourly frame against itself on
+    * h₂ = h₁ + lag — hash-joinable, no range scan, and missing hours
+    * simply contribute no term (n_terms reports the coverage).
+    * Σ x_t·x_{t+lag} and Σ x_t² are exact long sums; the score is their
+    * unrounded exact-int-ratio double. The 3-row lag frame rides a
+    * constant-size broadcast (the documented BNLJ exception class).
+    */
+  def q142Periodicity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    periodicityOf(Tables(spark, dir).events
+      .select((unix_timestamp($"ts") / 3600).cast("long").as("h")),
+      Seq(1L, 24L, 168L))
+  }
+
+  /** Frame-level core over per-event hour indices (col `h`). */
+  private[graft] def periodicityOf(hours: DataFrame,
+      lagHours: Seq[Long]): DataFrame = {
+    import hours.sparkSession.implicits._
+    val hourly = hours
+      .groupBy($"h").agg(count(lit(1)).as("x"))
+      .localCheckpoint() // both join sides + the denominator re-read it
+    val lags = lagHours.toDF("lag_h")
+    val denom = hourly.agg(sum($"x" * $"x").as("den"))
+    hourly.crossJoin(broadcast(lags))
+      .join(hourly.select($"h".as("h2"), $"x".as("x2")),
+        $"h2" === $"h" + $"lag_h")
+      .groupBy($"lag_h")
+      .agg(count(lit(1)).as("n_terms"),
+        sum($"x" * $"x2").as("cross_sum"))
+      .crossJoin(broadcast(denom))
+      .select($"lag_h", $"n_terms", $"cross_sum",
+        ($"cross_sum".cast("double") / $"den").as("score"))
+      .orderBy($"lag_h")
+  }
+
+  val q142Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h FROM events),
+      |hr AS (SELECT h, CAST(count(*) AS BIGINT) AS x FROM e GROUP BY 1),
+      |den AS (SELECT sum(x * x) AS d FROM hr),
+      |lags AS (SELECT unnest([1, 24, 168]) AS lag_h),
+      |j AS (
+      |  SELECT l.lag_h, CAST(count(*) AS BIGINT) AS n_terms,
+      |         CAST(sum(a.x * b.x) AS BIGINT) AS cross_sum
+      |  FROM lags l
+      |  JOIN hr a ON true
+      |  JOIN hr b ON b.h = a.h + l.lag_h
+      |  GROUP BY 1)
+      |SELECT CAST(lag_h AS BIGINT) AS lag_h, n_terms, cross_sum,
+      |  CAST(cross_sum AS DOUBLE) / (SELECT d FROM den) AS score
+      |FROM j
+      |ORDER BY lag_h""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q142_periodicity", q142Periodicity, Some(q142Sql),
+      Seq("X-temporal", "X-stats"),
+      "hourly-series autocorrelation at 1h/24h/168h: seasonality scores"),
+    Q("q139_clamped_balance", q139ClampedBalance, Some(q139Sql),
+      Seq("X-temporal", "X-scale"),
+      "clamped running balance via Lindley reflection: windows, not recursion"),
     Q("q133_view_delta", q133ViewDelta, Some(q133Sql), Seq("X-temporal", "X-scale", "A1"),
       "incremental MV refresh: state ⊕ agg(delta) merge equals the full recompute"),
     Q("q36_asof_join", q36AsofJoin, Some(q36Sql), Seq("X-temporal"),

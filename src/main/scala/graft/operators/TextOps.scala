@@ -781,6 +781,95 @@ object TextOps {
       .orderBy($"key_a", $"key_b")
   }
 
+  /** q140: end-to-end entity canonicalization — the step AFTER the fuzzy
+    * match. q121 emits the evidence (typo-distance pairs); this operator
+    * turns it into the asset a warehouse actually joins against: every
+    * part key mapped to one entity, with the entity's canonical surface
+    * form. Pipeline: q121's blocked PassJoin pair machinery (distinct-name
+    * collapse, segment pigeonhole, levenshtein only on survivors) →
+    * transitive closure via connectedComponents (the q65 edge-endpoint
+    * iteration — typo chains a→b→c merge even when a,c sit 6 edits
+    * apart) → canonical name = the cluster's most FREQUENT variant
+    * (occurrence count, ties to the lexicographically smallest string —
+    * majority vote is the standard canonicalization policy: the common
+    * spelling is almost always the correct one) → one report row per
+    * entity. The pair frame is localCheckpoint-published once (q89
+    * pattern) so the CC iterations never re-derive the expensive
+    * candidate+verify subplan; every post-CC frame is entity-keyed —
+    * orders of magnitude smaller than the input.
+    */
+  def q140EntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    canonicalEntities(
+      Tables(spark, dir).part.select($"p_partkey", $"p_name"),
+      fuzzyJoin(spark, dir)
+        .select($"key_a".as("doc_a"), $"key_b".as("doc_b"))
+        .localCheckpoint())
+  }
+
+  /** Frame-level core: (p_partkey, p_name) + undirected match pairs →
+    * one canonicalization row per entity.
+    */
+  private[graft] def canonicalEntities(parts: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    import parts.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val labels = DedupOps
+      .connectedComponents(parts.select($"p_partkey".as("v")), pairs)
+      .select($"v".as("p_partkey"), $"label".as("entity_id"))
+    val named = labels.join(parts, "p_partkey")
+    val nameCounts = named.groupBy($"entity_id", $"p_name")
+      .agg(count(lit(1)).as("cnt"))
+    val wName = Window.partitionBy($"entity_id").orderBy($"cnt".desc, $"p_name")
+    val canon = nameCounts
+      .withColumn("rn", row_number().over(wName)).filter($"rn" === 1)
+      .select($"entity_id", $"p_name".as("canonical_name"))
+    named.groupBy($"entity_id")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct($"p_name").as("n_variants"))
+      .join(canon, "entity_id")
+      .select($"entity_id", $"n_members", $"n_variants", $"canonical_name")
+      .orderBy($"entity_id")
+  }
+
+  /** DuckDB twin: q121's pair semantics (the banding is lossless, so the
+    * edge set is the plain within-block levenshtein join) + the q65-style
+    * recursive-CTE reachability closure. Same ORACLE COST BOUND as
+    * ccClustersCte: reach is Σ|component|² rows — fine while planted
+    * clone/typo families stay small.
+    */
+  val q140Sql: String =
+    """WITH RECURSIVE pr AS (
+      |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+      |   AND a.p_partkey < b.p_partkey
+      |  WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+      |    AND levenshtein(a.p_name, b.p_name) <= 3),
+      |e AS (SELECT key_a AS src, key_b AS dst FROM pr
+      |      UNION ALL SELECT key_b, key_a FROM pr),
+      |r AS (
+      |  SELECT p_partkey AS v, p_partkey AS reach FROM part
+      |  UNION
+      |  SELECT e.dst AS v, r.reach AS reach FROM r JOIN e ON r.v = e.src),
+      |cl AS (SELECT v AS p_partkey, min(reach) AS entity_id FROM r GROUP BY v),
+      |j AS (SELECT cl.entity_id, part.p_name
+      |      FROM cl JOIN part USING (p_partkey)),
+      |nc AS (SELECT entity_id, p_name, count(*) AS cnt FROM j GROUP BY 1, 2),
+      |canon AS (
+      |  SELECT entity_id, p_name AS canonical_name FROM (
+      |    SELECT entity_id, p_name,
+      |      row_number() OVER (PARTITION BY entity_id
+      |                         ORDER BY cnt DESC, p_name) AS rn
+      |    FROM nc) WHERE rn = 1),
+      |ag AS (
+      |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+      |         CAST(count(DISTINCT p_name) AS BIGINT) AS n_variants
+      |  FROM j GROUP BY 1)
+      |SELECT ag.entity_id, n_members, n_variants, canonical_name
+      |FROM ag JOIN canon USING (entity_id)
+      |ORDER BY entity_id""".stripMargin
+
   /** DuckDB twin: the banding is lossless, so the oracle states the
     * plain within-block inequality join.
     */
@@ -800,6 +889,9 @@ object TextOps {
       "per-document token/length statistics"),
     Q("q121_fuzzy_join", q121FuzzyJoin, Some(q121Sql), Seq("F-text", "X-scale"),
       "blocked fuzzy self-join: equi-block + lossless length bands + edit distance"),
+    Q("q140_entity_resolution", q140EntityResolution, Some(q140Sql),
+      Seq("F-text", "X-dedup", "X-scale"),
+      "entity canonicalization: fuzzy pairs → transitive clusters → majority-vote names"),
     Q("q102_normalize", q102Normalize, Some(q102Sql), Seq("F-text", "X-custom"),
       "canonical NFC + casefold + whitespace normalization, native expression"),
     Q("q67_surprisal", q67Surprisal, Some(q67Sql), Seq("F-text"),

@@ -540,4 +540,87 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val cos11 = out.find(_._1 == 11L).get._4
     assert(cos11 > 0.94 && cos11 < 0.96)
   }
+
+  test("q136 containment: excerpt swallowed by a superset scores 1.0 with low jaccard") {
+    // doc1 is a clean 40-word prefix excerpt of the 200-word doc0: every
+    // one of its 38 trigrams appears in doc0, so containment = 1.0 while
+    // jaccard = 38/198 ≈ 0.19 — below ANY sane jaccard threshold. doc2
+    // is disjoint and must produce no pair at all.
+    val big = (1 to 200).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (500 to 560).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, big), (1L, excerpt), (2L, other)).toDF("doc_id", "text")
+    val out = DedupOps.containmentPairs(docs, 0.5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(r.getAs[Long]("n_a") == 198L && r.getAs[Long]("n_b") == 38L)
+    assert(r.getAs[Long]("inter") == 38L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    assert(r.getAs[Double]("jaccard") < 0.2)
+  }
+
+  test("q137 knn graph: exact in-cell ranking, duplicate-vector top rank, no cross-cell edges") {
+    val emb = Seq(
+      // cell 0: v3 duplicates v0 (cos 1.0 — must be rank 1 for both),
+      // v1 is close (cos ≈ 0.994), v2 orthogonal (cos 0.0)
+      (0L, 0, Seq(1f, 0f, 0f, 0f)),
+      (1L, 0, Seq(0.9f, 0.1f, 0f, 0f)),
+      (2L, 0, Seq(0f, 1f, 0f, 0f)),
+      (3L, 0, Seq(1f, 0f, 0f, 0f)),
+      // cell 1: only two members — each gets a single row (fewer than k)
+      (10L, 1, Seq(0f, 0f, 1f, 0f)),
+      (11L, 1, Seq(0f, 0f, 0.5f, 0.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val rows = SimilarityOps.knnGraphOf(emb, 3, 16384L).collect()
+    val byVec = rows.groupBy(_.getLong(0))
+    // cell 0 members emit 3 rows each, cell 1 members one each
+    assert(byVec(0L).length == 3 && byVec(10L).length == 1)
+    // every edge stays inside its cell
+    val cellOf = Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 0, 10L -> 1, 11L -> 1)
+    rows.foreach(r => assert(cellOf(r.getLong(0)) == cellOf(r.getAs[Long]("nbr_id"))))
+    def nbrs(v: Long): Seq[Long] =
+      byVec(v).sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("nbr_id")).toSeq
+    assert(nbrs(0L) == Seq(3L, 1L, 2L)) // dup first, then close, then orthogonal
+    assert(nbrs(3L) == Seq(0L, 1L, 2L)) // the dup's own list mirrors it
+    assert(nbrs(10L) == Seq(11L) && nbrs(11L) == Seq(10L))
+    val v0 = byVec(0L).sortBy(_.getAs[Long]("rank"))
+    assert(v0(0).getAs[Double]("cos_sim") == 1.0)
+    assert(v0(2).getAs[Double]("cos_sim") == 0.0)
+  }
+
+  test("q141 cosine spectrum: bins cover exactly the within-bucket pairs, shares sum to 1") {
+    // 16 vectors → 2 hash buckets; replicate the bucket formula here so
+    // the expected pair count is derived, not guessed. Two colliding ids
+    // get IDENTICAL vectors → the cos=1.0 pair must land in bin 20.
+    val n = 16
+    def bkt(id: Long): Long = ((id * 2654435761L) % 2147483648L) % (n / 8)
+    val ids = (0 until n).map(_.toLong)
+    val collide = ids.groupBy(bkt).values.find(_.size >= 2).get.take(2)
+    // the planted pair uses a 3-4-5 vector: n2 = 25e6 has an EXACT
+    // integer sqrt (5000), so cos evaluates to exactly 1.0 → bin 20
+    // (a non-square n2 gives sqrt(n2)² ≠ n2 and cos = 1 − 1ulp → bin 19)
+    val emb = ids.map { id =>
+      val v =
+        if (collide.contains(id)) Seq(3f, 4f, 0f, 0f)
+        else Seq(id.toFloat + 1f, 1f, (id % 3).toFloat, 0f)
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    val rows = SimilarityOps.cosineSpectrumOf(emb).collect()
+    val expectedPairs = ids.groupBy(bkt).values.map(g => g.size * (g.size - 1) / 2).sum
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == expectedPairs)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+    assert(rows.exists(_.getAs[Long]("bin_idx") == 20L)) // the planted identical pair
+    rows.foreach(r => assert(r.getAs[Double]("bin_lo") == r.getAs[Long]("bin_idx") / 20.0))
+  }
+
+  test("q137 knn graph refuses an oversized cell with guidance") {
+    val emb = Seq(
+      (0L, 0, Seq(1f, 0f)), (1L, 0, Seq(0f, 1f)), (2L, 0, Seq(1f, 1f))
+    ).toDF("vec_id", "label", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.knnGraphOf(emb, 3, 2L).collect()
+    }
+    assert(e.getMessage.contains("O(cell^2)"))
+  }
 }

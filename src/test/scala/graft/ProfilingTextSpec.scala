@@ -566,4 +566,56 @@ class ProfilingTextSpec extends AnyFunSuite {
       (20L, 4L, 16L, 1L),
       (50L, 5L, 41L, 1L)))
   }
+
+  test("q138 fk audit: planted orphans and NULL keys are counted separately") {
+    val child = Seq(
+      (1L, Option(10L)), (2L, Option(10L)), // valid, shared key
+      (3L, Option(99L)),                    // orphan key 99
+      (4L, Option.empty[Long]),             // NULL FK — not an orphan
+      (5L, Option(98L)),                    // orphan key 98
+      (6L, Option(11L))                     // valid
+    ).toDF("id", "fk")
+    val parent = Seq(10L, 11L, 12L).toDF("pk")
+    val r = Profiling.fkAudit(child, "fk", parent, "pk", "t.fk->p")
+      .collect().head
+    assert(r.getAs[String]("edge") == "t.fk->p")
+    assert(r.getAs[Long]("child_rows") == 6L)
+    assert(r.getAs[Long]("child_keys") == 4L) // 10, 99, 98, 11
+    assert(r.getAs[Long]("null_rows") == 1L)
+    assert(r.getAs[Long]("orphan_rows") == 2L)
+    assert(r.getAs[Long]("orphan_keys") == 2L)
+  }
+
+  test("q138 fk audit: a clean edge reports zero orphans") {
+    val child = Seq((1L, 10L), (2L, 11L)).toDF("id", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val r = Profiling.fkAudit(child, "fk", parent, "pk", "clean").collect().head
+    assert(r.getAs[Long]("orphan_rows") == 0L && r.getAs[Long]("null_rows") == 0L)
+  }
+
+  test("q140 canonicalization: typo chain merges transitively, majority name wins") {
+    import graft.operators.TextOps
+    // 1-2-3-4 form one entity only through the chain (1 and 3 share no
+    // pair); the canonical form is the most frequent variant
+    // "blue widget" (2 occurrences); 5 stays a singleton entity.
+    val parts = Seq(
+      (1L, "blu widget"), (2L, "blue widget"), (3L, "bleu widget"),
+      (4L, "blue widget"), (5L, "other thing")
+    ).toDF("p_partkey", "p_name")
+    val pairs = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("doc_a", "doc_b")
+    val out = TextOps.canonicalEntities(parts, pairs)
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(out == List(
+      (1L, 4L, 3L, "blue widget"), // entity 1: members 1-4, 3 variants
+      (5L, 1L, 1L, "other thing")))
+  }
+
+  test("q140 canonicalization: frequency tie breaks to the smaller string") {
+    import graft.operators.TextOps
+    val parts = Seq((1L, "beta"), (2L, "alpha")).toDF("p_partkey", "p_name")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = TextOps.canonicalEntities(parts, pairs)
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(out == List((1L, 2L, 2L, "alpha")))
+  }
 }

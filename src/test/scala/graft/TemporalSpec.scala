@@ -411,4 +411,66 @@ class TemporalSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toList
     assert(out === recompute)
   }
+
+  test("q142 periodicity: planted daily cycle scores high at its lag, missing hours drop terms") {
+    // 72 hours, spike of 5 events at hours ≡ 0 (mod 24), 1 event
+    // otherwise; hour 50 missing entirely. Expected sums hand-folded.
+    val counts: Map[Long, Long] =
+      (0L until 72L).filter(_ != 50L)
+        .map(h => h -> (if (h % 24 == 0) 5L else 1L)).toMap
+    val hours = counts.toSeq.flatMap { case (h, c) => Seq.fill(c.toInt)(h) }
+      .toDF("h")
+    def expected(lag: Long): (Long, Long) = {
+      val terms = counts.keys.filter(h => counts.contains(h + lag)).toSeq
+      (terms.size.toLong, terms.map(h => counts(h) * counts(h + lag)).sum)
+    }
+    val den = counts.values.map(x => x * x).sum.toDouble
+    val out = TemporalOps.periodicityOf(hours, Seq(1L, 24L))
+      .as[(Long, Long, Long, Double)].collect().toList
+    val (n1, s1) = expected(1L)
+    val (n24, s24) = expected(24L)
+    assert(out == List((1L, n1, s1, s1 / den), (24L, n24, s24, s24 / den)))
+    // the daily lag aligns spike·spike terms → strictly higher score
+    assert(s24.toDouble / den > s1.toDouble / den)
+  }
+
+  test("q139 clamped balance: hand-folded fixture") {
+    // supplier 1: +5 → 5, -3 → 2, -4 → 0 (2 lost, stockout), +10 → 10,
+    //             -1 → 9.    end 9, peak 10, lost 2, stockouts 1
+    // supplier 2: -4 → 0 (4 lost), -1 → 0 (1 lost) — two stockouts,
+    //             peak stays 0, end 0, lost 5
+    val li = Seq(
+      (1L, 1, 1L, 1L, 5L), (1L, 2, 2L, 1L, -3L), (1L, 3, 3L, 1L, -4L),
+      (1L, 4, 4L, 1L, 10L), (1L, 5, 5L, 1L, -1L),
+      (2L, 1, 6L, 1L, -4L), (2L, 2, 7L, 1L, -1L)
+    ).toDF("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "delta")
+    val out = TemporalOps.clampedBalance(li)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      (1L, 5L, 9L, 10L, 2L, 1L),
+      (2L, 2L, 0L, 0L, 5L, 2L)))
+  }
+
+  test("q139 clamped balance equals the sequential fold on random deltas") {
+    val rnd = new scala.util.Random(7)
+    val rows = for (s <- 1 to 3; i <- 1 to 40)
+      yield (s.toLong, i, i.toLong, 1L, (rnd.nextInt(21) - 10).toLong)
+    val li = rows.toDF("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "delta")
+    val expected = rows.groupBy(_._1).map { case (s, evs) =>
+      var bal = 0L; var peak = 0L; var lost = 0L; var stockouts = 0L
+      evs.sortBy(_._2).foreach { e =>
+        val raw = bal + e._5
+        if (raw < 0) { lost += -raw; stockouts += 1 }
+        bal = math.max(0L, raw)
+        peak = math.max(peak, bal)
+      }
+      s -> ((evs.size.toLong, bal, peak, lost, stockouts))
+    }
+    val out = TemporalOps.clampedBalance(li)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 3)
+    out.foreach { case (s, n, end, peak, lost, so) =>
+      assert((n, end, peak, lost, so) == expected(s), s"supplier $s")
+    }
+  }
 }
