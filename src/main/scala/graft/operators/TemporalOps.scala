@@ -1300,9 +1300,9 @@ object TemporalOps {
     * replace the sequential fold entirely. Everything stays in
     * whole-stage codegen, one exchange + one sort per key, exact long
     * arithmetic throughout; stockout events are the strict new lows
-    * (S_t < m_{t−1}), and total lost demand is −m_T.  The ordering key
-    * (shipdate, orderkey, linenumber) is unique per supplier, so ROWS
-    * frames are deterministic; both engines pin ROWS explicitly (the
+    * (S_t < m_{t−1}), and total lost demand is −m_T.  The ordering is
+    * (shipdate, orderkey, linenumber, delta) — see the tie-policy note
+    * in the core — and both engines pin ROWS frames explicitly (the
     * default ORDER BY frame is RANGE in both — ties would alias).
     */
   def q139ClampedBalance(spark: SparkSession, dir: String): DataFrame = {
@@ -1318,8 +1318,14 @@ object TemporalOps {
     */
   private[graft] def clampedBalance(li: DataFrame): DataFrame = {
     import li.sparkSession.implicits._
+    // The fixture's (orderkey, linenumber) is NOT unique (sf0.1 ships a
+    // same-key pair with different parts), so delta joins the ordering
+    // as the last key: ties then consume before they restock — the
+    // conservative policy for stockout accounting — and rows equal in
+    // ALL ordering keys are interchangeable w.r.t. the fold, so the
+    // result is deterministic even without a total order.
     val ord = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"delta")
     val wRun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
     li.withColumn("s", sum($"delta").over(wRun))
@@ -1346,7 +1352,7 @@ object TemporalOps {
       |    sum(delta) OVER w AS s
       |  FROM d
       |  WINDOW w AS (PARTITION BY l_suppkey
-      |               ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |               ORDER BY l_shipdate, l_orderkey, l_linenumber, delta
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       |r2 AS (
       |  SELECT l_suppkey, delta, s,
@@ -1355,10 +1361,10 @@ object TemporalOps {
       |  FROM r
       |  WINDOW
       |    w2 AS (PARTITION BY l_suppkey
-      |           ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |           ORDER BY l_shipdate, l_orderkey, l_linenumber, delta
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
       |    w3 AS (PARTITION BY l_suppkey
-      |           ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |           ORDER BY l_shipdate, l_orderkey, l_linenumber, delta
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
       |SELECT l_suppkey,
       |  CAST(count(*) AS BIGINT) AS n_events,

@@ -870,6 +870,90 @@ object TextOps {
       |FROM ag JOIN canon USING (entity_id)
       |ORDER BY entity_id""".stripMargin
 
+  /** q143: full BM25 ranked retrieval (k1 = 1.2, b = 0.75) — the lexical
+    * leg a retrieval stack actually ships. q111's keyword leg is binary
+    * presence × idf; BM25 adds the two effects that make lexical ranking
+    * work: TERM-FREQUENCY SATURATION (the k1 damping — the 10th
+    * occurrence of a term is worth far less than the 1st) and LENGTH
+    * NORMALIZATION (the b mix — long documents don't win just by
+    * containing everything).
+    *
+    * Exactness: idf stays the established integer floor-log2 idf_bits
+    * (no libm ln). The per-term score
+    *   idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
+    * with k1 = 1.2, b = 0.75 and avgdl = L/N clears to the exact
+    * integer rational
+    *   22·L·tf·idf_bits / (10·L·tf + 3·L + 9·len·N)
+    * (multiply through by 10·L), floored at milli scale with integer
+    * `div` on both engines — no double ever appears in the score.
+    * Overflow headroom: the numerator is ≤ 2.2e4·L·tf·idf, safe in
+    * int64 up to corpus token counts L ≈ 1e12 at tf ≤ 100 — re-scale
+    * the milli factor past that, documented here rather than hit.
+    *
+    * Shape: one token explode feeds tf, df, doc lengths, and the query
+    * token set (localCheckpoint-published, q89/q111 pattern); the score
+    * join touches only (candidate doc, query term) rows — posting-list
+    * sized, not corpus × vocab — and the final top-20 is a
+    * TakeOrderedAndProject (bounded heap), never a global sort.
+    */
+  def q143Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Of(Tables(spark, dir).documents)
+
+  /** Frame-level core over (doc_id, text); doc 0 is the query. */
+  private[graft] def bm25Of(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .localCheckpoint() // tf stream, df table, lengths, query set
+    val lens = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+    val stats = lens.agg(sum($"len").as("ltot"), count(lit(1)).as("n_docs"))
+    val df = toks.distinct().groupBy($"tok").agg(count(lit(1)).as("df"))
+    val qtoks = toks.filter($"doc_id" === 0).select($"tok").distinct()
+    toks.filter($"doc_id" =!= 0)
+      .join(qtoks, "tok")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .join(df, "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bits", (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+      .withColumn("term_milli",
+        expr("(1000 * 22 * ltot * tf * idf_bits) div " +
+          "(10 * ltot * tf + 3 * ltot + 9 * len * n_docs)"))
+      .groupBy($"doc_id")
+      .agg(sum($"term_milli").as("bm25_milli"), count(lit(1)).as("n_terms"))
+      .orderBy($"bm25_milli".desc, $"doc_id")
+      .limit(20)
+  }
+
+  val q143Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+      |         FROM toks GROUP BY 1),
+      |stats AS (SELECT CAST(sum(len) AS BIGINT) AS ltot,
+      |                 CAST(count(*) AS BIGINT) AS n_docs FROM lens),
+      |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |       FROM toks GROUP BY 1),
+      |qt AS (SELECT DISTINCT tok FROM toks WHERE doc_id = 0),
+      |tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks WHERE doc_id <> 0 GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT t.doc_id,
+      |    (1000 * 22 * s.ltot * t.tf * (length(bin(s.n_docs // d.df)) - 1))
+      |      // (10 * s.ltot * t.tf + 3 * s.ltot + 9 * l.len * s.n_docs)
+      |      AS term_milli
+      |  FROM tf t
+      |  JOIN qt USING (tok)
+      |  JOIN df d USING (tok)
+      |  JOIN lens l ON t.doc_id = l.doc_id
+      |  CROSS JOIN stats s)
+      |SELECT doc_id, CAST(sum(term_milli) AS BIGINT) AS bm25_milli,
+      |       CAST(count(*) AS BIGINT) AS n_terms
+      |FROM sc GROUP BY doc_id
+      |ORDER BY bm25_milli DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   /** DuckDB twin: the banding is lossless, so the oracle states the
     * plain within-block inequality join.
     */
@@ -892,6 +976,8 @@ object TextOps {
     Q("q140_entity_resolution", q140EntityResolution, Some(q140Sql),
       Seq("F-text", "X-dedup", "X-scale"),
       "entity canonicalization: fuzzy pairs → transitive clusters → majority-vote names"),
+    Q("q143_bm25", q143Bm25, Some(q143Sql), Seq("F-text", "X-sim"),
+      "BM25 ranked retrieval: integer-exact tf saturation + length normalization"),
     Q("q102_normalize", q102Normalize, Some(q102Sql), Seq("F-text", "X-custom"),
       "canonical NFC + casefold + whitespace normalization, native expression"),
     Q("q67_surprisal", q67Surprisal, Some(q67Sql), Seq("F-text"),

@@ -199,6 +199,65 @@ object EventsStreaming {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
+
+  final case class BalanceState(lastTs: Long, lastId: Long, s: Long, m: Long,
+      peak: Long, lost: Long, stockouts: Long, n: Long)
+  final case class UserBalance(user_id: Long, n_events: Long,
+      end_balance: Long, peak_balance: Long, lost_demand: Long,
+      stockouts: Long)
+
+  /** Streaming twin of q139's Lindley fold: a per-user clamped-at-zero
+    * points balance over the event stream — 'purchase' events CREDIT
+    * round(value·100) integer cents of points, every other type SPENDS
+    * theirs, and spend against an empty balance is LOST (the clamp), not
+    * owed. The non-associative clamp that batch q139 evaluates as
+    * shared-sort windows becomes O(1) streaming state per user: the
+    * unclamped running sum S, its floor m = min(0, min S), and the
+    * running summary counters — update is one integer compare-and-add
+    * per event, and balance = S − m at any point.
+    *
+    * Ordering contract: events apply in event-time order within each
+    * micro-batch ((ts, event_id) sort); an event at-or-before the last
+    * applied (ts, id) cannot be folded into a non-commutative scan after
+    * the fact and is DROPPED — standard ledger at-most-once semantics.
+    * StreamingSpec pins multi-batch equality against the batch windows
+    * on an in-order feed, and the late-event drop explicitly. Update
+    * mode: each batch re-emits the refreshed summary row per touched
+    * user; the memory/console sink's latest row per user IS the balance
+    * table. State is one fixed-size struct per user — bounded by user
+    * cardinality, not event volume (a production deployment adds an
+    * inactivity TTL exactly like cdcApply's tombstone TTL if the user
+    * space itself is unbounded).
+    */
+  def runningBalance(events: Dataset[Event]): Dataset[UserBalance] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BalanceState, UserBalance](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[BalanceState]) =>
+          var st = state.getOption.getOrElse(
+            BalanceState(Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L))
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            val inOrder = t > st.lastTs || (t == st.lastTs && e.event_id > st.lastId)
+            if (inOrder) {
+              val cents = math.round(e.value * 100)
+              val delta = if (e.event_type == "purchase") cents else -cents
+              val s2 = st.s + delta
+              val m2 = math.min(st.m, math.min(0L, s2))
+              st = BalanceState(t, e.event_id, s2, m2,
+                peak = math.max(st.peak, s2 - m2),
+                lost = st.lost + (st.m - m2),
+                stockouts = st.stockouts + (if (s2 < st.m) 1L else 0L),
+                n = st.n + 1)
+            }
+          }
+          state.update(st)
+          Iterator.single(UserBalance(uid, st.n, st.s - st.m, st.peak,
+            st.lost, st.stockouts))
+      }
+  }
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)
   final case class UserSession(user_id: Long, start: java.sql.Timestamp,
       end: java.sql.Timestamp, n_events: Long, total_value: Double)

@@ -593,6 +593,36 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(r.getAs[Long]("orphan_rows") == 0L && r.getAs[Long]("null_rows") == 0L)
   }
 
+  test("q143 bm25: exact integer scores, tf saturation, length normalization") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (0L, "apple banana"), // the query doc
+      (1L, "apple banana x1 x2"),
+      (2L, "apple apple apple apple x3 x4 x5 x6"),
+      (3L, "apple b1 b2 b3 b4 b5 b6 b7"),
+      (4L, "f1 f2"), (5L, "f3 f4"), (6L, "f5 f6"), (7L, "f7 f8")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25Of(docs).as[(Long, Long, Long)].collect().toList
+    // replicate the exact integer rational from the scaladoc
+    val N = 8L
+    val L = 2L + 4 + 8 + 8 + 8 // total corpus tokens
+    def idf(df: Long) = java.lang.Long.toBinaryString(N / df).length.toLong - 1
+    def term(tf: Long, len: Long, df: Long) =
+      (1000L * 22 * L * tf * idf(df)) / (10 * L * tf + 3 * L + 9 * len * N)
+    val dfApple = 4L // docs 0,1,2,3
+    val dfBanana = 2L // docs 0,1
+    val s1 = term(1, 4, dfApple) + term(1, 4, dfBanana)
+    val s2 = term(4, 8, dfApple)
+    val s3 = term(1, 8, dfApple)
+    val expected = List((1L, s1, 2L), (2L, s2, 1L), (3L, s3, 1L))
+      .sortBy(t => (-t._2, t._1))
+    assert(out == expected)
+    // tf saturation: four occurrences are worth less than 4x one
+    assert(s2 < 4 * term(1, 8, dfApple))
+    // length normalization: same tf in a doc twice as long scores lower
+    assert(s3 < term(1, 4, dfApple))
+  }
+
   test("q140 canonicalization: typo chain merges transitively, majority name wins") {
     import graft.operators.TextOps
     // 1-2-3-4 form one entity only through the chain (1 and 3 share no

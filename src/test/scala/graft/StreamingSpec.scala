@@ -318,4 +318,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.n_events == 3 && s.total_value == 3.0)
     assert(s.start.getTime == SessBase * 60000 && s.end.getTime == (SessBase + 20) * 60000)
   }
+
+  test("streaming running balance equals the batch Lindley windows, drops a late event") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventsStreaming.UserBalance
+    val source = MemoryStream[Event]
+    def ev(id: Long, user: Long, sec: Long, typ: String, v: Double) =
+      Event(id, new java.sql.Timestamp(sec * 1000), user, typ, v)
+    val b1 = Seq(
+      ev(1, 1, 100, "purchase", 5.00), // +500 → bal 500
+      ev(2, 1, 200, "click", 3.00),    // −300 → 200
+      ev(3, 2, 100, "view", 4.00))     // −400 → 0: 400 lost, stockout
+    val b2 = Seq(
+      ev(4, 1, 300, "error", 4.00),     // −400 → 0: 200 lost, stockout
+      ev(5, 1, 400, "purchase", 10.00), // +1000 → 1000
+      ev(6, 1, 50, "purchase", 99.00),  // LATE (before user 1's last) → dropped
+      ev(7, 2, 150, "purchase", 2.50))  // +250 → 250
+    val q = EventsStreaming.runningBalance(source.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("balance_stream").start()
+    source.addData(b1: _*); q.processAllAvailable()
+    source.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // Update mode re-emits per batch; the latest summary per user is the
+    // one with the highest applied-event count
+    val latest = spark.table("balance_stream").as[UserBalance].collect()
+      .groupBy(_.user_id).map(_._2.maxBy(_.n_events))
+      .map(b => (b.user_id, b.n_events, b.end_balance, b.peak_balance,
+        b.lost_demand, b.stockouts)).toSet
+    // batch twin: the SAME applied (in-order) events through the q139
+    // Lindley windows — user→supplier, second→shipdate, id→orderkey
+    val applied = Seq(
+      (1L, 100L, 1L, 1L, 500L), (1L, 200L, 2L, 1L, -300L),
+      (1L, 300L, 4L, 1L, -400L), (1L, 400L, 5L, 1L, 1000L),
+      (2L, 100L, 3L, 1L, -400L), (2L, 150L, 7L, 1L, 250L))
+      .toDF("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "delta")
+    val batch = operators.TemporalOps.clampedBalance(applied)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(latest == batch)
+    assert(latest == Set(
+      (1L, 4L, 1000L, 1000L, 200L, 1L),
+      (2L, 2L, 250L, 250L, 400L, 1L)))
+  }
 }
