@@ -681,7 +681,45 @@ object CurationOps {
       |ORDER BY ml_milli ASC, doc_id ASC
       |LIMIT 20""".stripMargin
 
+  /** q150: cross-source quantile normalization — map each document's
+    * raw quality signal (chars here; any score plugs in) to its
+    * source-RELATIVE percentile, so one curation threshold means the
+    * same thing in every source. Raw-score thresholds are incomparable
+    * across sources (a "short" web page and a "short" paper differ by
+    * 10×); q107's gate hard-codes one cut, this emits the whole
+    * normalized scale — downstream mixing (q69/q91) can then sample by
+    * uniform quantile instead of biased raw score.
+    *
+    * Scale shape: ONE window pass per source partition — percent_rank
+    * over (score, doc_id) (total order ⇒ no tie ambiguity) — then the
+    * decile is row-local arithmetic on the rank (NO second global
+    * window/sort: floor(q·10) over the already-normalized value).
+    * percent_rank = (rank−1)/(n−1) is a ratio of exact ints — emitted
+    * unrounded, bit-identical cross-engine.
+    */
+  def q150QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    Tables(spark, dir).documents
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("q", percent_rank().over(w))
+      .withColumn("decile", least(floor($"q" * 10), lit(9.0)).cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  val q150Sql: String =
+    """SELECT doc_id, source, n_chars,
+      |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS q,
+      |  CAST(least(floor(percent_rank() OVER (PARTITION BY source
+      |         ORDER BY n_chars, doc_id) * 10), 9) AS BIGINT) AS decile
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q150_quantile_normalize", q150QuantileNormalize, Some(q150Sql),
+      Seq("X-curation", "X-sample"),
+      "cross-source quantile normalization: per-source percent_rank to a shared scale"),
     Q("q61_pii_redact", q61PiiRedact, Some(q61Sql), Seq("X-curation"),
       "PII redaction: emails / IPv4s / long digit runs, ordered counts"),
     Q("q108_moore_lewis", q108MooreLewis, Some(q108Sql), Seq("X-curation", "X-sample"),

@@ -1186,7 +1186,80 @@ object DedupOps {
       |JOIN n nb ON source_b = nb.source
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** q148: LSH candidate-generation quality — recall and candidate
+    * precision of the q21 banding against the exact-Jaccard truth set.
+    * The number that answers "can I trust MinHash-LSH at 100 TB, where
+    * the exhaustive pass is impossible": measure recall at a scale
+    * where the exact answer IS computable (this query), then ship the
+    * banding whose miss rate you've seen. Candidate precision is the
+    * other dial — it prices the exact-verify stage (1/precision
+    * verifies per true pair).
+    *
+    * Truth = the q20 inverted-index exact-Jaccard pairs at the q21
+    * verify threshold (0.5); prediction = the band-collision candidate
+    * set BEFORE verification (bandedDocs — the same row-local signature
+    * construction the streaming dedup uses, pinned bit-for-bit to q21's
+    * aggregated form by StreamingSpec/PropertySpec). Plan: both sides
+    * are the existing one-shuffle machines; the eval itself joins two
+    * pair lists and folds three counts — output is ONE row regardless
+    * of corpus size.
+    */
+  def q148LshEval(spark: SparkSession, dir: String): DataFrame =
+    lshEvalOf(Tables(spark, dir).documents)
+
+  private[graft] def lshEvalOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val truth = jaccardPairs(docs, 0.5).select($"doc_a", $"doc_b")
+    val buckets = bandedDocs(docs, Seq.empty, portable = true)
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        $"a.band" === $"b.band" && $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select($"n_truth", $"n_cand", $"n_hit",
+        when($"n_truth" > 0, $"n_hit".cast("double") / $"n_truth").as("recall"),
+        when($"n_cand" > 0, $"n_hit".cast("double") / $"n_cand").as("precision"))
+  }
+
+  /** DuckDB twin: the shared portable-LSH bucket CTE (same as q21) for
+    * the candidate side, the q20 rare-shingle machinery at τ=0.5 for
+    * the truth side, INTERSECT for the hits.
+    */
+  val q148Sql: String =
+    s"""$lshBucketsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |rare AS (SELECT s FROM post GROUP BY s HAVING count(*) <= 25),
+       |pr AS (SELECT post.doc_id, post.s FROM post JOIN rare USING (s)),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN counts ca ON doc_a = ca.doc_id
+       |  JOIN counts cb ON doc_b = cb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+       |hit AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+       |SELECT
+       |  (SELECT count(*) FROM truth) AS n_truth,
+       |  (SELECT count(*) FROM cand) AS n_cand,
+       |  (SELECT count(*) FROM hit) AS n_hit,
+       |  CASE WHEN (SELECT count(*) FROM truth) > 0
+       |       THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
+       |            / (SELECT count(*) FROM truth) END AS recall,
+       |  CASE WHEN (SELECT count(*) FROM cand) > 0
+       |       THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
+       |            / (SELECT count(*) FROM cand) END AS precision""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q148_lsh_eval", q148LshEval, Some(q148Sql), Seq("X-dedup", "X-eval", "X-scale"),
+      "LSH candidate recall/precision vs the exact-Jaccard truth set"),
     Q("q19_dedup_exact", q19DedupExact, Some(q19Sql), Seq("X-dedup"),
       "exact dedup on md5 content fingerprint"),
     Q("q117_dedup_savings", q117DedupSavings, Some(q117Sql), Seq("X-dedup", "X-scale"),

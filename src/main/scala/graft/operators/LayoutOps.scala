@@ -200,7 +200,85 @@ object LayoutOps {
       |FROM pr
       |ORDER BY file_id NULLS LAST""".stripMargin
 
+  /** q149: zone-map pruning estimator — the "what does this layout buy
+    * my scans" number that decides whether a re-cluster (q75/q101) is
+    * worth its write cost. Parquet/lakehouse readers skip a file when
+    * its zone map (per-file min/max) excludes the predicate; how much
+    * gets skipped is purely a function of LAYOUT. This query simulates
+    * two layouts of the same lineitem rows — insert order (files =
+    * orderkey ranges) and date-partitioned (files = shipmonth ×
+    * orderkey bucket) — builds each file's shipdate zone map, and
+    * reports how many files/rows a one-month predicate must scan under
+    * each.
+    *
+    * Scale shape: one scan of the fact table per layout → groupBy
+    * (layout, file) over |files| groups (min/max/count fold partial →
+    * final) → a per-layout re-agg over the file inventory. The
+    * predicate evaluation runs against zone STATS, never re-reading
+    * rows — exactly how a real planner consults footer metadata. The
+    * date-partitioned layout is derived with pure column arithmetic
+    * (month key + key bucket), not a global sort — the same
+    * shuffle-free derivation a partitioned writer applies.
+    */
+  def q149ZonemapPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lo = lit(java.sql.Date.valueOf("1997-03-01"))
+    val hi = lit(java.sql.Date.valueOf("1997-03-31"))
+    val li = Tables(spark, dir).lineitem
+      .select($"l_orderkey", to_date($"l_shipdate").as("sd"))
+    val natural = li.select(lit("insert_order").as("layout"),
+      expr("l_orderkey div 512").as("file_id"), $"sd")
+    val parted = li.select(lit("date_partitioned").as("layout"),
+      (date_format($"sd", "yyyyMM").cast("long") * 100 + pmod($"l_orderkey", lit(50)))
+        .as("file_id"), $"sd")
+    natural.unionByName(parted)
+      .groupBy($"layout", $"file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"sd").as("mn"), max($"sd").as("mx"),
+        sum($"sd".between(lo, hi).cast("long")).as("n_match"))
+      .withColumn("scanned", ($"mn" <= hi && $"mx" >= lo).cast("long"))
+      .groupBy($"layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"scanned").as("files_scanned"),
+        sum($"n_rows").as("rows_total"),
+        sum($"scanned" * $"n_rows").as("rows_scanned"),
+        sum($"n_match").as("rows_matching"))
+      .withColumn("scan_fraction",
+        $"rows_scanned".cast("double") / $"rows_total")
+      .orderBy($"layout")
+  }
+
+  val q149Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, CAST(l_shipdate AS DATE) AS sd FROM lineitem),
+      |tagged AS (
+      |  SELECT 'insert_order' AS layout, l_orderkey // 512 AS file_id, sd FROM li
+      |  UNION ALL
+      |  SELECT 'date_partitioned',
+      |         CAST(strftime(sd, '%Y%m') AS BIGINT) * 100 + l_orderkey % 50, sd
+      |  FROM li),
+      |zones AS (
+      |  SELECT layout, file_id, count(*) AS n_rows,
+      |         min(sd) AS mn, max(sd) AS mx,
+      |         CAST(sum(CASE WHEN sd BETWEEN DATE '1997-03-01' AND DATE '1997-03-31'
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+      |         CASE WHEN min(sd) <= DATE '1997-03-31'
+      |                AND max(sd) >= DATE '1997-03-01'
+      |              THEN 1 ELSE 0 END AS scanned
+      |  FROM tagged GROUP BY layout, file_id)
+      |SELECT layout, count(*) AS n_files,
+      |  CAST(sum(scanned) AS BIGINT) AS files_scanned,
+      |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+      |  CAST(sum(scanned * n_rows) AS BIGINT) AS rows_scanned,
+      |  CAST(sum(n_match) AS BIGINT) AS rows_matching,
+      |  CAST(sum(scanned * n_rows) AS DOUBLE) / sum(n_rows) AS scan_fraction
+      |FROM zones
+      |GROUP BY layout
+      |ORDER BY layout""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q149_zonemap_prune", q149ZonemapPrune, Some(q149Sql), Seq("X-scale"),
+      "zone-map pruning estimator: files/rows scanned under two layouts of the same rows"),
     Q("q75_zorder_layout", q75ZorderLayout, Some(q75Sql), Seq("X-scale"),
       "Z-order (Morton) clustering key + tile for two-dimensional file skipping"),
     Q("q101_compaction_plan", q101CompactionPlan, Some(q101Sql), Seq("X-scale"),

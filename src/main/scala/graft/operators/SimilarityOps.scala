@@ -1231,7 +1231,241 @@ object SimilarityOps {
       |FROM h
       |ORDER BY bin_idx""".stripMargin
 
+  /** q145: embedding covariance/correlation matrix — the drift and
+    * whitening diagnostic a training-data pipeline runs per corpus
+    * snapshot (is the embedding space collapsing? which dimensions are
+    * redundant?).
+    *
+    * Scale shape: ONE pass over the corpus through the Gram aggregator
+    * (graft.functions.Gram) — each partition folds its vectors into a
+    * single exact-integer buffer (n, Σx, upper-triangle Σx·x), partials
+    * merge by elementwise addition, and everything downstream (index
+    * arithmetic, cov/corr finishing) runs on d(d+1)/2 = 2,080-row
+    * frames that never touch the corpus again. The naive
+    * posexplode-self-join states the same answer but shuffles 2,080
+    * rows PER VECTOR — that contrast is the oracle, which is free to be
+    * naive at sf0.01.
+    *
+    * Exactness: vectors quantize to the q99 integer-millis grid, so
+    * cov_num = n·Σxy − Σx·Σy is exact int64 (order-free merges); corr
+    * divides exact ints in IEEE double (same two sqrt/one divide in
+    * both engines) and rounds once.
+    */
+  def q145EmbedCovariance(spark: SparkSession, dir: String): DataFrame =
+    covarianceOf(Tables(spark, dir).embeddings)
+
+  private[graft] def covarianceOf(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val g = emb
+      .select(transform($"embedding",
+        x => round(x.cast("double") * 1000).cast("long")).as("eq"))
+      .agg(graft.functions.Gram.gramAgg($"eq").as("g"))
+      .select($"g.n".as("n"), $"g.sums".as("sums"), $"g.prods".as("prods"))
+      .localCheckpoint() // 1 row; pins the corpus pass so the three fan-outs below reuse it
+    val sums = g.select($"n", size($"sums").as("d"),
+      posexplode($"sums").as(Seq("i", "sx")))
+    val prods = g.select(posexplode($"prods").as(Seq("flat", "sxy")))
+    val ij = sums.select($"n", $"d", $"i", $"sx".as("sx_i"))
+      .crossJoin(sums.select($"i".as("j"), $"sx".as("sx_j")))
+      .filter($"i" <= $"j")
+      .withColumn("flat", expr("i * d - (i * (i - 1)) div 2 + (j - i)"))
+    val cov = ij.join(prods, "flat")
+      .select($"i", $"j",
+        ($"n" * $"sxy" - $"sx_i" * $"sx_j").as("cov_num"))
+    val vars = cov.filter($"i" === $"j").select($"i".as("k"), $"cov_num".as("var_num"))
+    cov
+      .join(broadcast(vars).withColumnRenamed("k", "i")
+        .withColumnRenamed("var_num", "var_i"), "i")
+      .join(broadcast(vars).withColumnRenamed("k", "j")
+        .withColumnRenamed("var_num", "var_j"), "j")
+      .select($"i".cast("long").as("i"), $"j".cast("long").as("j"), $"cov_num",
+        when($"var_i" > 0 && $"var_j" > 0,
+          round($"cov_num" / (sqrt($"var_i".cast("double")) * sqrt($"var_j".cast("double"))), 6))
+          .as("corr"))
+      .orderBy($"i", $"j")
+  }
+
+  val q145Sql: String =
+    """WITH u AS (
+      |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+      |  FROM embeddings),
+      |nn AS (SELECT count(*) AS n FROM embeddings),
+      |s AS (SELECT i, CAST(sum(x) AS BIGINT) AS sx FROM u GROUP BY i),
+      |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+      |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |      GROUP BY 1, 2),
+      |c AS (
+      |  SELECT p.i, p.j,
+      |         nn.n * p.sxy - si.sx * sj.sx AS cov_num
+      |  FROM p
+      |  CROSS JOIN nn
+      |  JOIN s si ON si.i = p.i
+      |  JOIN s sj ON sj.i = p.j),
+      |v AS (SELECT i AS k, cov_num AS var_num FROM c WHERE i = j)
+      |SELECT c.i, c.j, c.cov_num,
+      |  CASE WHEN vi.var_num > 0 AND vj.var_num > 0
+      |       THEN round(CAST(c.cov_num AS DOUBLE)
+      |            / (sqrt(CAST(vi.var_num AS DOUBLE)) * sqrt(CAST(vj.var_num AS DOUBLE))), 6)
+      |       END AS corr
+      |FROM c
+      |JOIN v vi ON vi.k = c.i
+      |JOIN v vj ON vj.k = c.j
+      |ORDER BY c.i, c.j""".stripMargin
+
+  /** q147: ANN index quality evaluation — recall@k of the IVF probe
+    * path (q25's index) against the exact brute-force ranking, over a
+    * deterministic panel of query vectors. The measurement that decides
+    * nProbe/cell-count BEFORE an index ships; without it "we built an
+    * IVF index" is an assertion, not a number.
+    *
+    * Scale shape: the query panel (20 vectors) broadcasts to both legs;
+    * the brute leg is one linear corpus scan scoring 20 dots per row
+    * (TakeOrderedAndProject-style per-query top-k via a rank window
+    * over 20×N scored rows — the scored frame, not payloads, shuffles);
+    * the IVF leg scans only probed cells. Recall joins two (query,
+    * rank≤10) lists — 200 rows a side regardless of corpus size.
+    *
+    * Exactness: scores are integer-millis dot/norm ratios (exact int
+    * sums into IEEE doubles), so both engines rank identically and the
+    * intersection counts are stable — no float-tie ambiguity at the
+    * rank-10 boundary.
+    */
+  def q147AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nQueries = 20
+    val topK = 10
+    val e = Tables(spark, dir).embeddings
+      .select($"vec_id", $"label",
+        transform($"embedding",
+          x => round(x.cast("double") * 1000).cast("long")).as("eq"))
+      .localCheckpoint()
+    val qs = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"eq".as("q_eq"))
+    def score(base: DataFrame): DataFrame = base
+      .select($"q_id", $"vec_id",
+        (graft.plans.FloatVectorExpressions.dotI64($"eq", $"q_eq").cast("double") /
+          (sqrt(graft.plans.FloatVectorExpressions.normSqI64($"eq").cast("double")) *
+            sqrt(graft.plans.FloatVectorExpressions.normSqI64($"q_eq").cast("double"))))
+          .as("cos"))
+    def rank(scored: DataFrame): DataFrame = scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
+          .orderBy($"cos".desc, $"vec_id")))
+      .filter($"rnk" <= topK)
+      .select($"q_id", $"vec_id", $"rnk")
+    val brute = rank(score(
+      e.crossJoin(broadcast(qs)).filter($"vec_id" =!= $"q_id")))
+    // IVF leg: per-query top-2 cells by centroid cosine (integer-mean
+    // centroids on the same grid), then score only those cells' vectors.
+    val cent = e.select($"label", posexplode($"eq").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(sum($"x").as("sx"), count(lit(1)).as("cnt"))
+      .groupBy($"label")
+      .agg(collect_list(struct($"pos", $"sx", $"cnt")).as("parts"))
+      .select($"label",
+        transform(array_sort($"parts"),
+          p => floor((p.getField("sx") * 1000).cast("double") / p.getField("cnt"))
+            .cast("long")).as("ceq"))
+    val probed = cent.crossJoin(broadcast(qs))
+      .select($"q_id", $"label",
+        (graft.plans.FloatVectorExpressions.dotI64($"ceq", $"q_eq").cast("double") /
+          (sqrt(graft.plans.FloatVectorExpressions.normSqI64($"ceq").cast("double")) *
+            sqrt(graft.plans.FloatVectorExpressions.normSqI64($"q_eq").cast("double"))))
+          .as("ccos"))
+      .withColumn("crnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
+          .orderBy($"ccos".desc, $"label")))
+      .filter($"crnk" <= 2)
+      .select($"q_id", $"label")
+    val ivf = rank(score(
+      e.join(broadcast(probed), Seq("label"))
+        .join(broadcast(qs), Seq("q_id"))
+        .filter($"vec_id" =!= $"q_id")))
+    val joined = brute.as("b").join(ivf.as("v"), Seq("q_id", "vec_id"))
+      .select($"q_id", col("b.rnk").as("brnk"), col("v.rnk").as("vrnk"))
+      .localCheckpoint() // ≤ 200 rows; reused by the three k-cuts below
+    val ks = Seq(1, 5, 10)
+    ks.map { k =>
+      joined.filter($"brnk" <= k && $"vrnk" <= k)
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(k.toLong).as("k"), $"hits",
+          round($"hits".cast("double") / (nQueries.toLong * k), 4).as("recall"))
+    }.reduce(_ union _)
+      .orderBy($"k")
+  }
+
+  val q147Sql: String = {
+    val perK = Seq(1, 5, 10).map { k =>
+      s"""SELECT $k AS k, count(*) AS hits,
+         |  round(CAST(count(*) AS DOUBLE) / (20 * $k), 4) AS recall
+         |FROM j WHERE brnk <= $k AND vrnk <= $k""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\n")
+    s"""WITH e AS (
+      |  SELECT vec_id, label,
+      |         [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding]
+      |           AS eq
+      |  FROM embeddings),
+      |qs AS (SELECT vec_id AS q_id, eq AS q_eq FROM e WHERE vec_id < 20),
+      |bu AS (
+      |  SELECT q.q_id, e.vec_id, unnest(e.eq) AS x, unnest(q.q_eq) AS y
+      |  FROM e CROSS JOIN qs q WHERE e.vec_id <> q.q_id),
+      |bs AS (SELECT q_id, vec_id, sum(x * y) AS dot,
+      |              sum(x * x) AS nx, sum(y * y) AS ny
+      |       FROM bu GROUP BY 1, 2),
+      |br AS (SELECT q_id, vec_id,
+      |              row_number() OVER (PARTITION BY q_id
+      |                ORDER BY CAST(dot AS DOUBLE)
+      |                  / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE))) DESC,
+      |                  vec_id) AS rnk
+      |       FROM bs),
+      |cu AS (SELECT label, unnest(range(len(eq))) AS pos, unnest(eq) AS x FROM e),
+      |cent AS (SELECT label, pos,
+      |                CAST(floor(CAST(sum(x) * 1000 AS DOUBLE) / count(*)) AS BIGINT) AS c
+      |         FROM cu GROUP BY 1, 2),
+      |cq AS (SELECT c.label, q.q_id, sum(c.c * yq.y) AS dot,
+      |              sum(c.c * c.c) AS nc, sum(yq.y * yq.y) AS nq
+      |       FROM cent c
+      |       CROSS JOIN qs q
+      |       JOIN (SELECT q_id, unnest(range(len(q_eq))) AS pos,
+      |                    unnest(q_eq) AS y FROM qs) yq
+      |         ON yq.q_id = q.q_id AND yq.pos = c.pos
+      |       GROUP BY 1, 2),
+      |probed AS (
+      |  SELECT q_id, label FROM (
+      |    SELECT q_id, label,
+      |           row_number() OVER (PARTITION BY q_id
+      |             ORDER BY CAST(dot AS DOUBLE)
+      |               / (sqrt(CAST(nc AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))) DESC,
+      |               label) AS crnk
+      |    FROM cq) WHERE crnk <= 2),
+      |vu AS (
+      |  SELECT p.q_id, e.vec_id, unnest(e.eq) AS x, unnest(q.q_eq) AS y
+      |  FROM e JOIN probed p ON e.label = p.label
+      |  JOIN qs q ON q.q_id = p.q_id
+      |  WHERE e.vec_id <> p.q_id),
+      |vs AS (SELECT q_id, vec_id, sum(x * y) AS dot,
+      |              sum(x * x) AS nx, sum(y * y) AS ny
+      |       FROM vu GROUP BY 1, 2),
+      |vr AS (SELECT q_id, vec_id,
+      |              row_number() OVER (PARTITION BY q_id
+      |                ORDER BY CAST(dot AS DOUBLE)
+      |                  / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE))) DESC,
+      |                  vec_id) AS rnk
+      |       FROM vs),
+      |j AS (SELECT b.q_id, b.rnk AS brnk, v.rnk AS vrnk
+      |      FROM br b JOIN vr v USING (q_id, vec_id)
+      |      WHERE b.rnk <= 10 AND v.rnk <= 10)
+      |$perK
+      |ORDER BY k""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q145_embed_covariance", q145EmbedCovariance, Some(q145Sql),
+      Seq("X-sim", "X-stats", "X-scale"),
+      "embedding covariance/correlation matrix via one-pass exact-integer Gram aggregator"),
+    Q("q147_ann_recall", q147AnnRecall, Some(q147Sql), Seq("X-sim", "X-eval"),
+      "recall@k of the IVF probe path vs exact brute-force over a 20-query panel"),
     Q("q141_cosine_spectrum", q141CosineSpectrum, Some(q141Sql),
       Seq("X-sim", "X-stats", "X-scale"),
       "pairwise-cosine spectrum histogram over hash-bucket-sampled pairs"),

@@ -232,4 +232,22 @@ class CurationSpec extends AnyFunSuite {
       assert(nDocs === nClusters * 3)
     }
   }
+
+  test("q150 quantile normalization: per-source [0,1] scale, monotone, deciles consistent") {
+    val rows = graft.operators.CurationOps.q150QuantileNormalize(spark, TestSpark.sf)
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val q = r.getAs[Double]("q")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getAs[Long]("decile") == math.min(math.floor(q * 10).toLong, 9L))
+    }
+    // within a source, q is monotone in (n_chars, doc_id) and hits 0 and 1
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, g) =>
+      val sorted = g.sortBy(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+      val qs = sorted.map(_.getAs[Double]("q")).toSeq
+      assert(qs == qs.sorted)
+      assert(qs.head == 0.0 && qs.last == 1.0)
+    }
+  }
 }

@@ -614,6 +614,69 @@ class DedupSimilaritySpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Double]("bin_lo") == r.getAs[Long]("bin_idx") / 20.0))
   }
 
+  test("Gram aggregator folds exact sums and upper-triangle products") {
+    import graft.functions.Gram
+    val df = Seq(Seq(1L, 2L), Seq(3L, 4L)).toDF("eq")
+    val r = df.agg(Gram.gramAgg($"eq").as("g"))
+      .select($"g.n", $"g.sums", $"g.prods").collect().head
+    assert(r.getLong(0) == 2L)
+    assert(r.getSeq[Long](1) == Seq(4L, 6L)) // Σx₀, Σx₁
+    assert(r.getSeq[Long](2) == Seq(10L, 14L, 20L)) // Σx₀², Σx₀x₁, Σx₁²
+    assert(Gram.triIndex(2, 0, 1) == 1 && Gram.triIndex(2, 1, 1) == 2)
+  }
+
+  test("q145 covariance: planted perfect correlation, zero-variance NULL") {
+    // y = 2x (corr exactly 1.0); z constant (variance 0 → corr NULL)
+    val emb = Seq(
+      (0L, Seq(1f, 2f, 5f)), (1L, Seq(2f, 4f, 5f)), (2L, Seq(3f, 6f, 5f)))
+      .toDF("vec_id", "embedding")
+    val rows = SimilarityOps.covarianceOf(emb).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r).toMap
+    assert(rows.size == 6) // d=3 upper triangle
+    // hand-folded on the ×1000 integer grid: x = [1000, 2000, 3000]
+    assert(rows((0L, 0L)).getAs[Long]("cov_num") == 6000000L)
+    assert(rows((0L, 1L)).getAs[Long]("cov_num") == 12000000L)
+    assert(rows((0L, 1L)).getAs[Double]("corr") == 1.0)
+    assert(rows((2L, 2L)).getAs[Long]("cov_num") == 0L)
+    assert(rows((0L, 2L)).isNullAt(rows((0L, 2L)).fieldIndex("corr")))
+  }
+
+  test("q147 ann recall: rows well-formed, hits bounded by panel size") {
+    val rows = SimilarityOps.q147AnnRecall(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 5L, 10L))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val hits = r.getAs[Long]("hits")
+      assert(hits >= 0L && hits <= 20L * k)
+      assert(math.abs(r.getAs[Double]("recall") - hits.toDouble / (20L * k)) < 1e-9)
+    }
+    // probing 2 cells can only help: recall is positive on this fixture
+    assert(rows.map(_.getAs[Long]("hits")).sum > 0L)
+  }
+
+  test("q148 lsh eval: planted exact dup scores perfect recall and precision") {
+    import graft.operators.DedupOps
+    def txt150(tag: String) = (1 to 60).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, txt150("a")), (2L, txt150("a")), // exact dup pair: truth AND candidate
+      (3L, txt150("b")), (4L, txt150("c"))) // disjoint vocab: neither
+      .toDF("doc_id", "text")
+    val r = DedupOps.lshEvalOf(docs).collect().head
+    assert(r.getAs[Long]("n_truth") == 1L)
+    assert(r.getAs[Long]("n_cand") == 1L)
+    assert(r.getAs[Long]("n_hit") == 1L)
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(r.getAs[Double]("precision") == 1.0)
+  }
+
+  test("q148 lsh eval on the fixture: hits bounded, ratios consistent") {
+    val r = graft.operators.DedupOps.q148LshEval(spark, TestSpark.sf).collect().head
+    val (t, c, h) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_cand"), r.getAs[Long]("n_hit"))
+    assert(h <= math.min(t, c))
+    if (t > 0) assert(r.getAs[Double]("recall") == h.toDouble / t)
+    if (c > 0) assert(r.getAs[Double]("precision") == h.toDouble / c)
+  }
+
   test("q137 knn graph refuses an oversized cell with guidance") {
     val emb = Seq(
       (0L, 0, Seq(1f, 0f)), (1L, 0, Seq(0f, 1f)), (2L, 0, Seq(1f, 1f))

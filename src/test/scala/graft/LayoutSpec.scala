@@ -123,4 +123,22 @@ class LayoutSpec extends AnyFunSuite {
       (Some(2L), 1L, 1L, 1L),
       (None, 8L, 2L, 4L))) // write amplification: 4 rewritten / 2 changed
   }
+
+  test("q149 zone maps: partitioned layout scans strictly less, matches agree") {
+    val rows = LayoutOps.q149ZonemapPrune(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    val part = rows("date_partitioned")
+    val ins = rows("insert_order")
+    // both layouts hold the same rows and find the same matches
+    assert(part.getAs[Long]("rows_total") == ins.getAs[Long]("rows_total"))
+    assert(part.getAs[Long]("rows_matching") == ins.getAs[Long]("rows_matching"))
+    assert(part.getAs[Long]("rows_matching") > 0)
+    // pruning can only skip non-matching rows, never matches
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matching"))
+      assert(r.getAs[Long]("files_scanned") <= r.getAs[Long]("n_files"))
+    }
+    // the point of the layout: the partitioned scan fraction is far smaller
+    assert(part.getAs[Double]("scan_fraction") < ins.getAs[Double]("scan_fraction") / 10)
+  }
 }

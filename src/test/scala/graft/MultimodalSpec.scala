@@ -45,6 +45,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(idx.forall(_ % 4 == 0))
   }
 
+  test("phash bits are local: an in-place edit flips only overlapped blocks") {
+    // 640 'a' bytes (97 > the 96 threshold) → all 64 bits set; blocks are
+    // exactly 10 bytes, so overwriting positions 10..19 with 'Z' (90)
+    // rewrites block 1 alone → Hamming distance exactly 1.
+    val base = Array.fill(640)('a'.toByte)
+    val edited = base.clone()
+    (10 until 20).foreach(i => edited(i) = 'Z'.toByte)
+    val h0 = MultimodalOps.phashBytes(base)
+    val h1 = MultimodalOps.phashBytes(edited)
+    assert(h0 == -1L) // all 64 bits set
+    assert(java.lang.Long.bitCount(h0 ^ h1) == 1)
+    assert((h1 & (1L << 1)) == 0L) // the flipped bit is block 1's
+    assert(MultimodalOps.phashBytes(Array.empty[Byte]) == 0L)
+  }
+
+  test("q144 banded candidate generation is lossless at radius 3 (pigeonhole)") {
+    // brute-force every pair's Hamming distance from the same hashes and
+    // compare with the banded plan's output — must be identical sets.
+    val media = MultimodalOps.mediaWithCanaries(spark, sf)
+    val hashes = media.collect().map(m => m.media_id -> MultimodalOps.phashBytes(m.payload))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= MultimodalOps.PhashHammingMax
+    } yield (ia, ib)).toSet
+    val banded = MultimodalOps.q144PhashDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // the canaries guarantee planted positives
+    // every canary twin whose hash landed within the radius is found
+    // (short documents spread the 10-byte edit over more blocks, so a
+    // canary pair can legitimately exceed the radius — the lossless
+    // claim is about candidate generation, not about edit distance)
+    val hs = hashes.toMap
+    val within = hashes.collect {
+      case (id, h) if id >= 100000 &&
+        java.lang.Long.bitCount(h ^ hs(id - 100000)) <= MultimodalOps.PhashHammingMax =>
+        id - 100000
+    }
+    assert(within.nonEmpty)
+    within.foreach(c => assert(banded.contains((c, c + 100000))))
+  }
+
   test("resize stub keeps every stride-th byte and rescales metadata") {
     import MultimodalOps.MediaRow
     val media = Seq(

@@ -648,4 +648,27 @@ class ProfilingTextSpec extends AnyFunSuite {
       .as[(Long, Long, Long, String)].collect().toList
     assert(out == List((1L, 2L, 2L, "alpha")))
   }
+
+  test("q146 bucket diff flags exactly the buckets holding planted drift") {
+    import graft.operators.Profiling
+    // Derive the expected report from the planted-drift rules directly:
+    // buckets with a dropped key (%997) must be count_diff; buckets whose
+    // only perturbation is a price shift (%991) must be content_diff;
+    // nothing else may appear.
+    val keys = Tables(spark, TestSpark.sf).orders
+      .select($"o_orderkey").as[Long].collect()
+    val dropped = keys.filter(_ % 997 == 0).map(_ % 4096).toSet
+    val shifted = keys.filter(k => k % 991 == 0 && k % 997 != 0)
+      .map(_ % 4096).toSet
+    val expected = dropped.map(_ -> "count_diff").toMap ++
+      (shifted -- dropped).map(_ -> "content_diff").toMap
+    val got = Profiling.q146BucketDiff(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[String]("status")).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // count deltas reconcile: total missing rows == number of dropped keys
+    val rows = Profiling.q146BucketDiff(spark, TestSpark.sf).collect()
+    val missing = rows.map(r => r.getAs[Long]("n_a") - r.getAs[Long]("n_b")).sum
+    assert(missing == keys.count(_ % 997 == 0))
+  }
 }
