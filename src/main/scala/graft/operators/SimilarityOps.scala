@@ -1254,14 +1254,18 @@ object SimilarityOps {
   def q145EmbedCovariance(spark: SparkSession, dir: String): DataFrame =
     covarianceOf(Tables(spark, dir).embeddings)
 
-  private[graft] def covarianceOf(emb: DataFrame): DataFrame = {
+  /** Upper-triangle covariance numerators (i, j, cov_num = n·Σxy − Σx·Σy)
+    * from ONE corpus pass through the Gram aggregator. Shared core of
+    * q145 (cov/corr finishing) and q151 (power iteration).
+    */
+  private[graft] def covNums(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
     val g = emb
       .select(transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
       .agg(graft.functions.Gram.gramAgg($"eq").as("g"))
       .select($"g.n".as("n"), $"g.sums".as("sums"), $"g.prods".as("prods"))
-      .localCheckpoint() // 1 row; pins the corpus pass so the three fan-outs below reuse it
+      .localCheckpoint() // 1 row; pins the corpus pass so the fan-outs below reuse it
     val sums = g.select($"n", size($"sums").as("d"),
       posexplode($"sums").as(Seq("i", "sx")))
     val prods = g.select(posexplode($"prods").as(Seq("flat", "sxy")))
@@ -1269,9 +1273,14 @@ object SimilarityOps {
       .crossJoin(sums.select($"i".as("j"), $"sx".as("sx_j")))
       .filter($"i" <= $"j")
       .withColumn("flat", expr("i * d - (i * (i - 1)) div 2 + (j - i)"))
-    val cov = ij.join(prods, "flat")
+    ij.join(prods, "flat")
       .select($"i", $"j",
         ($"n" * $"sxy" - $"sx_i" * $"sx_j").as("cov_num"))
+  }
+
+  private[graft] def covarianceOf(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val cov = covNums(emb)
     val vars = cov.filter($"i" === $"j").select($"i".as("k"), $"cov_num".as("var_num"))
     cov
       .join(broadcast(vars).withColumnRenamed("k", "i")
@@ -1312,6 +1321,106 @@ object SimilarityOps {
       |JOIN v vi ON vi.k = c.i
       |JOIN v vj ON vj.k = c.j
       |ORDER BY c.i, c.j""".stripMargin
+
+  /** q151: top principal component of the embedding corpus — the
+    * direction that explains the most variance, i.e. the PCA axis a
+    * whitening/compression/drift pipeline wants first. Uses q145's
+    * one-pass Gram core, then 8 fixed power-iteration rounds on the
+    * d×d covariance — corpus data is touched ONCE; every iteration
+    * runs on ≤ d² = 4,096-row frames.
+    *
+    * Exactness: the naive iteration (doubles, per-group sums) is
+    * nondeterministic under partial-aggregate merge order; here every
+    * mat-vec is EXACT int64 — the matrix is pre-shifted below 2³⁰ and
+    * the vector re-shifted below 2²¹ each round (arithmetic >> is floor
+    * division by 2^k in both engines, including negatives), so products
+    * stay ≤ 2⁵¹ and the iteration is bit-identical cross-engine. Only
+    * the final normalization divides exact ints in IEEE doubles. Sign
+    * is fixed by making the largest-|v| entry (ties → lowest dim)
+    * positive — eigenvector sign is otherwise arbitrary.
+    */
+  def q151TopComponent(spark: SparkSession, dir: String): DataFrame =
+    topComponentOf(Tables(spark, dir).embeddings)
+
+  private[graft] def topComponentOf(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val upper = covNums(emb).localCheckpoint() // ≤ d² rows; pinned for the mirror + 8 rounds
+    val full = upper.select($"i", $"j", $"cov_num")
+      .union(upper.filter($"i" =!= $"j")
+        .select($"j".as("i"), $"i".as("j"), $"cov_num"))
+    val shC = full.agg(
+      greatest(lit(0), length(bin(max(abs($"cov_num")))) - 1 - 30).as("sh"))
+    val c = full.crossJoin(broadcast(shC))
+      .select($"i", $"j", expr("shiftright(cov_num, sh)").as("c"))
+      .localCheckpoint()
+    var vec = upper.select($"i").distinct()
+      .select($"i".as("j"), lit(1000L).as("v"))
+    for (_ <- 1 to 8) {
+      val w = c.join(vec, Seq("j")).groupBy($"i").agg(sum($"c" * $"v").as("w"))
+      val sh = w.agg(
+        greatest(lit(0), length(bin(max(abs($"w")))) - 1 - 20).as("sh"))
+      vec = w.crossJoin(broadcast(sh))
+        .select($"i".as("j"), expr("shiftright(w, sh)").as("v"))
+        .localCheckpoint() // cut the 8-round lineage (q89 pattern)
+    }
+    val sgn = vec.orderBy(abs($"v").desc, $"j".asc).limit(1)
+      .select(when($"v" < 0, lit(-1L)).otherwise(lit(1L)).as("sgn"))
+    val nrm = vec.agg(sum($"v" * $"v").as("n2"))
+    vec.crossJoin(broadcast(sgn)).crossJoin(broadcast(nrm))
+      .select($"j".cast("long").as("dim"),
+        when($"n2" > 0,
+          round(($"v" * $"sgn").cast("double") / sqrt($"n2".cast("double")), 6))
+          .as("loading"))
+      .orderBy($"dim")
+  }
+
+  val q151Sql: String = {
+    // every multiply-referenced CTE is pinned MATERIALIZED: DuckDB
+    // re-inlines plain CTEs per reference, and 8 chained iterations
+    // over a re-inlined scan chain explode the plan (and the file
+    // handle count) exponentially
+    val iters = (1 to 8).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT c.i, CAST(sum(c.c * v${k - 1}.v) AS BIGINT) AS w
+         |  FROM c JOIN v${k - 1} ON v${k - 1}.j = c.j GROUP BY c.i),
+         |s$k AS (SELECT greatest(0, length(bin(max(abs(w)))) - 1 - 20) AS sh
+         |        FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i AS j, w >> sh AS v FROM w$k, s$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u AS (
+      |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+      |  FROM embeddings),
+      |nn AS (SELECT count(*) AS n FROM embeddings),
+      |s AS (SELECT i, CAST(sum(x) AS BIGINT) AS sx FROM u GROUP BY i),
+      |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+      |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |      GROUP BY 1, 2),
+      |upper_c AS MATERIALIZED (
+      |  SELECT p.i, p.j, nn.n * p.sxy - si.sx * sj.sx AS cov_num
+      |  FROM p
+      |  CROSS JOIN nn
+      |  JOIN s si ON si.i = p.i
+      |  JOIN s sj ON sj.i = p.j),
+      |fullm AS MATERIALIZED (
+      |  SELECT i, j, cov_num FROM upper_c
+      |  UNION ALL
+      |  SELECT j, i, cov_num FROM upper_c WHERE i <> j),
+      |shc AS (SELECT greatest(0, length(bin(max(abs(cov_num)))) - 1 - 30) AS sh
+      |        FROM fullm),
+      |c AS MATERIALIZED (SELECT i, j, cov_num >> sh AS c FROM fullm, shc),
+      |v0 AS MATERIALIZED (SELECT DISTINCT i AS j, 1000::BIGINT AS v FROM fullm),
+      |$iters,
+      |sgnrow AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn
+      |           FROM v8 ORDER BY abs(v) DESC, j LIMIT 1),
+      |nrm AS (SELECT CAST(sum(v * v) AS BIGINT) AS n2 FROM v8)
+      |SELECT v8.j AS dim,
+      |  CASE WHEN nrm.n2 > 0
+      |       THEN round(CAST(v8.v * sgnrow.sgn AS DOUBLE)
+      |                  / sqrt(CAST(nrm.n2 AS DOUBLE)), 6) END AS loading
+      |FROM v8, sgnrow, nrm
+      |ORDER BY dim""".stripMargin
+  }
 
   /** q147: ANN index quality evaluation — recall@k of the IVF probe
     * path (q25's index) against the exact brute-force ranking, over a
@@ -1466,6 +1575,9 @@ object SimilarityOps {
       "embedding covariance/correlation matrix via one-pass exact-integer Gram aggregator"),
     Q("q147_ann_recall", q147AnnRecall, Some(q147Sql), Seq("X-sim", "X-eval"),
       "recall@k of the IVF probe path vs exact brute-force over a 20-query panel"),
+    Q("q151_top_component", q151TopComponent, Some(q151Sql),
+      Seq("X-sim", "X-stats", "X-scale"),
+      "top PCA component: one Gram pass + 8 exact-integer power-iteration rounds"),
     Q("q141_cosine_spectrum", q141CosineSpectrum, Some(q141Sql),
       Seq("X-sim", "X-stats", "X-scale"),
       "pairwise-cosine spectrum histogram over hash-bucket-sampled pairs"),

@@ -641,6 +641,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows((0L, 2L)).isNullAt(rows((0L, 2L)).fieldIndex("corr")))
   }
 
+  test("q151 top component recovers a planted principal axis") {
+    // points on the (3,4)/5 line, mean-centered by symmetry; third dim
+    // constant → zero variance, zero loading. Top eigenvector of the
+    // covariance is (0.6, 0.8, 0), sign fixed by the largest entry.
+    val emb = Seq(
+      (0L, Seq(3f, 4f, 7f)), (1L, Seq(-3f, -4f, 7f)),
+      (2L, Seq(6f, 8f, 7f)), (3L, Seq(-6f, -8f, 7f)))
+      .toDF("vec_id", "embedding")
+    val rows = SimilarityOps.topComponentOf(emb).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Double]("loading")).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L))
+    assert(math.abs(rows(0L) - 0.6) < 1e-3)
+    assert(math.abs(rows(1L) - 0.8) < 1e-3)
+    assert(math.abs(rows(2L)) < 1e-3)
+  }
+
   test("q147 ann recall: rows well-formed, hits bounded by panel size") {
     val rows = SimilarityOps.q147AnnRecall(spark, TestSpark.sf).collect()
     assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 5L, 10L))
