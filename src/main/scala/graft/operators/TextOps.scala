@@ -968,7 +968,137 @@ object TextOps {
       |  AND levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY key_a, key_b""".stripMargin
 
+  /** q152: retrieval-ranking evaluation — MRR and hits@k of BM25
+    * (q143's exact-integer scorer) against a derived relevance set: the
+    * exact-Jaccard near-dup pairs (q20 machinery, τ=0.5). Each member
+    * of a near-dup pair queries the corpus with its own tokens; its
+    * partner is the one relevant document, and the metric is where the
+    * ranker puts it. Completes the eval suite (q147 scores the ANN
+    * index, q148 the LSH banding, this scores the lexical ranker) —
+    * retrieval you haven't measured is retrieval you can't tune.
+    *
+    * Scale shape: scoring is ONE tok-keyed join of the tf postings
+    * against the query-token set (query count is |near-dup pairs|·2,
+    * bounded and small relative to the corpus), then a per-query rank
+    * window over the scored rows only. MRR folds exact integer
+    * reciprocal ranks (1e6 div rank) — no double partial-sums — and
+    * divides once at the end.
+    */
+  def q152MrrEval(spark: SparkSession, dir: String): DataFrame =
+    mrrEvalOf(Tables(spark, dir).documents)
+
+  private[graft] def mrrEvalOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .localCheckpoint() // shared by tf, df, lens, stats, qtoks
+    val lens = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+    val stats = lens.agg(sum($"len").as("ltot"), count(lit(1)).as("n_docs"))
+    val df = toks.distinct().groupBy($"tok").agg(count(lit(1)).as("df"))
+    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val pairs = DedupOps.jaccardPairs(docs, 0.5).select($"doc_a", $"doc_b")
+    val queries = pairs.select($"doc_a".as("q_id"), $"doc_b".as("rel"))
+      .union(pairs.select($"doc_b".as("q_id"), $"doc_a".as("rel")))
+      .localCheckpoint()
+    val qtoks = toks.join(queries.select($"q_id"),
+        toks("doc_id") === $"q_id").select($"q_id", $"tok").distinct()
+    val scored = tf.join(qtoks, "tok")
+      .filter($"doc_id" =!= $"q_id")
+      .join(df, "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bits", (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+      .withColumn("term_milli",
+        expr("(1000 * 22 * ltot * tf * idf_bits) div " +
+          "(10 * ltot * tf + 3 * ltot + 9 * len * n_docs)"))
+      .groupBy($"q_id", $"doc_id")
+      .agg(sum($"term_milli").as("bm25_milli"))
+    val ranked = scored.withColumn("rnk", row_number().over(
+      Window.partitionBy($"q_id").orderBy($"bm25_milli".desc, $"doc_id")))
+    val relRank = queries
+      .join(ranked, queries("q_id") === ranked("q_id") && $"rel" === $"doc_id")
+      .select(expr("1000000 div rnk").as("rr"),
+        ($"rnk" === 1).cast("long").as("h1"),
+        ($"rnk" <= 10).cast("long").as("h10"))
+    queries.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(relRank.agg(
+        coalesce(sum($"h1"), lit(0L)).as("hits_at_1"),
+        coalesce(sum($"h10"), lit(0L)).as("hits_at_10"),
+        coalesce(sum($"rr"), lit(0L)).as("rr_sum")))
+      .select($"n_queries", $"hits_at_1", $"hits_at_10",
+        when($"n_queries" > 0,
+          $"rr_sum".cast("double") / 1000000.0 / $"n_queries").as("mrr"))
+  }
+
+  val q152Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+      |         FROM toks GROUP BY 1),
+      |stats AS (SELECT CAST(sum(len) AS BIGINT) AS ltot,
+      |                 CAST(count(*) AS BIGINT) AS n_docs FROM lens),
+      |dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |          FROM toks GROUP BY 1),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY 1, 2),
+      |t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(${DedupOps.TrigramSqlExpr}) AS shingles
+      |       FROM t2 WHERE len(t) >= 3),
+      |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+      |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |rare AS (SELECT s FROM post GROUP BY s HAVING count(*) <= 25),
+      |pr AS (SELECT post.doc_id, post.s FROM post JOIN rare USING (s)),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN counts ca ON doc_a = ca.doc_id
+      |  JOIN counts cb ON doc_b = cb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+      |queries AS MATERIALIZED (
+      |  SELECT doc_a AS q_id, doc_b AS rel FROM truth
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM truth),
+      |qtoks AS (
+      |  SELECT DISTINCT q.q_id, t.tok
+      |  FROM toks t JOIN queries q ON t.doc_id = q.q_id),
+      |sc AS (
+      |  SELECT qt.q_id, t.doc_id,
+      |    CAST(sum((1000 * 22 * s.ltot * t.tf * (length(bin(s.n_docs // d.df)) - 1))
+      |      // (10 * s.ltot * t.tf + 3 * s.ltot + 9 * l.len * s.n_docs)) AS BIGINT)
+      |      AS bm25_milli
+      |  FROM tf t
+      |  JOIN qtoks qt USING (tok)
+      |  JOIN dfreq d USING (tok)
+      |  JOIN lens l ON t.doc_id = l.doc_id
+      |  CROSS JOIN stats s
+      |  WHERE t.doc_id <> qt.q_id
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT q_id, doc_id,
+      |         row_number() OVER (PARTITION BY q_id
+      |           ORDER BY bm25_milli DESC, doc_id) AS rnk
+      |  FROM sc),
+      |rr AS (
+      |  SELECT 1000000 // r.rnk AS rr,
+      |         CASE WHEN r.rnk = 1 THEN 1 ELSE 0 END AS h1,
+      |         CASE WHEN r.rnk <= 10 THEN 1 ELSE 0 END AS h10
+      |  FROM queries q JOIN ranked r ON r.q_id = q.q_id AND r.doc_id = q.rel)
+      |SELECT
+      |  (SELECT count(*) FROM queries) AS n_queries,
+      |  CAST(coalesce(sum(h1), 0) AS BIGINT) AS hits_at_1,
+      |  CAST(coalesce(sum(h10), 0) AS BIGINT) AS hits_at_10,
+      |  CASE WHEN (SELECT count(*) FROM queries) > 0
+      |       THEN CAST(coalesce(sum(rr), 0) AS DOUBLE) / 1000000.0
+      |            / (SELECT count(*) FROM queries) END AS mrr
+      |FROM rr""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q152_mrr_eval", q152MrrEval, Some(q152Sql), Seq("F-text", "X-eval", "X-scale"),
+      "retrieval eval: MRR/hits@k of exact-integer BM25 vs near-dup ground truth"),
     Q("q15_token_stats", q15TokenStats, Some(q15Sql), Seq("F-text"),
       "per-document token/length statistics"),
     Q("q121_fuzzy_join", q121FuzzyJoin, Some(q121Sql), Seq("F-text", "X-scale"),

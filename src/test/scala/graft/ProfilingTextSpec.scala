@@ -649,6 +649,23 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(out == List((1L, 2L, 2L, "alpha")))
   }
 
+  test("q152 mrr eval: planted near-dup partners rank first") {
+    import graft.operators.TextOps
+    def long(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val shared = long("w", 60)
+    val docs = Seq(
+      (1L, shared + " extraA"), // near-dup pair (Jaccard well above 0.5):
+      (2L, shared + " extraB"), // each member must retrieve the other at rank 1
+      (3L, long("x", 60)), // distractors with disjoint vocabulary score no
+      (4L, long("y", 60))) // shared term and never enter the ranking
+      .toDF("doc_id", "text")
+    val r = TextOps.mrrEvalOf(docs).collect().head
+    assert(r.getAs[Long]("n_queries") == 2L)
+    assert(r.getAs[Long]("hits_at_1") == 2L)
+    assert(r.getAs[Long]("hits_at_10") == 2L)
+    assert(r.getAs[Double]("mrr") == 1.0)
+  }
+
   test("q146 bucket diff flags exactly the buckets holding planted drift") {
     import graft.operators.Profiling
     // Derive the expected report from the planted-drift rules directly:
