@@ -327,7 +327,114 @@ object MultimodalOps {
       |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHammingMax
       |ORDER BY media_a, media_b""".stripMargin
 
+  final case class AudioSummary(media_id: Long, n_frames: Long,
+      total_energy: Long, silent_frames: Long,
+      peak_frame: Option[Long], peak_energy: Option[Long])
+
+  val FrameLen = 256
+  val HopLen = 128
+
+  /** q153: overlapping-window audio framing — the STFT-shaped windowing
+    * every audio feature extractor starts with (frame, hop, per-frame
+    * energy), over the opaque payload bytes this codec-free container
+    * allows. Distinct plumbing from q57's disjoint slices: 50%-overlap
+    * windows (each byte counted in ≤ 2 frames), per-frame energy as the
+    * EXACT integer Σv² (no floating RMS — portable), fixed-threshold
+    * silence detection, and argmax peak-frame selection (ties → lowest
+    * frame index).
+    *
+    * Scale shape: the whole computation is row-local — one batched
+    * mapPartitions pass emits the per-media summary directly; NO
+    * shuffle anywhere (the ORDER BY on media_id is the only exchange,
+    * and only because the driver gate wants a stable dump). A real
+    * pipeline feeds the per-frame energies straight into the next
+    * narrow stage, exactly like decodeStub's batch contract.
+    */
+  def audioEnergy(media: Dataset[MediaRow]): Dataset[AudioSummary] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val n = m.payload.length
+        var fi = 0
+        var off = 0
+        var totalEnergy = 0L
+        var silent = 0L
+        var peakFrame = -1L
+        var peakEnergy = -1L
+        while (off + FrameLen <= n) {
+          var e = 0L
+          var s = 0L
+          var p = 0
+          while (p < FrameLen) {
+            val v = (m.payload(off + p) & 0xff).toLong
+            e += v * v
+            s += v
+            p += 1
+          }
+          totalEnergy += e
+          if (s < 64L * FrameLen) silent += 1
+          if (e > peakEnergy) { peakEnergy = e; peakFrame = fi.toLong }
+          fi += 1
+          off += HopLen
+        }
+        AudioSummary(m.media_id, fi.toLong, totalEnergy, silent,
+          if (fi > 0) Some(peakFrame) else None,
+          if (fi > 0) Some(peakEnergy) else None)
+      })
+    }
+  }
+
+  def q153AudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioEnergy(mediaFromDocuments(spark, dir)).toDF().orderBy($"media_id")
+  }
+
+  /** DuckDB twin: reconstruct the same windows from the ASCII
+    * codepoints (q30 corpus contract); peak selection mirrors the
+    * first-maximum rule via (energy DESC, frame ASC) ranking.
+    */
+  val q153Sql: String =
+    s"""WITH media AS (
+      |  SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |f AS (
+      |  SELECT media_id, text, unnest(range(0, (n - $FrameLen) // $HopLen + 1)) AS fi
+      |  FROM media WHERE n >= $FrameLen),
+      |pos AS (
+      |  SELECT media_id, fi, text, unnest(range(0, $FrameLen)) AS p FROM f),
+      |ch AS (
+      |  SELECT media_id, fi,
+      |         CAST(ascii(substr(text, CAST(fi * $HopLen + p + 1 AS INT), 1)) AS BIGINT) AS v
+      |  FROM pos),
+      |frames AS (
+      |  SELECT media_id, fi, CAST(sum(v * v) AS BIGINT) AS energy,
+      |         CAST(sum(v) AS BIGINT) AS sv
+      |  FROM ch GROUP BY 1, 2),
+      |summary AS (
+      |  SELECT media_id, count(*) AS n_frames,
+      |         CAST(sum(energy) AS BIGINT) AS total_energy,
+      |         CAST(sum(CASE WHEN sv < ${64 * FrameLen} THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS silent_frames
+      |  FROM frames GROUP BY 1),
+      |peak AS (
+      |  SELECT media_id, fi AS peak_frame, energy AS peak_energy FROM (
+      |    SELECT media_id, fi, energy,
+      |           row_number() OVER (PARTITION BY media_id
+      |             ORDER BY energy DESC, fi) AS rn
+      |    FROM frames) WHERE rn = 1)
+      |SELECT m.media_id,
+      |  coalesce(s.n_frames, 0) AS n_frames,
+      |  coalesce(s.total_energy, 0) AS total_energy,
+      |  coalesce(s.silent_frames, 0) AS silent_frames,
+      |  p.peak_frame, p.peak_energy
+      |FROM media m
+      |LEFT JOIN summary s USING (media_id)
+      |LEFT JOIN peak p USING (media_id)
+      |ORDER BY m.media_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q153_audio_energy", q153AudioEnergy, Some(q153Sql), Seq("X-multimodal"),
+      "overlapping-window audio framing: exact integer energy, silence and peak frames"),
     Q("q30_multimodal", q30Multimodal, Some(q30Sql), Seq("X-multimodal"),
       "binary media columns: batched stub decode + feature aggregate"),
     Q("q57_frame_sample", q57FrameSample, Some(q57Sql), Seq("X-multimodal"),

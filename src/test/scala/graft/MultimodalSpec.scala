@@ -87,6 +87,29 @@ class MultimodalSpec extends AnyFunSuite {
     within.foreach(c => assert(banded.contains((c, c + 100000))))
   }
 
+  test("q153 audio framing: hand-computed energies, silence, peak tie-break") {
+    import MultimodalOps.{AudioSummary, MediaRow}
+    val quietLoud = Array.fill(256)(10.toByte) ++ Array.fill(128)(200.toByte)
+    val flat = Array.fill(512)(80.toByte) // mean 80 ≥ the 64 silence threshold
+    val short = Array.fill(100)(99.toByte)
+    val media = Seq(
+      MediaRow(1L, "audio", quietLoud, 0, 0),
+      MediaRow(2L, "audio", flat, 0, 0),
+      MediaRow(3L, "audio", short, 0, 0),
+      MediaRow(4L, "video", flat, 0, 0)) // non-audio: excluded entirely
+      .toDS()
+    val out = MultimodalOps.audioEnergy(media).collect().map(s => s.media_id -> s).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // media 1: frame0 = 256×10 (energy 25600, silent), frame1 = 128×10+128×200
+    val e1 = 128L * 100 + 128L * 40000
+    assert(out(1L) == AudioSummary(1L, 2L, 25600L + e1, 1L, Some(1L), Some(e1)))
+    // media 2: three identical frames — peak tie breaks to frame 0
+    assert(out(2L).n_frames == 3L && out(2L).peak_frame == Some(0L))
+    assert(out(2L).silent_frames == 0L)
+    // media 3: shorter than one frame — zero frames, NULL peaks
+    assert(out(3L) == AudioSummary(3L, 0L, 0L, 0L, None, None))
+  }
+
   test("resize stub keeps every stride-th byte and rescales metadata") {
     import MultimodalOps.MediaRow
     val media = Seq(
