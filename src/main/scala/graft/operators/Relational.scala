@@ -1073,7 +1073,73 @@ object Relational {
       |    AND (q.price_cents < r.price_cents OR q.size > r.size))
       |ORDER BY p_brand, price_cents, p_partkey""".stripMargin
 
+  /** q154: bitmap-index set intersection — pairwise supplier overlap
+    * between brands computed on PACKED BITMAPS instead of expanded
+    * pairs. The naive plan self-joins the (brand, supplier) relation on
+    * supplier — output volume Σ_s (#brands carrying s)², which explodes
+    * exactly when suppliers are shared (the interesting case). Here
+    * each brand's supplier set packs into ⌈|suppliers|/64⌉ bit_or'd
+    * words; the pair comparison joins word-aligned bitmaps (brands² ×
+    * words rows, independent of how many suppliers overlap) and counts
+    * intersections with codegen'd bit_count(AND). The same layout
+    * serves membership tests, unions, and difference — this is the
+    * roaring-bitmap/bitmap-index trick on Spark primitives.
+    *
+    * Scale shape: one distinct shuffle on (brand, supplier), one
+    * groupBy (brand, word) bit_or fold (partial+final, commutative),
+    * then a word-equi-join over a frame sized brands × words. The
+    * DuckDB oracle states the SEMANTICS via the naive distinct
+    * intersection — equivalent by construction, quadratic only at
+    * oracle scale.
+    */
+  def q154BitmapOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val bs = t.lineitem.join(t.part, $"p_partkey" === $"l_partkey")
+      .select($"p_brand", $"l_suppkey").distinct()
+    val words = bs
+      .select($"p_brand", expr("l_suppkey div 64").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(l_suppkey % 64 AS INT))").as("bit"))
+      .groupBy($"p_brand", $"word")
+      .agg(expr("bit_or(bit)").as("bits"))
+    val sizes = words.groupBy($"p_brand")
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("n"))
+    val overlaps = words.as("a")
+      .join(words.as("b"),
+        $"a.word" === $"b.word" && $"a.p_brand" < $"b.p_brand")
+      .groupBy($"a.p_brand".as("brand_a"), $"b.p_brand".as("brand_b"))
+      .agg(sum(expr("bit_count(a.bits & b.bits)")).cast("long").as("n_common"))
+      .filter($"n_common" > 0)
+    overlaps
+      .join(sizes.select($"p_brand".as("brand_a"), $"n".as("n_a")), "brand_a")
+      .join(sizes.select($"p_brand".as("brand_b"), $"n".as("n_b")), "brand_b")
+      .select($"brand_a", $"brand_b", $"n_a", $"n_b", $"n_common",
+        ($"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common")).as("jaccard"))
+      .orderBy($"brand_a", $"brand_b")
+  }
+
+  val q154Sql: String =
+    """WITH bs AS (
+      |  SELECT DISTINCT p_brand, l_suppkey
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+      |sizes AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM bs GROUP BY 1),
+      |ov AS (
+      |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+      |         CAST(count(*) AS BIGINT) AS n_common
+      |  FROM bs a JOIN bs b
+      |    ON a.l_suppkey = b.l_suppkey AND a.p_brand < b.p_brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, sa.n AS n_a, sb.n AS n_b, n_common,
+      |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+      |FROM ov
+      |JOIN sizes sa ON sa.p_brand = brand_a
+      |JOIN sizes sb ON sb.p_brand = brand_b
+      |WHERE n_common > 0
+      |ORDER BY brand_a, brand_b""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q154_bitmap_overlap", q154BitmapOverlap, Some(q154Sql), Seq("X-scale", "J2"),
+      "bitmap-index set intersection: packed-word bit_or/bit_count instead of pair expansion"),
     Q("q132_skyline", q132Skyline, Some(q132Sql), Seq("W1", "X-scale"),
       "per-brand Pareto frontier: two shared-sort windows replace the O(n²) dominance join"),
     Q("q1_agg", q1Agg, Some(q1Sql), Seq("A1", "A4", "A5", "F1", "F2"),

@@ -328,4 +328,22 @@ class RelationalSpec extends AnyFunSuite {
       ("B1", 3L, 2000L, 9L),
       ("B2", 7L, 10000L, 1L)))
   }
+
+  test("q154 bitmap overlap: planted sets incl. word-boundary and sign-bit keys") {
+    import graft.operators.Relational
+    val dir = TestSpark.scratch("bitmap-overlap")
+    // suppliers 63 (sign bit of word 0) and 100 (word 1) are shared by
+    // X and Y; 500 (word 7) isolates Z — no (X,Z)/(Y,Z) rows at all
+    val links = Seq(
+      (1L, "X", 1L), (2L, "X", 63L), (3L, "X", 100L),
+      (4L, "Y", 63L), (5L, "Y", 100L), (6L, "Y", 200L),
+      (7L, "Z", 500L))
+    links.map { case (pk, b, _) => (pk, b) }.toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    links.map { case (pk, _, sk) => (pk, sk) }.toDF("l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Relational.q154BitmapOverlap(spark, dir)
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    assert(out == List(("X", "Y", 3L, 3L, 2L, 0.5)))
+  }
 }
