@@ -1441,7 +1441,88 @@ object TemporalOps {
       |FROM j
       |ORDER BY lag_h""".stripMargin
 
+  /** q155: CUSUM changepoint detection per event type — WHERE did the
+    * level of a daily count series shift? q81 flags pointwise outliers
+    * and q105/q87 compare two fixed samples; CUSUM answers the
+    * sequential question ("find the break date") that monitors data
+    * freshness regressions, ingestion cliffs, and behavior shifts.
+    *
+    * Exactness: the classic statistic S_k = Σ_{i≤k}(n_i − mean) is a
+    * running sum of FRACTIONS; scaled by the day count it becomes
+    * S'_k = days·prefix_k − k·total — exact int64 end to end (one
+    * per-type window prefix sum, row-local arithmetic after). The
+    * break is argmax |S'_k| (ties → earliest day); before/after means
+    * are exact-int ratios emitted unrounded. Observed days only — a
+    * calendar gap-fill (q96) composes upstream if zero-days matter.
+    *
+    * Scale shape: events collapse to (type, day) counts first — the
+    * windows run over days, not events — then one (type)-keyed sort
+    * serves the prefix sum, the day index, and the argmax rank.
+    */
+  def q155Changepoint(spark: SparkSession, dir: String): DataFrame =
+    changepointOf(Tables(spark, dir).events)
+
+  private[graft] def changepointOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val daily = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy($"event_type").orderBy($"day")
+    val wAll = Window.partitionBy($"event_type")
+    val cusum = daily
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("prefix", sum($"n").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("days", count(lit(1)).over(wAll))
+      .withColumn("total", sum($"n").over(wAll))
+      .withColumn("s", $"days" * $"prefix" - $"k" * $"total")
+    cusum
+      .withColumn("rnk", row_number().over(
+        wAll.orderBy(abs($"s").desc, $"day".asc)))
+      .filter($"rnk" === 1)
+      .select($"event_type",
+        date_format($"day", "yyyy-MM-dd").as("cp_date"), $"days", $"total",
+        $"s".as("cusum_num"),
+        ($"prefix".cast("double") / $"k").as("mean_before"),
+        when($"days" > $"k",
+          ($"total" - $"prefix").cast("double") / ($"days" - $"k"))
+          .as("mean_after"))
+      .orderBy($"event_type")
+  }
+
+  val q155Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, day, n,
+      |    CAST(row_number() OVER w AS BIGINT) AS k,
+      |    CAST(sum(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS prefix,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS days,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |s AS (
+      |  SELECT event_type, day, k, prefix, days, total,
+      |         days * prefix - k * total AS s
+      |  FROM c),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |                               ORDER BY abs(s) DESC, day) AS rnk
+      |  FROM s)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_date, days, total,
+      |  s AS cusum_num,
+      |  CAST(prefix AS DOUBLE) / k AS mean_before,
+      |  CASE WHEN days > k
+      |       THEN CAST(total - prefix AS DOUBLE) / (days - k) END AS mean_after
+      |FROM r WHERE rnk = 1
+      |ORDER BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q155_changepoint", q155Changepoint, Some(q155Sql),
+      Seq("X-temporal", "X-stats", "Q2"),
+      "CUSUM changepoint per event type: exact-integer break-date detection"),
     Q("q142_periodicity", q142Periodicity, Some(q142Sql),
       Seq("X-temporal", "X-stats"),
       "hourly-series autocorrelation at 1h/24h/168h: seasonality scores"),

@@ -473,4 +473,27 @@ class TemporalSpec extends AnyFunSuite {
       assert((n, end, peak, lost, so) == expected(s), s"supplier $s")
     }
   }
+
+  test("q155 changepoint: planted level shift found at the break day") {
+    import graft.operators.TemporalOps
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 0${i % 10}:0${i / 10}:00")
+    // type "a": 5 days at 10/day then 5 days at 30/day -> break after day 5
+    // type "b": constant 7/day -> cusum identically 0, earliest day wins
+    val rows =
+      (for (d <- 1 to 5; i <- 0 until 10) yield ("a", ts(d, i))) ++
+      (for (d <- 6 to 10; i <- 0 until 30) yield ("a", ts(d, i))) ++
+      (for (d <- 1 to 3; i <- 0 until 7) yield ("b", ts(d, i)))
+    val out = TemporalOps.changepointOf(rows.toDF("event_type", "ts"))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[String]("cp_date") == "2024-01-05")
+    assert(a.getAs[Long]("days") == 10L && a.getAs[Long]("total") == 200L)
+    assert(a.getAs[Long]("cusum_num") == 10L * 50 - 5L * 200) // -500
+    assert(a.getAs[Double]("mean_before") == 10.0)
+    assert(a.getAs[Double]("mean_after") == 30.0)
+    val b = out("b")
+    assert(b.getAs[Long]("cusum_num") == 0L)
+    assert(b.getAs[String]("cp_date") == "2024-01-01")
+  }
 }
