@@ -1007,7 +1007,154 @@ object Profiling {
       .replace("FOLD1", fold(1)).replace("FOLD2", fold(9))
   }
 
+  /** Fixed-point base-2 logarithm of the ratio x/y, in 1/4096ths
+    * (12 fractional bits), computed ENTIRELY in int64 — no libm.
+    * Method: auto-pre-shift both operands so the long division fits,
+    * take a 28-bit-scaled mantissa, normalize to [2^28, 2^29), then 12
+    * rounds of square-and-extract-bit (the classic shift-and-square
+    * binary logarithm). Every step is shifts/multiplies/divides of
+    * exact longs, so the value is bit-identical cross-engine — unlike
+    * `log2(double)`, which is NOT IEEE-correctly-rounded and can
+    * differ in the last ulp between the JVM and another engine's libm
+    * (the q67 lesson). Accuracy ≈ 2⁻¹² in log2, ample for a
+    * dependence diagnostic.
+    */
+  private val Log2FracBits = 12
+
+  /** Adds `log2_q12` = fixed-point log2(x/y) to a frame holding long
+    * columns `x` and `y` (both ≥ 1), via named row-local steps (all
+    * codegen'd integer arithmetic — see the q156 scaladoc for why no
+    * libm log is allowed near a hash-compared output).
+    */
+  private def withLog2Q12(df: DataFrame): DataFrame = {
+    val fracExpr = (0 until Log2FracBits)
+      .map(k => s"b$k * ${1L << (Log2FracBits - 1 - k)}")
+      .mkString(" + ")
+    val steps = (0 until Log2FracBits).foldLeft(
+      df
+        .withColumn("sh", expr(
+          "least(greatest(0, greatest(length(bin(x)), length(bin(y))) - 34), " +
+            "length(bin(y)) - 1)"))
+        .withColumn("x2", expr("shiftright(x, sh)"))
+        .withColumn("y2", expr("shiftright(y, sh)"))
+        .withColumn("m_un", expr(
+          "shiftleft(x2 div y2, 28) + shiftleft(x2 % y2, 28) div y2"))
+        .withColumn("e", expr("CAST(length(bin(m_un)) - 1 - 28 AS BIGINT)"))
+        .withColumn("m0", expr(
+          """CASE WHEN length(bin(m_un)) - 1 >= 28
+            |     THEN shiftright(m_un, length(bin(m_un)) - 1 - 28)
+            |     ELSE shiftleft(m_un, 28 - (length(bin(m_un)) - 1)) END""".stripMargin))
+    ) { (acc, k) =>
+      acc
+        .withColumn(s"b$k", expr(
+          s"CASE WHEN shiftright(m$k * m$k, 28) >= ${1L << 29} THEN 1 ELSE 0 END"))
+        .withColumn(s"m${k + 1}", expr(s"shiftright(shiftright(m$k * m$k, 28), b$k)"))
+    }
+    steps.withColumn("log2_q12", expr(s"e * 4096 + $fracExpr"))
+  }
+
+  /** q156: mutual-information dependence profile between two
+    * categorical columns — "are these columns independent, and which
+    * cells carry the dependence?" The categorical complement to q79's
+    * numeric Pearson: feature selection, leakage screening (a feature
+    * that shares high MI with the label is a leak candidate), and
+    * schema-redundancy detection all start from this table.
+    *
+    * Emits PER-CELL contributions rather than the folded scalar — the
+    * q87 pattern: no cross-row double sum ever enters a shuffle. The
+    * log2 itself is the fixed-point integer routine above, so
+    * mi_q12 = n · log2_q12(n·N / (n_x·n_y)) is an exact long and the
+    * human-readable mi_bits divides exact ints once, row-locally.
+    *
+    * Scale shape: one contingency aggregate on (x, y) — |cells| rows —
+    * plus two broadcast-sized marginal re-aggregates OF THAT FRAME
+    * (the fact table is scanned once).
+    */
+  def q156MutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val base = t.customer
+      .join(t.nation, $"c_nationkey" === $"n_nationkey")
+      .join(t.region, $"n_regionkey" === $"r_regionkey")
+      .select($"c_mktsegment".as("segment"), $"r_name".as("region"))
+    mutualInfoOf(base, "segment", "region")
+  }
+
+  private[graft] def mutualInfoOf(base: DataFrame, xc: String, yc: String): DataFrame = {
+    import base.sparkSession.implicits._
+    val cells = base.groupBy(col(xc), col(yc))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val mx = cells.groupBy(col(xc)).agg(sum($"n").as("n_x"))
+    val my = cells.groupBy(col(yc)).agg(sum($"n").as("n_y"))
+    val tot = cells.agg(sum($"n").as("total"))
+    val joined = cells
+      .join(broadcast(mx), xc)
+      .join(broadcast(my), yc)
+      .crossJoin(broadcast(tot))
+      .withColumn("x", $"n" * $"total")
+      .withColumn("y", $"n_x" * $"n_y")
+    withLog2Q12(joined)
+      .select(col(xc), col(yc), $"n", $"n_x", $"n_y", $"total",
+        ($"n" * $"log2_q12").as("mi_q12"),
+        (($"n" * $"log2_q12").cast("double") / ($"total" * lit(4096L)))
+          .as("mi_bits"))
+      .orderBy(col(xc), col(yc))
+  }
+
+  val q156Sql: String = {
+    // the same fixed-point log2, unrolled as chained CTE column steps
+    val steps = (0 until Log2FracBits).map { k =>
+      s"""l$k AS (
+         |  SELECT *, CASE WHEN (m$k * m$k) >> 28 >= ${1L << 29} THEN 1 ELSE 0 END AS b$k,
+         |         ((m$k * m$k) >> 28)
+         |           >> (CASE WHEN (m$k * m$k) >> 28 >= ${1L << 29} THEN 1 ELSE 0 END)
+         |           AS m${k + 1}
+         |  FROM l${if (k == 0) "in" else (k - 1).toString})""".stripMargin
+    }.mkString(",\n")
+    val fracSum = (0 until Log2FracBits)
+      .map(k => s"b$k * ${1L << (Log2FracBits - 1 - k)}").mkString(" + ")
+    s"""WITH base AS (
+      |  SELECT c_mktsegment AS segment, r_name AS region
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey),
+      |cells AS (
+      |  SELECT segment, region, CAST(count(*) AS BIGINT) AS n
+      |  FROM base GROUP BY 1, 2),
+      |mx AS (SELECT segment, CAST(sum(n) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+      |my AS (SELECT region, CAST(sum(n) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells),
+      |j AS (
+      |  SELECT segment, region, n, n_x, n_y, total,
+      |         n * total AS x, n_x * n_y AS y
+      |  FROM cells JOIN mx USING (segment) JOIN my USING (region)
+      |  CROSS JOIN tot),
+      |pre AS (
+      |  SELECT *, least(greatest(0, greatest(length(bin(x)), length(bin(y))) - 34),
+      |                  length(bin(y)) - 1) AS sh
+      |  FROM j),
+      |d AS (
+      |  SELECT *, x >> sh AS x2, y >> sh AS y2 FROM pre),
+      |mu AS (
+      |  SELECT *, ((x2 // y2) << 28) + ((x2 % y2) << 28) // y2 AS m_un FROM d),
+      |en AS (
+      |  SELECT *, CAST(length(bin(m_un)) - 1 - 28 AS BIGINT) AS e,
+      |         CASE WHEN length(bin(m_un)) - 1 >= 28
+      |              THEN m_un >> (length(bin(m_un)) - 1 - 28)
+      |              ELSE m_un << (28 - (length(bin(m_un)) - 1)) END AS m0
+      |  FROM mu),
+      |lin AS (SELECT * FROM en),
+      |$steps
+      |SELECT segment, region, n, n_x, n_y, total,
+      |  CAST(n * (e * 4096 + $fracSum) AS BIGINT) AS mi_q12,
+      |  CAST(n * (e * 4096 + $fracSum) AS DOUBLE) / (total * 4096) AS mi_bits
+      |FROM l${Log2FracBits - 1}
+      |ORDER BY segment, region""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q156_mutual_info", q156MutualInfo, Some(q156Sql), Seq("X-stats"),
+      "mutual-information dependence profile: per-cell contributions over one contingency pass"),
     Q("q146_bucket_diff", q146BucketDiff, Some(q146Sql), Seq("X-scale", "Q2"),
       "Merkle-style bucket-digest reconciliation: locate divergence without moving rows"),
     Q("q53_skew_profile", q53SkewProfile, Some(q53Sql), Seq("X-scale"),

@@ -688,4 +688,30 @@ class ProfilingTextSpec extends AnyFunSuite {
     val missing = rows.map(r => r.getAs[Long]("n_a") - r.getAs[Long]("n_b")).sum
     assert(missing == keys.count(_ % 997 == 0))
   }
+
+  test("q156 mutual info: exact powers-of-two, independence zero, q12 precision") {
+    import graft.operators.Profiling
+    // perfectly dependent 2x2: each diagonal cell has lift 2 -> log2 exactly
+    // 4096 in q12; total MI = 1 bit (0.5 + 0.5)
+    val dep = (Seq.fill(5)(("A", "A")) ++ Seq.fill(5)(("B", "B")))
+      .toDF("xcat", "ycat")
+    val depRows = Profiling.mutualInfoOf(dep, "xcat", "ycat").collect()
+    depRows.foreach { r =>
+      assert(r.getAs[Long]("mi_q12") == r.getAs[Long]("n") * 4096L)
+      assert(r.getAs[Double]("mi_bits") == 0.5)
+    }
+    // independent 2x2 (all lifts exactly 1) -> every contribution exactly 0
+    val ind = (for (x <- Seq("A", "B"); y <- Seq("C", "D"); _ <- 1 to 3)
+      yield (x, y)).toDF("xcat", "ycat")
+    Profiling.mutualInfoOf(ind, "xcat", "ycat").collect()
+      .foreach(r => assert(r.getAs[Long]("mi_q12") == 0L))
+    // non-power lifts: 3 and 1.5 land within 2 LSB of the true q12 log2
+    val mix = (Seq.fill(3)(("A", "A")) ++ Seq.fill(6)(("B", "B")))
+      .toDF("xcat", "ycat")
+    val byCell = Profiling.mutualInfoOf(mix, "xcat", "ycat").collect()
+      .map(r => r.getAs[String]("xcat") -> r).toMap
+    def q12(lift: Double) = math.log(lift) / math.log(2.0) * 4096
+    assert(math.abs(byCell("A").getAs[Long]("mi_q12") / 3L - q12(3.0)) <= 2)
+    assert(math.abs(byCell("B").getAs[Long]("mi_q12") / 6L - q12(1.5)) <= 2)
+  }
 }
