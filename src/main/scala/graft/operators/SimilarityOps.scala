@@ -1422,6 +1422,80 @@ object SimilarityOps {
       |ORDER BY dim""".stripMargin
   }
 
+  /** q157: per-label variance profile — the grouped form of q145's
+    * Gram pass: ONE corpus scan folds each label's vectors into its own
+    * exact-integer Gram buffer (the aggregator composes under groupBy —
+    * partials merge per label), then each label reports its total
+    * variance (trace), its top-variance dimension, and that dimension's
+    * share of the trace. The "is this class collapsing to one axis?"
+    * diagnostic for embedding quality per data slice.
+    *
+    * Exactness: var_num = n·Σx² − (Σx)² per (label, dim) in exact
+    * int64; the share divides exact ints once. Top-dim ties break to
+    * the lowest dimension.
+    */
+  def q157LabelVariance(spark: SparkSession, dir: String): DataFrame =
+    labelVarianceOf(Tables(spark, dir).embeddings)
+
+  private[graft] def labelVarianceOf(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val g = emb
+      .select($"label",
+        transform($"embedding",
+          x => round(x.cast("double") * 1000).cast("long")).as("eq"))
+      .groupBy($"label")
+      .agg(graft.functions.Gram.gramAgg($"eq").as("g"))
+      .select($"label", $"g.n".as("n"), size($"g.sums").as("d"),
+        $"g.sums".as("sums"), $"g.prods".as("prods"))
+      .localCheckpoint() // |labels| rows; pins the one corpus pass across both uses below
+    // variance needs only the diagonal: prods flat index of (i, i) is
+    // i*d − i(i−1)/2 — extracted row-locally from the struct arrays
+    val perDim = g
+      .select($"label", $"n", $"d", posexplode($"sums").as(Seq("i", "sx")))
+      .join(g.select($"label", $"prods"), "label")
+      .withColumn("pii", expr("prods[i * d - (i * (i - 1)) div 2]"))
+      .withColumn("var_num", $"n" * $"pii" - $"sx" * $"sx")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"label")
+    perDim
+      .withColumn("trace", sum($"var_num").over(w))
+      .withColumn("rnk", row_number().over(
+        w.orderBy($"var_num".desc, $"i".asc)))
+      .filter($"rnk" === 1)
+      .select($"label".cast("long").as("label"), $"n",
+        $"i".cast("long").as("top_dim"), $"var_num".as("top_var_num"),
+        $"trace".as("trace_num"),
+        when($"trace" > 0,
+          $"var_num".cast("double") / $"trace").as("top_share"))
+      .orderBy($"label")
+  }
+
+  val q157Sql: String =
+    """WITH u AS (
+      |  SELECT label, vec_id, unnest(range(len(embedding))) AS i,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+      |  FROM embeddings),
+      |nl AS (SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+      |       FROM u GROUP BY 1),
+      |s AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS sx,
+      |             CAST(sum(x * x) AS BIGINT) AS pii
+      |      FROM u GROUP BY 1, 2),
+      |v AS (
+      |  SELECT s.label, s.i, nl.n,
+      |         nl.n * s.pii - s.sx * s.sx AS var_num
+      |  FROM s JOIN nl USING (label)),
+      |t AS (
+      |  SELECT label, CAST(sum(var_num) AS BIGINT) AS trace FROM v GROUP BY 1),
+      |r AS (
+      |  SELECT v.label, v.n, v.i, v.var_num, t.trace,
+      |         row_number() OVER (PARTITION BY v.label
+      |           ORDER BY v.var_num DESC, v.i) AS rnk
+      |  FROM v JOIN t USING (label))
+      |SELECT CAST(label AS BIGINT) AS label, n, i AS top_dim,
+      |  var_num AS top_var_num, trace AS trace_num,
+      |  CASE WHEN trace > 0 THEN CAST(var_num AS DOUBLE) / trace END AS top_share
+      |FROM r WHERE rnk = 1
+      |ORDER BY label""".stripMargin
+
   /** q147: ANN index quality evaluation — recall@k of the IVF probe
     * path (q25's index) against the exact brute-force ranking, over a
     * deterministic panel of query vectors. The measurement that decides
@@ -1578,6 +1652,9 @@ object SimilarityOps {
     Q("q151_top_component", q151TopComponent, Some(q151Sql),
       Seq("X-sim", "X-stats", "X-scale"),
       "top PCA component: one Gram pass + 8 exact-integer power-iteration rounds"),
+    Q("q157_label_variance", q157LabelVariance, Some(q157Sql),
+      Seq("X-sim", "X-stats"),
+      "per-label variance profile: grouped Gram fold, top dimension + trace share"),
     Q("q141_cosine_spectrum", q141CosineSpectrum, Some(q141Sql),
       Seq("X-sim", "X-stats", "X-scale"),
       "pairwise-cosine spectrum histogram over hash-bucket-sampled pairs"),

@@ -657,6 +657,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(rows(2L)) < 1e-3)
   }
 
+  test("q157 label variance: per-label top dimension and trace share") {
+    // label 0: dim 0 varies (1,3 -> var), dim 1 constant; label 1: dim 1
+    // dominates with a bigger spread; dim 2 constant everywhere
+    val emb = Seq(
+      (0L, 0, Seq(1f, 5f, 7f)), (1L, 0, Seq(3f, 5f, 7f)),
+      (10L, 1, Seq(2f, 0f, 7f)), (11L, 1, Seq(2f, 8f, 7f)))
+      .toDF("vec_id", "label", "embedding")
+    val rows = SimilarityOps.labelVarianceOf(emb).collect()
+      .map(r => r.getAs[Long]("label") -> r).toMap
+    // label 0, dim 0 on the millis grid: n=2, x = [1000, 3000]
+    // var_num = 2*(1e6 + 9e6) - 4000^2 = 4e6; dims 1,2 constant -> 0
+    assert(rows(0L).getAs[Long]("top_dim") == 0L)
+    assert(rows(0L).getAs[Long]("top_var_num") == 4000000L)
+    assert(rows(0L).getAs[Long]("trace_num") == 4000000L)
+    assert(rows(0L).getAs[Double]("top_share") == 1.0)
+    // label 1, dim 1: x = [0, 8000] -> var_num = 2*64e6 - 64e6 = 64e6
+    assert(rows(1L).getAs[Long]("top_dim") == 1L)
+    assert(rows(1L).getAs[Long]("top_var_num") == 64000000L)
+  }
+
   test("q147 ann recall: rows well-formed, hits bounded by panel size") {
     val rows = SimilarityOps.q147AnnRecall(spark, TestSpark.sf).collect()
     assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 5L, 10L))
