@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -716,7 +716,101 @@ object CurationOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** q158: contrastive triplet mining — (anchor, positive, negative)
+    * training triples for embedding/reranker training. Positives are
+    * the exact-Jaccard near-dup pairs (both directions, the q152
+    * relevance set); negatives are DETERMINISTIC hash-ring draws: for
+    * each (anchor, k) the corpus doc minimizing md5(anchor|k|doc)
+    * WITHIN the hash bucket addressed by md5(anchor|k) — so the
+    * candidate set is |corpus|/256 per draw by construction, not a
+    * corpus scan per triple, and reruns/backfills regenerate the
+    * identical triples (no RNG state to version).
+    *
+    * Scale shape: corpus docs bucket once (row-local md5); the draw is
+    * an equi-join on the bucket id followed by a (anchor, k) min-fold.
+    * Join volume = |pairs|·K·(|corpus|/256). Anchors and their
+    * positives are excluded from the candidate set; excluding deeper
+    * near-dup rings composes by feeding q65's cluster table in as the
+    * exclusion side.
+    */
+  val TripletK = 3
+  val NegBuckets = 256
+
+  def q158TripletMining(spark: SparkSession, dir: String): DataFrame =
+    tripletsOf(Tables(spark, dir).documents)
+
+  private[graft] def tripletsOf(docs: DataFrame,
+      negBuckets: Int = NegBuckets): DataFrame = {
+    import docs.sparkSession.implicits._
+    def md5mod(c: Column): Column =
+      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(negBuckets.toLong))
+    val pairs = DedupOps.jaccardPairs(docs, 0.5).select($"doc_a", $"doc_b")
+    val anchors = pairs.select($"doc_a".as("anchor"), $"doc_b".as("positive"))
+      .union(pairs.select($"doc_b".as("anchor"), $"doc_a".as("positive")))
+      .select($"anchor", $"positive",
+        explode(array((1 to TripletK).map(lit(_)): _*)).as("k"))
+      .withColumn("bucket", md5mod(concat_ws("|", $"anchor", $"k")))
+      .localCheckpoint()
+    val buckets = docs.select($"doc_id".as("neg_cand"),
+      md5mod($"doc_id".cast("string")).as("bucket"))
+    anchors.join(buckets, "bucket")
+      .filter($"neg_cand" =!= $"anchor" && $"neg_cand" =!= $"positive")
+      .withColumn("draw",
+        md5(concat_ws("|", $"anchor", $"k", $"neg_cand")))
+      .groupBy($"anchor", $"positive", $"k")
+      .agg(min(struct($"draw", $"neg_cand")).as("m"))
+      .select($"anchor", $"positive", $"k".cast("long").as("k"),
+        $"m.neg_cand".as("negative"))
+      .orderBy($"anchor", $"positive", $"k")
+  }
+
+  val q158Sql: String = {
+    val md5mod15 = (e: String) =>
+      s"""(${(1 to 15).map { j =>
+        val mult = 1L << (4 * (15 - j))
+        s"(strpos('0123456789abcdef', substr(md5($e), $j, 1)) - 1) * $mult"
+      }.mkString(" + ")}) % $NegBuckets"""
+    s"""WITH t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(${DedupOps.TrigramSqlExpr}) AS shingles
+      |       FROM t2 WHERE len(t) >= 3),
+      |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+      |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |rare AS (SELECT s FROM post GROUP BY s HAVING count(*) <= 25),
+      |pr AS (SELECT post.doc_id, post.s FROM post JOIN rare USING (s)),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN counts ca ON doc_a = ca.doc_id
+      |  JOIN counts cb ON doc_b = cb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+      |anchors AS MATERIALIZED (
+      |  SELECT anchor, positive, k,
+      |         ${md5mod15("anchor || '|' || k")} AS bucket
+      |  FROM (SELECT doc_a AS anchor, doc_b AS positive FROM truth
+      |        UNION ALL SELECT doc_b, doc_a FROM truth)
+      |  CROSS JOIN (SELECT unnest(range(1, ${TripletK + 1})) AS k)),
+      |buckets AS MATERIALIZED (
+      |  SELECT doc_id AS neg_cand,
+      |         ${md5mod15("CAST(doc_id AS VARCHAR)")} AS bucket
+      |  FROM documents),
+      |cand AS (
+      |  SELECT a.anchor, a.positive, a.k, b.neg_cand,
+      |         md5(a.anchor || '|' || a.k || '|' || b.neg_cand) AS draw
+      |  FROM anchors a JOIN buckets b USING (bucket)
+      |  WHERE b.neg_cand <> a.anchor AND b.neg_cand <> a.positive)
+      |SELECT anchor, positive, k, min_by(neg_cand, draw) AS negative
+      |FROM cand
+      |GROUP BY anchor, positive, k
+      |ORDER BY anchor, positive, k""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q158_triplet_mining", q158TripletMining, Some(q158Sql),
+      Seq("X-curation", "X-sample", "X-scale"),
+      "contrastive triplet mining: near-dup positives + deterministic hash-ring negatives"),
     Q("q150_quantile_normalize", q150QuantileNormalize, Some(q150Sql),
       Seq("X-curation", "X-sample"),
       "cross-source quantile normalization: per-source percent_rank to a shared scale"),

@@ -250,4 +250,28 @@ class CurationSpec extends AnyFunSuite {
       assert(qs.head == 0.0 && qs.last == 1.0)
     }
   }
+
+  test("q158 triplets: near-dup positives, deterministic hash-ring negatives") {
+    import graft.operators.CurationOps
+    def md5hex(x: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def long(tag: String) = (1 to 60).map(i => s"$tag$i").mkString(" ")
+    val shared = long("w")
+    val docs = Seq(
+      (1L, shared + " pa"), (2L, shared + " pb"), // the one near-dup pair
+      (3L, long("x")), (4L, long("y"))) // negatives pool
+      .toDF("doc_id", "text")
+    // 1 bucket -> every non-anchor doc is a candidate; the draw must be
+    // the md5-argmin replicated here from first principles
+    val out = CurationOps.tripletsOf(docs, negBuckets = 1).collect()
+      .map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("k")) ->
+        r.getAs[Long]("negative")).toMap
+    assert(out.size == 6) // 2 anchors x 3 draws
+    for (a <- Seq(1L, 2L); k <- 1 to 3) {
+      val expect = Seq(3L, 4L).minBy(n => md5hex(s"$a|$k|$n"))
+      assert(out((a, k.toLong)) == expect)
+    }
+  }
 }
