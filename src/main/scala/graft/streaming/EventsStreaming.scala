@@ -258,6 +258,58 @@ object EventsStreaming {
             st.lost, st.stockouts))
       }
   }
+  final case class CusumState(lastDay: Long, dayCount: Long, k: Long,
+      s: Long, bestAbs: Long, bestDay: Long, bestS: Long)
+  final case class CusumAlarm(event_type: String, days_seen: Long,
+      cusum: Long, best_abs: Long, best_day: String, alarm: Boolean)
+
+  /** Streaming CUSUM drift monitor — the sequential-alarm form of
+    * q155's batch changepoint. q155 centers on the series' own final
+    * mean (unknowable mid-stream); the monitor centers on a PROVIDED
+    * reference rate (counts/day expected from history or SLO), which is
+    * how production CUSUM pages: state per event type is the running
+    * sum S_k = Σ(n_day − ref) plus the argmax |S| seen, updated once
+    * per CLOSED day. Input is the per-(type, day) count stream (the
+    * upstream windowed aggregate); days apply in order and a
+    * day at-or-before the last applied is dropped (same at-most-once
+    * ledger contract as runningBalance). Alarm fires when |S| crosses
+    * the threshold; all arithmetic is exact long (day-count scaled by
+    * the caller like q155 if the reference is fractional).
+    *
+    * StreamingSpec pins multi-batch equality against the same fold run
+    * in batch, and the alarm threshold crossing.
+    */
+  final case class DayCount(event_type: String, day: java.sql.Date, n: Long)
+
+  def cusumAlarm(dayCounts: Dataset[DayCount], ref: Long,
+      threshold: Long): Dataset[CusumAlarm] = {
+    import dayCounts.sparkSession.implicits._
+    dayCounts
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[DayCount], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(
+            CusumState(Long.MinValue, 0L, 0L, 0L, -1L, Long.MinValue, 0L))
+          rows.toSeq.sortBy(_.day.getTime).foreach { r =>
+            val d = r.day.getTime
+            if (d > st.lastDay) {
+              val s2 = st.s + (r.n - ref)
+              val better = math.abs(s2) > st.bestAbs
+              st = CusumState(d, st.dayCount + 1, st.k + 1, s2,
+                bestAbs = if (better) math.abs(s2) else st.bestAbs,
+                bestDay = if (better) d else st.bestDay,
+                bestS = if (better) s2 else st.bestS)
+            }
+          }
+          state.update(st)
+          Iterator.single(CusumAlarm(tpe, st.dayCount, st.s, st.bestAbs,
+            if (st.bestDay == Long.MinValue) null
+            else new java.sql.Date(st.bestDay).toString,
+            st.bestAbs > threshold))
+      }
+  }
+
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)
   final case class UserSession(user_id: Long, start: java.sql.Timestamp,
       end: java.sql.Timestamp, n_events: Long, total_value: Double)

@@ -360,4 +360,35 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 4L, 1000L, 1000L, 200L, 1L),
       (2L, 2L, 250L, 250L, 400L, 1L)))
   }
+
+  test("streaming CUSUM alarm matches a hand fold and pages on threshold crossing") {
+    import EventsStreaming.{CusumAlarm, DayCount}
+    implicit val sqlCtx = spark.sqlContext
+    def d(n: Int) = java.sql.Date.valueOf(f"2024-02-$n%02d")
+    val source = MemoryStream[DayCount]
+    // ref = 10/day, threshold = 15: type "a" runs hot (+10/day) from day 3
+    // and must alarm once the excess accumulates past 15; "b" stays at ref
+    val b1 = Seq(DayCount("a", d(1), 10), DayCount("a", d(2), 12),
+      DayCount("b", d(1), 10))
+    val b2 = Seq(DayCount("a", d(3), 20), DayCount("a", d(4), 20),
+      DayCount("a", d(2), 99), // late replay of day 2 -> dropped
+      DayCount("b", d(2), 10))
+    val q = EventsStreaming.cusumAlarm(source.toDS(), ref = 10L, threshold = 15L)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("cusum_stream").start()
+    source.addData(b1: _*); q.processAllAvailable()
+    val mid = spark.table("cusum_stream").as[CusumAlarm].collect()
+      .filter(_.event_type == "a").maxBy(_.days_seen)
+    assert(mid.cusum == 2L && !mid.alarm) // (10-10)+(12-10)
+    source.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("cusum_stream").as[CusumAlarm].collect()
+      .groupBy(_.event_type).map { case (t, rows) => t -> rows.maxBy(_.days_seen) }
+    // hand fold for "a": S = 0, 2, 12, 22 across days 1-4 (late replay
+    // dropped) -> best |S| = 22 on day 4, over the 15 threshold
+    assert(fin("a").days_seen == 4L && fin("a").cusum == 22L)
+    assert(fin("a").best_abs == 22L)
+    assert(fin("a").best_day == "2024-02-04" && fin("a").alarm)
+    assert(fin("b").cusum == 0L && !fin("b").alarm)
+  }
 }
