@@ -1003,12 +1003,25 @@ object TextOps {
       .localCheckpoint()
     val qtoks = toks.join(queries.select($"q_id"),
         toks("doc_id") === $"q_id").select($"q_id", $"tok").distinct()
-    val scored = tf.join(qtoks, "tok")
+    // Zero-idf pruning — load-bearing at scale, exactness-preserving:
+    // a term with df > n_docs/2 has integer idf_bits = 0, so it can
+    // change NO score; dropping it BEFORE the postings⋈queries join
+    // collapses the join from |tf|·|queries| (a shared-vocabulary
+    // corpus puts most tokens in most queries — measured as a
+    // billions-of-rows blowup at sf1) to the discriminative-term
+    // postings only. Positive-score ranks are unchanged; documents
+    // sharing ONLY zero-idf terms with a query leave the ranking
+    // (they could previously appear with score 0, below every
+    // positive-score document).
+    val dfScoring = df.crossJoin(broadcast(stats))
+      .withColumn("idf_bits", (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+      .filter($"idf_bits" > 0)
+      .select($"tok", $"df", $"idf_bits")
+    val scored = tf.join(dfScoring, "tok")
+      .join(qtoks, "tok")
       .filter($"doc_id" =!= $"q_id")
-      .join(df, "tok")
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
-      .withColumn("idf_bits", (length(bin(expr("n_docs div df"))) - 1).cast("long"))
       .withColumn("term_milli",
         expr("(1000 * 22 * ltot * tf * idf_bits) div " +
           "(10 * ltot * tf + 3 * ltot + 9 * len * n_docs)"))
@@ -1065,14 +1078,18 @@ object TextOps {
       |qtoks AS (
       |  SELECT DISTINCT q.q_id, t.tok
       |  FROM toks t JOIN queries q ON t.doc_id = q.q_id),
+      |dfsc AS (
+      |  SELECT d.tok, d.df, length(bin(s.n_docs // d.df)) - 1 AS idf_bits
+      |  FROM dfreq d CROSS JOIN stats s
+      |  WHERE length(bin(s.n_docs // d.df)) - 1 > 0),
       |sc AS (
       |  SELECT qt.q_id, t.doc_id,
-      |    CAST(sum((1000 * 22 * s.ltot * t.tf * (length(bin(s.n_docs // d.df)) - 1))
+      |    CAST(sum((1000 * 22 * s.ltot * t.tf * d.idf_bits)
       |      // (10 * s.ltot * t.tf + 3 * s.ltot + 9 * l.len * s.n_docs)) AS BIGINT)
       |      AS bm25_milli
       |  FROM tf t
+      |  JOIN dfsc d USING (tok)
       |  JOIN qtoks qt USING (tok)
-      |  JOIN dfreq d USING (tok)
       |  JOIN lens l ON t.doc_id = l.doc_id
       |  CROSS JOIN stats s
       |  WHERE t.doc_id <> qt.q_id
