@@ -1257,7 +1257,82 @@ object DedupOps {
        |       THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
        |            / (SELECT count(*) FROM cand) END AS precision""".stripMargin
 
+  /** q159: dup-pair evidence — for every exact-Jaccard near-dup pair,
+    * the 3 RAREST shared shingles (df ascending, then shingle) with
+    * their corpus frequencies. The audit surface dedup decisions need:
+    * "why were these two merged" answered by concrete shared content,
+    * rarest first (the most identifying evidence), instead of a bare
+    * similarity score. A curation reviewer reads this table; an appeals
+    * process queries it.
+    *
+    * Scale shape: pairs come from the existing one-shuffle machinery;
+    * evidence re-joins the df-capped rare postings on (doc, shingle)
+    * for the pair members only (semi-bounded by the pair list), then a
+    * per-pair top-3 rank window. Emitted as one ROW per evidence item
+    * (no arrays — array ordering is exactly the cross-engine ambiguity
+    * this repo avoids).
+    */
+  def q159DupEvidence(spark: SparkSession, dir: String): DataFrame =
+    dupEvidenceOf(Tables(spark, dir).documents)
+
+  private[graft] def dupEvidenceOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = jaccardPairs(docs, 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard").localCheckpoint()
+    val sh = shingledFrom(docs)
+    val post = sh.select($"doc_id", explode($"shingles").as("s"))
+    val dfreq = post.groupBy($"s").agg(count(lit(1)).as("df"))
+    val postRare = post.join(dfreq.filter($"df" <= 25), "s")
+    val shared = pairs
+      .join(postRare.select($"doc_id".as("doc_a"), $"s", $"df"), Seq("doc_a"))
+      .join(postRare.select($"doc_id".as("doc_b"), $"s".as("s_b")), Seq("doc_b"))
+      .filter($"s" === $"s_b")
+    shared
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"doc_a", $"doc_b").orderBy($"df".asc, $"s".asc)))
+      .filter($"rank" <= 3)
+      .select($"doc_a", $"doc_b", $"jaccard", $"rank".cast("long").as("rank"),
+        $"s".as("shingle"), $"df")
+      .orderBy($"doc_a", $"doc_b", $"rank")
+  }
+
+  val q159Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct($TrigramSqlExpr) AS shingles
+      |  FROM toks WHERE len(t) >= 3),
+      |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+      |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |dfreq AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY s),
+      |pr AS (SELECT post.doc_id, post.s, dfreq.df
+      |       FROM post JOIN dfreq USING (s) WHERE df <= 25),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+      |  FROM inter
+      |  JOIN counts ca ON doc_a = ca.doc_id
+      |  JOIN counts cb ON doc_b = cb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+      |ev AS (
+      |  SELECT p.doc_a, p.doc_b, p.jaccard, a.s, a.df,
+      |         row_number() OVER (PARTITION BY p.doc_a, p.doc_b
+      |                            ORDER BY a.df, a.s) AS rank
+      |  FROM pairs p
+      |  JOIN pr a ON a.doc_id = p.doc_a
+      |  JOIN pr b ON b.doc_id = p.doc_b AND b.s = a.s)
+      |SELECT doc_a, doc_b, jaccard, rank, s AS shingle, df
+      |FROM ev WHERE rank <= 3
+      |ORDER BY doc_a, doc_b, rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q159_dup_evidence", q159DupEvidence, Some(q159Sql), Seq("X-dedup"),
+      "explainable dedup: rarest shared shingles as per-pair merge evidence"),
     Q("q148_lsh_eval", q148LshEval, Some(q148Sql), Seq("X-dedup", "X-eval", "X-scale"),
       "LSH candidate recall/precision vs the exact-Jaccard truth set"),
     Q("q19_dedup_exact", q19DedupExact, Some(q19Sql), Seq("X-dedup"),

@@ -690,6 +690,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("hits")).sum > 0L)
   }
 
+  test("q159 dup evidence: rarest shared shingles, rank order, top-3 cap") {
+    import graft.operators.DedupOps
+    // docs 1/2 are exact dups (every shared trigram df=2, rank by shingle
+    // string); doc 3 disjoint. 60 words → 58 trigrams → the cap must trim
+    // the evidence to exactly 3 rows for the one pair.
+    def txt(tag: String) = (1 to 60).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq((1L, txt("a")), (2L, txt("a")), (3L, txt("z")))
+      .toDF("doc_id", "text")
+    val rows = DedupOps.dupEvidenceOf(docs).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+      assert(r.getAs[Double]("jaccard") == 1.0)
+      assert(r.getAs[Long]("df") == 2L)
+    }
+    // rank follows (df, shingle) — all dfs equal here, so shingle order
+    val shingles = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[String]("shingle"))
+    assert(shingles.toSeq == shingles.sorted.toSeq)
+  }
+
   test("q148 lsh eval: planted exact dup scores perfect recall and precision") {
     import graft.operators.DedupOps
     def txt150(tag: String) = (1 to 60).map(i => s"$tag$i").mkString(" ")
