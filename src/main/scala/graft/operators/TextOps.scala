@@ -997,12 +997,42 @@ object TextOps {
     val stats = lens.agg(sum($"len").as("ltot"), count(lit(1)).as("n_docs"))
     val df = toks.distinct().groupBy($"tok").agg(count(lit(1)).as("df"))
     val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    // pairs is checkpointed BEFORE the union: a union's two branches each
+    // embed the full pair-machinery subplan, so materializing `queries`
+    // would otherwise run jaccardPairs twice (the q89/CC publish pattern)
     val pairs = DedupOps.jaccardPairs(docs, 0.5).select($"doc_a", $"doc_b")
+      .localCheckpoint()
+    // Fixed-size evaluation panel (first 1000 query-relevance rows in
+    // (q_id, rel) order): corpus growth grows the CANDIDATE side, not
+    // the panel — the same reason q147 evaluates on a fixed 20-vector
+    // panel. On this synthetic corpus every rare term still matches
+    // ~|copy| documents (no tail vocabulary), so per-query work is
+    // corpus-dense and an uncapped panel scales quadratically.
     val queries = pairs.select($"doc_a".as("q_id"), $"doc_b".as("rel"))
       .union(pairs.select($"doc_b".as("q_id"), $"doc_a".as("rel")))
+      .orderBy($"q_id", $"rel").limit(1000)
       .localCheckpoint()
+    // Query-term pruning (standard IR practice, load-bearing at scale):
+    // keep each query's 32 LOWEST-df terms (ties → token order). Scoring
+    // volume is Σ_q Σ_{t∈q} df(t); common terms put every corpus doc in
+    // every query's candidate set (measured ~250M join rows at sf1,
+    // 293s), while the rarest terms both bound the fan-out (small df by
+    // construction) and carry the near-dup ranking signal. Deterministic
+    // and mirrored in the oracle — the metric is "BM25 over the query's
+    // 32 most discriminative terms".
+    // the panel is published via localCheckpoint: it is the frame every
+    // scoring join hangs off, and its EXACT (small) size is what lets
+    // the planner broadcast it — measured at sf1, the un-materialized
+    // panel plan ran the scoring chain 10× slower (260s → 25s)
     val qtoks = toks.join(queries.select($"q_id"),
         toks("doc_id") === $"q_id").select($"q_id", $"tok").distinct()
+      .join(df, "tok")
+      .withColumn("qrnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
+          .orderBy($"df".asc, $"tok".asc)))
+      .filter($"qrnk" <= 32)
+      .select($"q_id", $"tok")
+      .localCheckpoint()
     // Zero-idf pruning — load-bearing at scale, exactness-preserving:
     // a term with df > n_docs/2 has integer idf_bits = 0, so it can
     // change NO score; dropping it BEFORE the postings⋈queries join
@@ -1027,6 +1057,13 @@ object TextOps {
           "(10 * ltot * tf + 3 * ltot + 9 * len * n_docs)"))
       .groupBy($"q_id", $"doc_id")
       .agg(sum($"term_milli").as("bm25_milli"))
+      // published: the (query, candidate) score frame is the eval's
+      // intrinsic working set. Fused into one plan, AQE's stage-by-stage
+      // re-planning of the scoring chain ran 20× slower at sf1 (534s vs
+      // ~25s for the identical chain executed from materialized inputs);
+      // cutting here lets the ranking window and the final folds plan
+      // against the frame's true (bounded) size.
+      .localCheckpoint()
     val ranked = scored.withColumn("rnk", row_number().over(
       Window.partitionBy($"q_id").orderBy($"bm25_milli".desc, $"doc_id")))
     val relRank = queries
@@ -1072,12 +1109,21 @@ object TextOps {
       |  JOIN counts cb ON doc_b = cb.doc_id
       |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
       |queries AS MATERIALIZED (
-      |  SELECT doc_a AS q_id, doc_b AS rel FROM truth
-      |  UNION ALL
-      |  SELECT doc_b, doc_a FROM truth),
-      |qtoks AS (
+      |  SELECT q_id, rel FROM (
+      |    SELECT doc_a AS q_id, doc_b AS rel FROM truth
+      |    UNION ALL
+      |    SELECT doc_b, doc_a FROM truth)
+      |  ORDER BY q_id, rel LIMIT 1000),
+      |qtoks0 AS (
       |  SELECT DISTINCT q.q_id, t.tok
       |  FROM toks t JOIN queries q ON t.doc_id = q.q_id),
+      |qtoks AS (
+      |  SELECT q_id, tok FROM (
+      |    SELECT q.q_id, q.tok,
+      |           row_number() OVER (PARTITION BY q.q_id
+      |                              ORDER BY d.df, q.tok) AS qrnk
+      |    FROM qtoks0 q JOIN dfreq d USING (tok))
+      |  WHERE qrnk <= 32),
       |dfsc AS (
       |  SELECT d.tok, d.df, length(bin(s.n_docs // d.df)) - 1 AS idf_bits
       |  FROM dfreq d CROSS JOIN stats s
