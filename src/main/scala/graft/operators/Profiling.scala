@@ -1152,7 +1152,71 @@ object Profiling {
       |ORDER BY segment, region""".stripMargin
   }
 
+  /** q160: functional-dependency audit — for every ordered pair of
+    * candidate columns, does A → B hold (each A value maps to exactly
+    * one B value), and if not, how many A values violate? The
+    * schema-discovery primitive behind key detection ("which columns
+    * are keys"), normalization review, and denormalization-drift
+    * tripwires (a dim attribute duplicated into a fact SHOULD be
+    * functionally determined by the dim key — a violation count > 0 is
+    * corruption, and this query names the column pair).
+    *
+    * Scale shape: ONE scan of the table explodes each row into its 20
+    * (determinant, dependent) value pairs row-locally, then a two-level
+    * aggregate: per (pair, det_value) count distinct dependents, then
+    * per pair count the violating determinant values. Both shuffles
+    * carry (pair, value-string) keys — the second is |distinct det
+    * values|-sized, never row-sized.
+    */
+  private val FdCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_month")
+
+  def q160FdAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fdAuditOf(Tables(spark, dir).orders
+      .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM")), FdCols)
+  }
+
+  private[graft] def fdAuditOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import df.sparkSession.implicits._
+    val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
+    val exploded = df
+      .select(cols.map(c => col(c).cast("string").as(c)): _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("det"), lit(b).as("dep"),
+          col(a).as("det_val"), col(b).as("dep_val"))
+      }: _*)).as("p"))
+      .select($"p.det", $"p.dep", $"p.det_val", $"p.dep_val")
+    exploded
+      .groupBy($"det", $"dep", $"det_val")
+      .agg(countDistinct($"dep_val").as("nd"))
+      .groupBy($"det", $"dep")
+      .agg(count(lit(1)).as("n_det_values"),
+        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_violating"))
+      .withColumn("holds", $"n_violating" === 0)
+      .orderBy($"det", $"dep")
+  }
+
+  val q160Sql: String = {
+    val subs = (for (a <- FdCols; b <- FdCols if a != b) yield {
+      s"""SELECT '$a' AS det, '$b' AS dep,
+         |  CAST(count(*) AS BIGINT) AS n_det_values,
+         |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+         |FROM (SELECT CAST($a AS VARCHAR) AS dv, count(DISTINCT CAST($b AS VARCHAR)) AS nd
+         |      FROM o GROUP BY 1) GROUP BY 1, 2""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH o AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+      |         strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS o_month
+      |  FROM orders)
+      |SELECT det, dep, n_det_values, n_violating, n_violating = 0 AS holds
+      |FROM ($subs)
+      |ORDER BY det, dep""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q160_fd_audit", q160FdAudit, Some(q160Sql), Seq("X-stats", "Q2", "X-scale"),
+      "functional-dependency audit: key discovery and denormalization-drift tripwire"),
     Q("q156_mutual_info", q156MutualInfo, Some(q156Sql), Seq("X-stats"),
       "mutual-information dependence profile: per-cell contributions over one contingency pass"),
     Q("q146_bucket_diff", q146BucketDiff, Some(q146Sql), Seq("X-scale", "Q2"),

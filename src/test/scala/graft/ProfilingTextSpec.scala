@@ -714,4 +714,26 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(math.abs(byCell("A").getAs[Long]("mi_q12") / 3L - q12(3.0)) <= 2)
     assert(math.abs(byCell("B").getAs[Long]("mi_q12") / 6L - q12(1.5)) <= 2)
   }
+
+  test("q160 fd audit: planted keys, violations counted per determinant value") {
+    import graft.operators.Profiling
+    // k is a key (k -> v, k -> c hold); v -> k fails on the repeated v=10
+    // (two distinct k) but v=20 maps cleanly; c is constant so * -> c
+    // holds and c -> * fails with exactly one (the only) violating value
+    val df = Seq((1L, 10L, "x"), (2L, 10L, "x"), (3L, 20L, "x"))
+      .toDF("k", "v", "c")
+    val out = Profiling.fdAuditOf(df, Seq("k", "v", "c")).collect()
+      .map(r => (r.getAs[String]("det"), r.getAs[String]("dep")) -> r).toMap
+    assert(out.size == 6)
+    assert(out(("k", "v")).getAs[Boolean]("holds"))
+    assert(out(("k", "c")).getAs[Boolean]("holds"))
+    assert(out(("v", "c")).getAs[Boolean]("holds"))
+    val vk = out(("v", "k"))
+    assert(!vk.getAs[Boolean]("holds"))
+    assert(vk.getAs[Long]("n_det_values") == 2L && vk.getAs[Long]("n_violating") == 1L)
+    val ck = out(("c", "k"))
+    assert(!ck.getAs[Boolean]("holds"))
+    assert(ck.getAs[Long]("n_det_values") == 1L && ck.getAs[Long]("n_violating") == 1L)
+    assert(!out(("c", "v")).getAs[Boolean]("holds"))
+  }
 }
