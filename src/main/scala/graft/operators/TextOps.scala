@@ -1159,7 +1159,65 @@ object TextOps {
       |            / (SELECT count(*) FROM queries) END AS mrr
       |FROM rr""".stripMargin
 
+  /** q161: BPE merge statistics — the adjacent-symbol pair counts that
+    * drive a byte-pair-encoding tokenizer's FIRST merge decision,
+    * computed over the corpus. q51 applies a trained BPE-style
+    * pre-tokenizer; this is the other side — TRAINING needs exactly
+    * this table per merge round (count adjacent pairs, merge the
+    * winner, recount), and round one is the expensive one: it scans
+    * every character of the corpus. Emits the top-20 candidate merges
+    * (count desc, pair asc — the deterministic tie the trainer needs)
+    * plus each pair's share of all adjacent positions, so the trainer
+    * can stop when the best merge drops below a frequency floor.
+    *
+    * Scale shape: entirely row-local until one count aggregate — words
+    * explode to their adjacent character pairs via a codegen'd
+    * transform/sequence (no per-character shuffle; the pair stream
+    * collapses partial+final on the pair key), then a 20-row top-k.
+    */
+  def q161BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables(spark, dir).documents
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .select(explode(
+        expr("transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
+        .as("pair"))
+    val counted = pairs.groupBy($"pair").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // |distinct pairs| rows; reused by top-k and the total
+    val total = counted.agg(sum($"cnt").as("n_positions"))
+    counted
+      .orderBy($"cnt".desc, $"pair".asc).limit(20)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"cnt".desc, $"pair".asc)))
+      .select($"rank".cast("long").as("rank"), $"pair", $"cnt",
+        ($"cnt".cast("double") / $"n_positions").as("share"))
+      .orderBy($"rank")
+  }
+
+  val q161Sql: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |pos AS (
+      |  SELECT w, unnest(range(0, strlen(w) - 1)) AS i
+      |  FROM w WHERE strlen(w) >= 2),
+      |p AS (SELECT substr(w, CAST(i + 1 AS INT), 2) AS pair FROM pos),
+      |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_positions FROM c),
+      |top AS (
+      |  SELECT pair, cnt,
+      |         row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+      |  FROM c)
+      |SELECT rank, pair, cnt, CAST(cnt AS DOUBLE) / t.n_positions AS share
+      |FROM top CROSS JOIN t
+      |WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q161_bpe_merges", q161BpeMerges, Some(q161Sql), Seq("F-text", "X-scale"),
+      "BPE training round-one statistics: top adjacent-pair merges with shares"),
     Q("q152_mrr_eval", q152MrrEval, Some(q152Sql), Seq("F-text", "X-eval", "X-scale"),
       "retrieval eval: MRR/hits@k of exact-integer BM25 vs near-dup ground truth"),
     Q("q15_token_stats", q15TokenStats, Some(q15Sql), Seq("F-text"),

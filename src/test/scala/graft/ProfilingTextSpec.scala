@@ -736,4 +736,20 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(ck.getAs[Long]("n_det_values") == 1L && ck.getAs[Long]("n_violating") == 1L)
     assert(!out(("c", "v")).getAs[Boolean]("holds"))
   }
+
+  test("q161 bpe merges: hand-counted pairs, tie order, share arithmetic") {
+    import graft.operators.TextOps
+    val dir = TestSpark.scratch("bpe-merge-docs")
+    // words: "abab" -> ab,ba,ab ; "ab" -> ab ; "cd" -> cd ; "x" -> none
+    // counts: ab=3, ba=1, cd=1 (ba/cd tie -> "ba" after "cd"? string asc:
+    // "ba" < "cd") ; positions total = 5
+    Seq((1L, "abab ab"), (2L, "cd x")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextOps.q161BpeMerges(spark, dir)
+      .as[(Long, String, Long, Double)].collect().toList
+    assert(out == List(
+      (1L, "ab", 3L, 3.0 / 5),
+      (2L, "ba", 1L, 1.0 / 5),
+      (3L, "cd", 1L, 1.0 / 5)))
+  }
 }
