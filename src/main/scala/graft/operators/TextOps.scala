@@ -1215,7 +1215,55 @@ object TextOps {
       |WHERE rank <= 20
       |ORDER BY rank""".stripMargin
 
+  /** q162: language-ID confusion matrix — the q16 heuristic scored
+    * against the corpus's labeled `lang` column. The classifier-eval
+    * member of the eval suite (q147 scores the ANN index, q148 the LSH
+    * banding, q152 the ranker): a language filter applied to 100 TB is
+    * a classifier decision per document, and this table is the
+    * precision/recall evidence behind trusting it. Emits one row per
+    * (true_lang, predicted) cell with the count and the row share
+    * (exact-int ratio), so per-language recall reads straight off the
+    * diagonal cells.
+    *
+    * Scale shape: prediction is q16's row-local stopword scan; the
+    * confusion fold is one (true, pred) aggregate — |langs|·3 rows —
+    * plus a broadcast row-total join of THAT frame.
+    */
+  def q162LangIdEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pred = q16LangId(spark, dir).select($"doc_id", $"lang_pred")
+    val truth = Tables(spark, dir).documents.select($"doc_id", $"lang")
+    val cells = truth.join(pred, "doc_id")
+      .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+    val rowTotals = cells.groupBy($"lang").agg(sum($"n").as("n_lang"))
+    cells.join(broadcast(rowTotals), "lang")
+      .select($"lang", $"lang_pred", $"n", $"n_lang",
+        ($"n".cast("double") / $"n_lang").as("share"))
+      .orderBy($"lang", $"lang_pred")
+  }
+
+  val q162Sql: String = {
+    val score = enStopwords.map(occurrencesSql(paddedSql, _)).mkString("(", " + ", ")")
+    s"""WITH pred AS (
+      |  SELECT doc_id,
+      |    CASE WHEN $score >= 3 THEN 'en'
+      |         WHEN $score >= 1 THEN 'en_maybe'
+      |         ELSE 'und' END AS lang_pred
+      |  FROM documents),
+      |cells AS (
+      |  SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents d JOIN pred p USING (doc_id)
+      |  GROUP BY 1, 2),
+      |rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cells GROUP BY 1)
+      |SELECT cells.lang, lang_pred, n, n_lang,
+      |  CAST(n AS DOUBLE) / n_lang AS share
+      |FROM cells JOIN rt USING (lang)
+      |ORDER BY lang, lang_pred""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q162_langid_eval", q162LangIdEval, Some(q162Sql), Seq("F-text", "X-eval"),
+      "language-ID confusion matrix: the q16 heuristic vs labeled ground truth"),
     Q("q161_bpe_merges", q161BpeMerges, Some(q161Sql), Seq("F-text", "X-scale"),
       "BPE training round-one statistics: top adjacent-pair merges with shares"),
     Q("q152_mrr_eval", q152MrrEval, Some(q152Sql), Seq("F-text", "X-eval", "X-scale"),

@@ -752,4 +752,22 @@ class ProfilingTextSpec extends AnyFunSuite {
       (2L, "ba", 1L, 1.0 / 5),
       (3L, "cd", 1L, 1.0 / 5)))
   }
+
+  test("q162 langid eval: planted confusion cells with exact row shares") {
+    import graft.operators.TextOps
+    val dir = TestSpark.scratch("langid-eval-docs")
+    Seq(
+      (1L, "the cat sat on the mat near the door", "en"), // 3 stopword hits -> en
+      (2L, "a dog", "en"), // 1 hit -> en_maybe
+      (3L, "foo bar baz", "xx"), // 0 hits -> und
+      (4L, "qux quux corge", "xx")) // 0 hits -> und
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q162LangIdEval(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect().toList
+    assert(out == List(
+      ("en", "en", 1L, 2L, 0.5),
+      ("en", "en_maybe", 1L, 2L, 0.5),
+      ("xx", "und", 2L, 2L, 1.0)))
+  }
 }
