@@ -879,20 +879,28 @@ object DedupOps {
        |LEFT JOIN bw ON b.doc_id = bw.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
-  /** Connected components by iterative min-label propagation: every
-    * vertex starts labeled with itself; each round, a vertex adopts the
-    * smallest label among itself and its neighbours; fixpoint = every
-    * vertex carries the smallest doc_id in its component. The loop is
-    * DRIVER-ORCHESTRATED but every step is distributed (one edge-keyed
-    * join + one vertex-keyed aggregate per round); the per-round `count`
-    * is the standard iterative-convergence check (GraphX's Pregel does
-    * the same) — it materializes the persisted next-state, never ships
-    * rows to the driver. Rounds needed = component diameter, and near-dup
-    * clusters are near-cliques (diameter 1–2), so the loop converges in
-    * 2–3 rounds at any corpus scale; for adversarially long chains the
-    * literature's answer is alternating large-star/small-star (Kiveris et
-    * al., "Connected Components in MapReduce and Beyond"), which this
-    * maxIter guard would tell you to reach for.
+  /** Connected components by min-label propagation WITH pointer
+    * doubling: every vertex starts labeled with itself; each round does
+    * (a) one propagation step — a vertex adopts the smallest label among
+    * itself and its neighbours — and (b) one shortcut step — a vertex
+    * re-labels to its label's label, L(v) := L(L(v)). Propagation alone
+    * needs diameter-many rounds; the shortcut doubles the distance a
+    * label has travelled every round (reach_{r+1} >= 2*reach_r + 1, the
+    * classic Shiloach–Vishkin hook-and-shortcut recurrence, same family
+    * as Kiveris et al.'s large-star/small-star), so `maxIter = 20`
+    * covers component diameters past 10^6 — adversarial sequential-edit
+    * dup chains included. Fixpoint = every vertex carries the smallest
+    * doc_id in its component. The loop is DRIVER-ORCHESTRATED but every
+    * step is distributed (one edge-keyed join + one vertex-keyed
+    * aggregate + one label-keyed self-join per round); the per-round
+    * `count` is the standard iterative-convergence check (GraphX's
+    * Pregel does the same) — it materializes the persisted next-state,
+    * never ships rows to the driver.
+    *
+    * The shortcut join is always valid: label values are component
+    * vertices (init takes min over self+neighbours, propagation takes
+    * min over neighbour labels, shortcut takes an existing label), so
+    * the inner self-join on label = v loses nobody.
     *
     * Scale + cache posture: the iteration runs ONLY over vertices that
     * have at least one edge — at corpus scale the dup graph is a tiny
@@ -909,6 +917,13 @@ object DedupOps {
     * reliable `checkpoint` dir — localCheckpoint blocks die with their
     * executor.)
     */
+  /** Rounds the last [[connectedComponents]] call took to converge —
+    * observability for specs/PERF (the doubling guarantee is testable:
+    * a planted diameter-200 chain must close in <= ~8 rounds, where
+    * plain propagation would need 200). Driver-side only.
+    */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
   private[graft] def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
     import vertices.sparkSession.implicits._
@@ -925,38 +940,49 @@ object DedupOps {
     // start every vertex at min(self, neighbours). Near-dup cliques are
     // then ALREADY at fixpoint and the loop only runs its convergence
     // observation round.
+    // Lineage discipline: the shortcut SELF-join makes the logical plan
+    // reference the previous round TWICE, so a persist-only loop grows
+    // the plan tree exponentially (2^rounds nodes — analysis itself OOMs
+    // by round ~9). Eager `localCheckpoint` per round truncates lineage
+    // to the materialized blocks; those blocks are reference-counted and
+    // freed by the ContextCleaner once the round's frame is dropped. (On
+    // a real cluster swap for reliable `checkpoint` — same truncation.)
     var labels = sym.groupBy($"src".as("v")).agg(least($"v", min($"dst")).as("label"))
-      .persist()
+      .localCheckpoint()
     try {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
         val nbrMin = sym.join(labels.withColumnRenamed("v", "src"), "src")
           .groupBy($"dst".as("v")).agg(min($"label").as("nbr"))
-        // One join per round: the convergence flag rides along as a column
-        // instead of a second next-vs-old join. Every subgraph vertex has
-        // >=1 neighbour, so the inner join loses nobody.
-        // `labels` always holds exactly the persisted frame (a projection
-        // would not hit the same cache entry on unpersist); __chg is
-        // dropped by the explicit selects at every use site.
-        val next = labels.join(nbrMin, Seq("v"))
-          .select($"v", least($"label", $"nbr").as("label"),
-            ($"nbr" < $"label").as("__chg"))
-          .persist()
+        // Propagation: every subgraph vertex has >=1 neighbour, so the
+        // inner join loses nobody. Checkpointed because the shortcut
+        // self-join below references it on both sides — the checkpoint
+        // both caches (no double edge-join) and truncates the plan.
+        val prop = labels.join(nbrMin, Seq("v"))
+          .select($"v", least($"label", $"nbr").as("label"), $"label".as("old"))
+          .localCheckpoint()
+        // Shortcut (pointer doubling): L(v) := L(L(v)). Inner join is
+        // safe — labels are themselves subgraph vertices (see scaladoc).
+        // The convergence flag rides along as a column instead of a
+        // second next-vs-old join; __chg is dropped by the explicit
+        // selects at every use site.
+        val next = prop.as("a")
+          .join(prop.select($"v".as("p"), $"label".as("gp")), $"a.label" === $"p")
+          .select($"a.v".as("v"), $"gp".as("label"), ($"gp" < $"a.old").as("__chg"))
+          .localCheckpoint()
         val changed = next.filter($"__chg").count()
-        labels.unpersist()
-        labels = next
+        labels = next.select($"v", $"label")
         converged = changed == 0
         iter += 1
       }
+      lastCcRounds = iter
       require(converged, s"connectedComponents did not converge in $maxIter rounds " +
-        "(component diameter too large for min-propagation — use large-star/small-star)")
-      val subgraph = labels.select($"v", $"label").localCheckpoint()
-      vertices.join(subgraph, Seq("v"), "left")
+        "(diameter past ~2^maxIter — raise maxIter; doubling makes rounds log2(diameter))")
+      vertices.join(labels, Seq("v"), "left")
         .select($"v", coalesce($"label", $"v").as("label"))
     } finally {
       sym.unpersist()
-      labels.unpersist()
     }
   }
 

@@ -88,6 +88,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(labels === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 5L))
   }
 
+  test("pointer doubling closes a diameter-200 chain in O(log d) rounds") {
+    // A sequential-edit dup family: 201 docs in a path 100..300, diameter
+    // 200. Plain min-propagation needs 200 rounds and would trip the
+    // maxIter=20 require; propagate+shortcut must converge with the label
+    // reach doubling every round (2^8 > 200 → <= ~9 rounds).
+    val verts = (100L to 300L).toDF("v")
+    val edges = (100L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.connectedComponents(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 201 && labels.values.forall(_ == 100L))
+    assert(DedupOps.lastCcRounds <= 10,
+      s"expected O(log d) rounds, got ${DedupOps.lastCcRounds}")
+  }
+
   test("dup clustering is transitive and counts singletons as their own cluster") {
     val out = DedupOps.q65DupClusters(spark, docDir)
       .as[(Long, Long, Long)].collect().toList
