@@ -72,8 +72,11 @@ object Gram {
       GramResult(buf(0), buf.slice(1, 1 + d).toSeq, buf.drop(1 + d).toSeq)
     }
 
-    override def bufferEncoder: Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    // Stable public API only: Encoders.kryo keeps the buffer opaque
+    // bytes (fine — the buffer never needs SQL-visible structure),
+    // where the previous catalyst-internal ExpressionEncoder could
+    // break across Spark minor upgrades.
+    override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
     override def outputEncoder: Encoder[GramResult] = Encoders.product[GramResult]
   }
 

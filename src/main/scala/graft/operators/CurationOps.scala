@@ -731,7 +731,11 @@ object CurationOps {
     * Join volume = |pairs|·K·(|corpus|/256). Anchors and their
     * positives are excluded from the candidate set; excluding deeper
     * near-dup rings composes by feeding q65's cluster table in as the
-    * exclusion side.
+    * exclusion side. Output contract: every (anchor, positive, k) draw
+    * appears exactly once — a draw whose bucket holds no candidate
+    * besides the anchor/positive emits negative = NULL, so a consumer
+    * can DETECT an under-drawn anchor instead of silently training on
+    * fewer than K negatives.
     */
   val TripletK = 3
   val NegBuckets = 256
@@ -753,14 +757,20 @@ object CurationOps {
       .localCheckpoint()
     val buckets = docs.select($"doc_id".as("neg_cand"),
       md5mod($"doc_id".cast("string")).as("bucket"))
-    anchors.join(buckets, "bucket")
+    val drawn = anchors.join(buckets, "bucket")
       .filter($"neg_cand" =!= $"anchor" && $"neg_cand" =!= $"positive")
       .withColumn("draw",
         md5(concat_ws("|", $"anchor", $"k", $"neg_cand")))
       .groupBy($"anchor", $"positive", $"k")
       .agg(min(struct($"draw", $"neg_cand")).as("m"))
-      .select($"anchor", $"positive", $"k".cast("long").as("k"),
-        $"m.neg_cand".as("negative"))
+      .select($"anchor", $"positive", $"k", $"m.neg_cand".as("negative"))
+    // Short-draw contract: a hash bucket can contain no candidate other
+    // than the anchor/positive — rejoin the full (anchor, positive, k)
+    // grid so such draws surface as negative = NULL instead of silently
+    // vanishing (a trainer must be able to SEE it got < K negatives).
+    anchors.select($"anchor", $"positive", $"k")
+      .join(drawn, Seq("anchor", "positive", "k"), "left")
+      .select($"anchor", $"positive", $"k".cast("long").as("k"), $"negative")
       .orderBy($"anchor", $"positive", $"k")
   }
 
@@ -800,10 +810,12 @@ object CurationOps {
       |  SELECT a.anchor, a.positive, a.k, b.neg_cand,
       |         md5(a.anchor || '|' || a.k || '|' || b.neg_cand) AS draw
       |  FROM anchors a JOIN buckets b USING (bucket)
-      |  WHERE b.neg_cand <> a.anchor AND b.neg_cand <> a.positive)
-      |SELECT anchor, positive, k, min_by(neg_cand, draw) AS negative
-      |FROM cand
-      |GROUP BY anchor, positive, k
+      |  WHERE b.neg_cand <> a.anchor AND b.neg_cand <> a.positive),
+      |drawn AS (
+      |  SELECT anchor, positive, k, min_by(neg_cand, draw) AS negative
+      |  FROM cand GROUP BY anchor, positive, k)
+      |SELECT anchor, positive, k, negative
+      |FROM anchors LEFT JOIN drawn USING (anchor, positive, k)
       |ORDER BY anchor, positive, k""".stripMargin
   }
 

@@ -223,7 +223,11 @@ object MultimodalOps {
     * planted ground truth that proves the near-dup path end-to-end
     * (the same planted-drift pattern as q146's reconciliation); the
     * untouched corpus is the negative control (no background pair
-    * within the radius).
+    * within the radius). Twin ids are NEGATIVE (−(id+1)) — doc_ids are
+    * nonnegative, so the twin id space can never collide with a real
+    * document at any corpus size (an additive offset would silently
+    * collide once the corpus outgrows it, corrupting the planted truth
+    * identically in both engines).
     */
   def mediaWithCanaries(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -234,7 +238,7 @@ object MultimodalOps {
         val p = m.payload.clone()
         var i = 10
         while (i < 20) { p(i) = 'Z'.toByte; i += 1 }
-        m.copy(media_id = m.media_id + 100000, payload = p)
+        m.copy(media_id = -(m.media_id + 1), payload = p)
       }
     base.union(twins)
   }
@@ -298,7 +302,7 @@ object MultimodalOps {
       |         CAST(strlen(text) AS BIGINT) AS n
       |  FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000,
+      |  SELECT -(doc_id + 1),
       |         substr(text, 1, 10) || 'ZZZZZZZZZZ' || substr(text, 21),
       |         CAST(strlen(text) AS BIGINT)
       |  FROM documents WHERE doc_id % 50 = 0 AND strlen(text) >= 30),

@@ -1037,8 +1037,19 @@ object Profiling {
             "length(bin(y)) - 1)"))
         .withColumn("x2", expr("shiftright(x, sh)"))
         .withColumn("y2", expr("shiftright(y, sh)"))
-        .withColumn("m_un", expr(
+        // Operating-range guard: if the ratio is so extreme that the
+        // 28-bit-scaled mantissa underflows to 0 (needs |log2(x/y)|
+        // beyond what the pre-shift window covers — for q156's MI that
+        // means total ≳ 2^33 rows against a near-empty cell), the result
+        // would silently pin at -28*4096. Fail loudly instead; the
+        // DuckDB twin has no guard, but the regimes where they could
+        // diverge all throw here first.
+        .withColumn("m_un_raw", expr(
           "shiftleft(x2 div y2, 28) + shiftleft(x2 % y2, 28) div y2"))
+        .withColumn("m_un", expr(
+          "CASE WHEN m_un_raw > 0 THEN m_un_raw ELSE " +
+            "CAST(raise_error('log2_q12 operating range exceeded: mantissa underflow " +
+            "(|log2(x/y)| too large for the 28-bit pre-shift window)') AS BIGINT) END"))
         .withColumn("e", expr("CAST(length(bin(m_un)) - 1 - 28 AS BIGINT)"))
         .withColumn("m0", expr(
           """CASE WHEN length(bin(m_un)) - 1 >= 28

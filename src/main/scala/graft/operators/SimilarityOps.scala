@@ -1261,6 +1261,10 @@ object SimilarityOps {
   private[graft] def covNums(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
     val g = emb
+      // pin the null contract: GramAgg already skips null vectors, so n
+      // must count non-null embeddings on BOTH engine legs (a NULL row
+      // would otherwise inflate the oracle's n but not the Spark one)
+      .filter($"embedding".isNotNull)
       .select(transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
       .agg(graft.functions.Gram.gramAgg($"eq").as("g"))
@@ -1298,8 +1302,8 @@ object SimilarityOps {
     """WITH u AS (
       |  SELECT vec_id, unnest(range(len(embedding))) AS i,
       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
-      |  FROM embeddings),
-      |nn AS (SELECT count(*) AS n FROM embeddings),
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |nn AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
       |s AS (SELECT i, CAST(sum(x) AS BIGINT) AS sx FROM u GROUP BY i),
       |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS sxy
       |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
@@ -1390,8 +1394,8 @@ object SimilarityOps {
     s"""WITH u AS (
       |  SELECT vec_id, unnest(range(len(embedding))) AS i,
       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
-      |  FROM embeddings),
-      |nn AS (SELECT count(*) AS n FROM embeddings),
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |nn AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
       |s AS (SELECT i, CAST(sum(x) AS BIGINT) AS sx FROM u GROUP BY i),
       |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS sxy
       |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i

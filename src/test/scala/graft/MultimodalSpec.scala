@@ -79,12 +79,13 @@ class MultimodalSpec extends AnyFunSuite {
     // claim is about candidate generation, not about edit distance)
     val hs = hashes.toMap
     val within = hashes.collect {
-      case (id, h) if id >= 100000 &&
-        java.lang.Long.bitCount(h ^ hs(id - 100000)) <= MultimodalOps.PhashHammingMax =>
-        id - 100000
+      case (id, h) if id < 0 &&
+        java.lang.Long.bitCount(h ^ hs(-id - 1)) <= MultimodalOps.PhashHammingMax =>
+        -id - 1
     }
     assert(within.nonEmpty)
-    within.foreach(c => assert(banded.contains((c, c + 100000))))
+    // twin ids are negative, so in an ordered pair the twin is media_a
+    within.foreach(c => assert(banded.contains((-(c + 1), c))))
   }
 
   test("q153 audio framing: hand-computed energies, silence, peak tie-break") {
