@@ -63,33 +63,148 @@ object TextOps {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
-  /** Stopword-frequency language-ID heuristic. The fixture corpus is an
-    * English-ish word salad, so the interesting property is that engine and
-    * oracle agree exactly on the scores, not linguistic accuracy.
-    */
+  /** stopword needles shared by the quality score (q18 and consumers) */
   private val enStopwords = Seq(" the ", " a ")
+
+  /** TextCat profile sizes: a document keeps its top-[[DocTopN]] ranked
+    * trigrams, a language profile its top-[[ProfTopN]]; a doc trigram
+    * absent from a profile costs the maximum out-of-place penalty
+    * ([[ProfTopN]]), per the original paper.
+    */
+  private[graft] val DocTopN = 40
+  private[graft] val ProfTopN = 100
+
+  /** Language identification by ranked character-n-gram profiles — the
+    * public TextCat algorithm (Cavnar & Trenkle, "N-Gram-Based Text
+    * Categorization", SDAIR 1994): each language's profile is its
+    * [[ProfTopN]] most frequent word-padded character trigrams in rank
+    * order; a document is scored against every profile by the
+    * out-of-place distance (Σ |doc rank − profile rank|, missing →
+    * [[ProfTopN]]) and labeled with the argmin. Profiles are TRAINED on
+    * the corpus's own labeled `lang` column — the operational shape of
+    * a lang-ID filter bootstrap (train on the labeled slice, apply to
+    * the unlabeled firehose). Every step is exact integer arithmetic
+    * (counts, ranks, absolute differences), so engine and oracle agree
+    * bit-for-bit; ties break to the lexicographically smallest
+    * language, and a document with no trigrams (empty text) is 'und'.
+    *
+    * NOTE the driver corpus's `lang` labels are synthetic relative to
+    * its text (every language is the same word salad), so on THAT data
+    * the confusion matrix (q162) honestly shows chance-level mixing —
+    * the planted per-language-vocabulary fixture in ProfilingTextSpec
+    * is where diagonal dominance (accuracy > 0.9) is asserted.
+    *
+    * Scale shape: one corpus scan explodes word-padded trigrams
+    * row-locally; per-(doc, trigram) counts collapse with map-side
+    * combine before the doc-keyed shuffle (the frame is
+    * localCheckpoint-published once and feeds BOTH the doc-profile and
+    * the language-profile legs — on a multi-executor cluster swap for a
+    * reliable checkpoint or recompute). Language profiles are
+    * |langs|·[[ProfTopN]] rows → broadcast; scoring is a broadcast join
+    * + a (doc, lang)-keyed fold, so nothing quadratic and no shuffle
+    * carries raw text.
+    */
+  private[graft] def textcatOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tris = docs
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 1)
+      .select($"doc_id", $"lang", explode(expr(
+        "transform(sequence(1, length(w)), i -> substring('_' || w || '_', i, 3))"))
+        .as("tg"))
+    // one (doc, trigram) count frame feeds both legs below
+    val docCnt = tris.groupBy($"doc_id", $"lang", $"tg")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"c".desc, $"tg".asc)
+    val docTop = docCnt
+      .withColumn("r_doc", row_number().over(wDoc))
+      .filter($"r_doc" <= DocTopN)
+      .select($"doc_id", $"tg", $"r_doc")
+    val wLang = Window.partitionBy($"lang").orderBy($"c".desc, $"tg".asc)
+    val profile = docCnt.groupBy($"lang", $"tg").agg(sum($"c").as("c"))
+      .withColumn("r_lang", row_number().over(wLang))
+      .filter($"r_lang" <= ProfTopN)
+      .select($"lang", $"tg", $"r_lang")
+    val langs = profile.select($"lang").distinct()
+    val docD = docTop.groupBy($"doc_id").agg(count(lit(1)).as("d_doc"))
+    val matches = docTop.join(broadcast(profile), "tg")
+      .groupBy($"doc_id", $"lang")
+      .agg(sum(abs($"r_doc" - $"r_lang")).as("sumdiff"),
+        count(lit(1)).as("matched"))
+    val dist = docs.select($"doc_id").join(docD, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"d_doc", lit(0L)).as("d_doc"))
+      .crossJoin(broadcast(langs))
+      .join(matches, Seq("doc_id", "lang"), "left")
+      .select($"doc_id", $"lang", $"d_doc",
+        (coalesce($"sumdiff", lit(0L)) +
+          ($"d_doc" - coalesce($"matched", lit(0L))) * lit(ProfTopN.toLong)).as("dist"))
+    dist.groupBy($"doc_id")
+      .agg(min(struct($"dist", $"lang")).as("m"), max($"d_doc").as("d_doc"))
+      .select($"doc_id",
+        when($"d_doc" === 0, "und").otherwise($"m.lang").as("lang_pred"),
+        $"m.dist".as("dist"))
+  }
+
+  /** The classifier as shared oracle CTEs ending in
+    * `pred(doc_id, lang_pred, dist)` — q16 selects it, q162 folds it
+    * into the confusion matrix.
+    */
+  private[graft] val textcatSqlCtes: String =
+    s"""w AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+       |pw AS (
+       |  SELECT doc_id, lang, '_' || w || '_' AS p, strlen(w) AS n
+       |  FROM w WHERE strlen(w) >= 1),
+       |tgs AS (
+       |  SELECT doc_id, lang, substr(p, CAST(i AS INT), 3) AS tg
+       |  FROM (SELECT doc_id, lang, p, unnest(range(1, n + 1)) AS i FROM pw)),
+       |dc AS (
+       |  SELECT doc_id, lang, tg, CAST(count(*) AS BIGINT) AS c
+       |  FROM tgs GROUP BY 1, 2, 3),
+       |dt AS (
+       |  SELECT doc_id, tg, r_doc FROM (
+       |    SELECT doc_id, tg,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tg) AS r_doc
+       |    FROM dc) WHERE r_doc <= $DocTopN),
+       |lc AS (SELECT lang, tg, CAST(sum(c) AS BIGINT) AS c FROM dc GROUP BY 1, 2),
+       |prof AS (
+       |  SELECT lang, tg, r_lang FROM (
+       |    SELECT lang, tg,
+       |           row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg) AS r_lang
+       |    FROM lc) WHERE r_lang <= $ProfTopN),
+       |plangs AS (SELECT DISTINCT lang FROM prof),
+       |dd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS d_doc FROM dt GROUP BY 1),
+       |mtc AS (
+       |  SELECT d.doc_id, p.lang,
+       |         CAST(sum(abs(d.r_doc - p.r_lang)) AS BIGINT) AS sumdiff,
+       |         CAST(count(*) AS BIGINT) AS matched
+       |  FROM dt d JOIN prof p USING (tg) GROUP BY 1, 2),
+       |dist AS (
+       |  SELECT g.doc_id, g.lang, g.d_doc,
+       |         coalesce(mtc.sumdiff, 0)
+       |           + (g.d_doc - coalesce(mtc.matched, 0)) * $ProfTopN AS dist
+       |  FROM (SELECT d0.doc_id, coalesce(dd.d_doc, 0) AS d_doc, l.lang
+       |        FROM documents d0 LEFT JOIN dd USING (doc_id) CROSS JOIN plangs l) g
+       |  LEFT JOIN mtc ON mtc.doc_id = g.doc_id AND mtc.lang = g.lang),
+       |pred AS (
+       |  SELECT doc_id,
+       |         CASE WHEN d_doc = 0 THEN 'und' ELSE lang END AS lang_pred,
+       |         CAST(dist AS BIGINT) AS dist
+       |  FROM (SELECT doc_id, lang, d_doc, dist,
+       |               row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+       |        FROM dist) WHERE rn = 1)""".stripMargin
 
   def q16LangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = padded(col("text"))
-    val score = enStopwords.map(occurrences(p, _)).reduce(_ + _)
-    Tables(spark, dir).documents
-      .select(
-        $"doc_id",
-        score.as("en_score"),
-        when(score >= 3, "en").when(score >= 1, "en_maybe").otherwise("und").as("lang_pred"))
-      .orderBy($"doc_id")
+    textcatOf(Tables(spark, dir).documents).orderBy($"doc_id")
   }
 
-  val q16Sql: String = {
-    val score = enStopwords.map(occurrencesSql(paddedSql, _)).mkString("(", " + ", ")")
-    s"""SELECT doc_id, $score AS en_score,
-       |  CASE WHEN $score >= 3 THEN 'en'
-       |       WHEN $score >= 1 THEN 'en_maybe'
-       |       ELSE 'und' END AS lang_pred
-       |FROM documents
+  val q16Sql: String =
+    s"""WITH $textcatSqlCtes
+       |SELECT doc_id, lang_pred, dist FROM pred
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Document fingerprint: first 64 bits of md5 over the raw text, plus a
     * word-shape fingerprint (count of distinct-ish word lengths). md5 is
@@ -1215,19 +1330,23 @@ object TextOps {
       |WHERE rank <= 20
       |ORDER BY rank""".stripMargin
 
-  /** q162: language-ID confusion matrix — the q16 heuristic scored
-    * against the corpus's labeled `lang` column. The classifier-eval
-    * member of the eval suite (q147 scores the ANN index, q148 the LSH
-    * banding, q152 the ranker): a language filter applied to 100 TB is
-    * a classifier decision per document, and this table is the
-    * precision/recall evidence behind trusting it. Emits one row per
-    * (true_lang, predicted) cell with the count and the row share
-    * (exact-int ratio), so per-language recall reads straight off the
-    * diagonal cells.
+  /** q162: language-ID confusion matrix — the q16 TextCat classifier
+    * scored against the corpus's labeled `lang` column. The
+    * classifier-eval member of the eval suite (q147 scores the ANN
+    * index, q148 the LSH banding, q152 the ranker): a language filter
+    * applied to 100 TB is a classifier decision per document, and this
+    * table is the precision/recall evidence behind trusting it. Emits
+    * one row per (true_lang, predicted) cell with the count and the row
+    * share (exact-int ratio), so per-language recall reads straight off
+    * the diagonal cells. On the driver corpus the labels are synthetic
+    * (see textcatOf) so the matrix shows chance-level mixing — exactly
+    * what an eval should report about untrainable labels; diagonal
+    * dominance on real per-language vocabulary is asserted by the
+    * planted fixture in ProfilingTextSpec.
     *
-    * Scale shape: prediction is q16's row-local stopword scan; the
-    * confusion fold is one (true, pred) aggregate — |langs|·3 rows —
-    * plus a broadcast row-total join of THAT frame.
+    * Scale shape: prediction is q16's broadcast-profile scoring; the
+    * confusion fold is one (true, pred) aggregate — at most |langs|²+1
+    * rows — plus a broadcast row-total join of THAT frame.
     */
   def q162LangIdEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1243,13 +1362,7 @@ object TextOps {
   }
 
   val q162Sql: String = {
-    val score = enStopwords.map(occurrencesSql(paddedSql, _)).mkString("(", " + ", ")")
-    s"""WITH pred AS (
-      |  SELECT doc_id,
-      |    CASE WHEN $score >= 3 THEN 'en'
-      |         WHEN $score >= 1 THEN 'en_maybe'
-      |         ELSE 'und' END AS lang_pred
-      |  FROM documents),
+    s"""WITH $textcatSqlCtes,
       |cells AS (
       |  SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
       |  FROM documents d JOIN pred p USING (doc_id)
@@ -1263,7 +1376,7 @@ object TextOps {
 
   val queries: Seq[Q] = Seq(
     Q("q162_langid_eval", q162LangIdEval, Some(q162Sql), Seq("F-text", "X-eval"),
-      "language-ID confusion matrix: the q16 heuristic vs labeled ground truth"),
+      "language-ID confusion matrix: the q16 TextCat classifier vs labeled ground truth"),
     Q("q161_bpe_merges", q161BpeMerges, Some(q161Sql), Seq("F-text", "X-scale"),
       "BPE training round-one statistics: top adjacent-pair merges with shares"),
     Q("q152_mrr_eval", q152MrrEval, Some(q152Sql), Seq("F-text", "X-eval", "X-scale"),
@@ -1298,7 +1411,7 @@ object TextOps {
     Q("q39_sample_per_group", q39Sample, Some(q39Sql), Seq("X-sample"),
       "deterministic hash-priority stratified sampling"),
     Q("q16_lang_id", q16LangId, Some(q16Sql), Seq("F-text"),
-      "stopword-frequency language-ID heuristic"),
+      "TextCat language ID: self-trained ranked char-trigram profiles, out-of-place distance"),
     Q("q17_fingerprint", q17Fingerprint, Some(q17Sql), Seq("F-text"),
       "md5 content fingerprints"),
     Q("q18_quality", q18Quality, Some(q18Sql), Seq("F-text"),

@@ -756,18 +756,51 @@ class ProfilingTextSpec extends AnyFunSuite {
   test("q162 langid eval: planted confusion cells with exact row shares") {
     import graft.operators.TextOps
     val dir = TestSpark.scratch("langid-eval-docs")
+    // disjoint vocabularies -> the self-trained profiles separate
+    // perfectly, so the confusion matrix is exactly diagonal; the empty
+    // doc has no trigrams and lands in the 'und' column of its row
     Seq(
-      (1L, "the cat sat on the mat near the door", "en"), // 3 stopword hits -> en
-      (2L, "a dog", "en"), // 1 hit -> en_maybe
-      (3L, "foo bar baz", "xx"), // 0 hits -> und
-      (4L, "qux quux corge", "xx")) // 0 hits -> und
+      (1L, "the cat sat on the mat near the door", "en"),
+      (2L, "a dog and the cat", "en"),
+      (3L, "foo bar baz foo bar", "xx"),
+      (4L, "qux quux corge foo baz", "xx"),
+      (5L, "", "xx"))
       .toDF("doc_id", "text", "lang")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = TextOps.q162LangIdEval(spark, dir)
       .as[(String, String, Long, Long, Double)].collect().toList
     assert(out == List(
-      ("en", "en", 1L, 2L, 0.5),
-      ("en", "en_maybe", 1L, 2L, 0.5),
-      ("xx", "und", 2L, 2L, 1.0)))
+      ("en", "en", 2L, 2L, 1.0),
+      ("xx", "und", 1L, 3L, 1.0 / 3),
+      ("xx", "xx", 2L, 3L, 2.0 / 3)))
+  }
+
+  test("textcat shows diagonal dominance on per-language vocabulary (accuracy > 0.9)") {
+    import graft.operators.TextOps
+    // three languages, disjoint 12-word vocabularies, 12 docs each with
+    // deterministic word draws — the trainable-label regime the driver
+    // corpus (synthetic labels) never provides. Self-trained ranked
+    // trigram profiles must recover essentially every label.
+    val vocab = Map(
+      "en" -> Seq("the", "cat", "sat", "mat", "dog", "ran", "house", "tree",
+        "water", "small", "green", "quickly"),
+      "de" -> Seq("der", "hund", "katze", "haus", "baum", "wasser", "klein",
+        "schnell", "gruen", "lief", "sass", "matte"),
+      "fr" -> Seq("le", "chat", "chien", "maison", "arbre", "eau", "petit",
+        "vite", "vert", "courut", "assis", "tapis"))
+    val docs = for {
+      (lang, words) <- vocab.toSeq
+      d <- 0 until 12
+    } yield {
+      val text = (0 until 20).map(i => words((d * 7 + i * 3) % words.length))
+        .mkString(" ")
+      (lang.hashCode.toLong * 100 + d, text, lang)
+    }
+    val pred = TextOps.textcatOf(docs.toDF("doc_id", "text", "lang"))
+    val truth = docs.toDF("doc_id", "text", "lang").select($"doc_id", $"lang")
+    val correct = pred.join(truth, "doc_id")
+      .filter($"lang_pred" === $"lang").count()
+    assert(correct.toDouble / docs.size > 0.9,
+      s"accuracy ${correct.toDouble / docs.size} on planted vocab")
   }
 }
