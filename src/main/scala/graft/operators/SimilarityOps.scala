@@ -782,7 +782,8 @@ object SimilarityOps {
     *
     * Scale shape — this is the algorithm whose entire point is making
     * embedding dedup sub-quadratic: k grows with the corpus
-    * (k = clamp(n/128, 4, 4096) here; web-scale runs use ~10⁵ clusters)
+    * (k = clamp(n/128, 4, 4096) here; web-scale runs use ~10⁵ clusters;
+    * past the k cap use q163's sampled-train + pruned-assign variant)
     * so E[cluster size] stays constant and the within-cluster pair join
     * is O(n · c̄), not O(n²). The pair generation is one shuffle on cid;
     * the k-means phase is the broadcast-centroid shape documented on
@@ -823,6 +824,17 @@ object SimilarityOps {
       .select($"vec_id", $"cid", $"eq",
         graft.plans.FloatVectorExpressions.normSqI64($"eq").as("n2"))
       .localCheckpoint()
+    pruneWithinClusters(e, tau, maxCluster)
+  }
+
+  /** Within-cluster τ-prune shared by q135 (exact assignment) and q163
+    * (sampled-train, pruned assignment). `e` must be a published frame
+    * of (vec_id, cid, eq, n2). One cid-keyed self-join, cosine from
+    * exact integer dot/norm sums, keep-earliest (min vec_id) rule.
+    */
+  private def pruneWithinClusters(e: DataFrame, tau: Double,
+      maxCluster: Long): DataFrame = {
+    import e.sparkSession.implicits._
     val oversized = e.groupBy($"cid").agg(count(lit(1)).as("cn"))
       .filter($"cn" > maxCluster).take(1)
     require(oversized.isEmpty, {
@@ -915,6 +927,250 @@ object SimilarityOps {
       |SELECT vec_id, cid, va AS kept_id, round(cos_raw, 4) AS cos_sim
       |FROM dr WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
+
+  /** Sort a (long id, array<long> vec) centroid frame into literal
+    * arrays and add column `outCol` = the argmin-square-distance id to
+    * `vecs` — the broadcast-k-means assignment with the broadcast
+    * realized as one codegen'd literal kernel (bounded by the k ≤ 4096
+    * cap: ≤ 2 MB of longs, the PQ-codebook class of driver collect).
+    * Ties resolve to the lowest id (the kernel takes the strict-first
+    * min over id-sorted rows).
+    */
+  private def assignByLiteral(vecs: DataFrame, cents: DataFrame,
+      vecCol: String, outCol: String): DataFrame = {
+    val rows = cents.collect().sortBy(_.getLong(0))
+    val ids = rows.map(_.getLong(0))
+    val flat = rows.flatMap(_.getSeq[Long](1))
+    vecs.withColumn(outCol, element_at(lit(ids),
+      graft.plans.FloatVectorExpressions.argMinSqDistI64(col(vecCol), lit(flat)) + 1))
+  }
+
+  /** One Lloyd layer over an arbitrary (long id, array<long> vec)
+    * frame: deterministic init = the k lowest ids (TakeOrdered, no
+    * global sort), 2 assign/update rounds, centroids returned as
+    * (cid, cq) with the kmeansAssign integer half-up mean identity.
+    * Reused at BOTH levels of q163's two-level quantizer — over the
+    * training sample (k centroids) and over the centroids themselves
+    * (√k super-centroids).
+    */
+  private def lloydCentroids(corpus: DataFrame, k: Int): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val Seq(idc, vc) = corpus.columns.toSeq
+    val init = corpus.orderBy(col(idc)).limit(k)
+      .select(col(idc).as("cid"), col(vc).as("cq"))
+    def step(cents: DataFrame): DataFrame =
+      assignByLiteral(corpus, cents, vc, "cid")
+        .select($"cid", posexplode(col(vc)).as(Seq("pos", "v")))
+        .groupBy($"cid", $"pos")
+        .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .withColumn("cq",
+          expr("(2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) div (2*n)"))
+        .groupBy($"cid")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"cq"))),
+          s => s("cq")).as("cq"))
+        .localCheckpoint()
+    step(step(init))
+  }
+
+  /** q163: SemDeDup with the production-scale assignment path — what
+    * q135's scaladoc used to promise and defer. Two changes vs q135,
+    * both from the published playbook (Abbas et al. SemDeDup train
+    * their clustering on a corpus subset; the two-level coarse
+    * quantizer is the standard IVF pruning layout):
+    *
+    *  1. SAMPLED TRAIN — Lloyd runs on a deterministic hash sample of
+    *     ~32 vectors per centroid (md5(vec_id) mod ⌊n/(32k)⌋ = 0; no
+    *     RNG state, so reruns/backfills regenerate identical
+    *     centroids). With q135's k = n/128 policy that is a constant
+    *     1/4 of the corpus below the k cap — the gate exercises true
+    *     subsampling at EVERY scale factor — and past the cap training
+    *     cost stays O(32·k·k) flat while q135's full-corpus Lloyd
+    *     grows O(N·k). 32 points per centroid is ample for a dedup
+    *     partitioner (the quantizer only buckets; τ does the deciding).
+    *  2. PRUNED ASSIGN — a second Lloyd over the k centroids yields
+    *     ⌈√k⌉ super-centroids; each corpus vector finds its super-cell
+    *     by a √k-wide argmin literal kernel (row-local), then argmins
+    *     only over the centroids homed to that cell — O(N·√k) distance
+    *     work instead of O(N·k), the IVF nprobe=1 shape. A vector whose
+    *     true nearest centroid is homed to a neighbouring super-cell
+    *     can be mis-assigned — SemDeDup's own cross-cluster blind spot,
+    *     one level up; acceptable for dedup (misses, never corrupts),
+    *     and the DuckDB twin implements the identical two-level rule,
+    *     so the oracle gate pins the algorithm bit-for-bit at every SF.
+    *
+    * Everything else (integer-millis grid, half-up centroid snapping,
+    * τ-prune, keep-earliest, oversize guard) is shared with q135 —
+    * byte-identical via pruneWithinClusters.
+    */
+  def q163SemdedupScaled(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupScaled(spark, dir, tau = 0.45)
+
+  private[graft] def semanticDedupScaled(spark: SparkSession, dir: String,
+      tau: Double = 0.85, kCap: Int = 4096, samplePerCentroid: Int = 32,
+      maxCluster: Long = 16384L): DataFrame = {
+    import spark.implicits._
+    val n = Tables(spark, dir).embeddings.count()
+    val k = math.min(kCap.toLong, math.max(4L, n / 128L)).toInt
+    val sMod = math.max(1L, n / (samplePerCentroid.toLong * k))
+    val eq = Tables(spark, dir).embeddings
+      .select($"vec_id", transform($"embedding",
+        x => round(x.cast("double") * 1000).cast("long")).as("eq"))
+      .localCheckpoint()
+    val sample = eq.filter(pmod(
+      conv(substring(md5($"vec_id".cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(sMod)) === 0)
+    val cents = lloydCentroids(sample.select($"vec_id", $"eq"), k)
+    val kp = math.ceil(math.sqrt(k.toDouble)).toInt
+    val supers = lloydCentroids(cents.select($"cid".as("id"), $"cq".as("vec")), kp)
+    val centCell = assignByLiteral(cents, supers, "cq", "scid")
+      .select($"scid", $"cid", $"cq",
+        graft.plans.FloatVectorExpressions.normSqI64($"cq").as("c2"))
+    val vecCell = assignByLiteral(eq, supers, "eq", "scid")
+      .select($"vec_id", $"eq", $"scid",
+        graft.plans.FloatVectorExpressions.normSqI64($"eq").as("n2"))
+    // O(N·√k): the broadcast join fans each vector out to its cell's
+    // centroids only; the argmin fold collapses map-side (grouping key
+    // = the row's own vec_id), so the shuffle carries N rows, not N·√k.
+    // first() over eq/n2 is safe: every row of a vec_id group carries
+    // the identical value.
+    val assigned = vecCell.join(broadcast(centCell), "scid")
+      .select($"vec_id", $"eq", $"n2", $"cid",
+        ($"n2" + $"c2" -
+          lit(2L) * graft.plans.FloatVectorExpressions.dotI64($"eq", $"cq"))
+          .as("dist"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"dist", $"cid")).as("m"),
+        first($"eq").as("eq"), first($"n2").as("n2"))
+      .select($"vec_id", $"m.cid".as("cid"), $"eq", $"n2")
+      .localCheckpoint()
+    pruneWithinClusters(assigned, tau, maxCluster)
+  }
+
+  /** DuckDB twin of the full two-level algorithm: sample by the same
+    * md5-mod rule, two unrolled Lloyd rounds on the sample, two more on
+    * the centroids for the super layer, nprobe=1 cell assignment, then
+    * q135's within-cluster prune verbatim.
+    */
+  val q163Sql: String = {
+    val md5int = (e: String) =>
+      s"(${(1 to 15).map { j =>
+        val mult = 1L << (4 * (15 - j))
+        s"(strpos('0123456789abcdef', substr(md5($e), $j, 1)) - 1) * $mult"
+      }.mkString(" + ")})"
+    val ctrUpd = (sumE: String, cntE: String) =>
+      s"(2*$sumE + $cntE - (((2*$sumE + $cntE) % (2*$cntE) + 2*$cntE) % (2*$cntE))) // (2*$cntE)"
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      |kk AS (
+      |  SELECT LEAST(4096, GREATEST(4, n // 128)) AS k,
+      |         GREATEST(1, n // (32 * LEAST(4096, GREATEST(4, n // 128)))) AS smod,
+      |         CAST(ceil(sqrt(LEAST(4096, GREATEST(4, n // 128)))) AS BIGINT) AS kp
+      |  FROM nn),
+      |u AS (
+      |  SELECT vec_id,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v,
+      |         generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |samp AS (
+      |  SELECT vec_id FROM embeddings CROSS JOIN kk
+      |  WHERE ${md5int("CAST(vec_id AS VARCHAR)")} % smod = 0),
+      |su AS (SELECT u.* FROM u JOIN samp USING (vec_id)),
+      |initids AS (
+      |  SELECT vec_id FROM (
+      |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM samp)
+      |  CROSS JOIN kk WHERE rn <= k),
+      |c0 AS (SELECT su.vec_id AS cid, pos, v AS cq
+      |       FROM su JOIN initids USING (vec_id)),
+      |d1 AS (SELECT su.vec_id, c0.cid,
+      |              CAST(sum((su.v - c0.cq) * (su.v - c0.cq)) AS BIGINT) AS dist
+      |       FROM su JOIN c0 USING (pos) GROUP BY su.vec_id, c0.cid),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.cid, su.pos, ${ctrUpd("sum(su.v)", "count(*)")} AS cq
+      |       FROM su JOIN a1 USING (vec_id) GROUP BY a1.cid, su.pos),
+      |d2 AS (SELECT su.vec_id, c1.cid,
+      |              CAST(sum((su.v - c1.cq) * (su.v - c1.cq)) AS BIGINT) AS dist
+      |       FROM su JOIN c1 USING (pos) GROUP BY su.vec_id, c1.cid),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |         FROM d2) WHERE rn = 1),
+      |c2 AS (SELECT a2.cid, su.pos, ${ctrUpd("sum(su.v)", "count(*)")} AS cq
+      |       FROM su JOIN a2 USING (vec_id) GROUP BY a2.cid, su.pos),
+      |sinit AS (
+      |  SELECT cid FROM (
+      |    SELECT cid, row_number() OVER (ORDER BY cid) AS rn
+      |    FROM (SELECT DISTINCT cid FROM c2))
+      |  CROSS JOIN kk WHERE rn <= kp),
+      |s0 AS (SELECT c2.cid AS scid, pos, cq AS sq FROM c2 JOIN sinit USING (cid)),
+      |sd1 AS (SELECT c2.cid, s0.scid,
+      |               CAST(sum((c2.cq - s0.sq) * (c2.cq - s0.sq)) AS BIGINT) AS dist
+      |        FROM c2 JOIN s0 USING (pos) GROUP BY c2.cid, s0.scid),
+      |sa1 AS (SELECT cid, scid FROM (
+      |          SELECT cid, scid,
+      |                 row_number() OVER (PARTITION BY cid ORDER BY dist, scid) AS rn
+      |          FROM sd1) WHERE rn = 1),
+      |s1 AS (SELECT sa1.scid, c2.pos, ${ctrUpd("sum(c2.cq)", "count(*)")} AS sq
+      |       FROM c2 JOIN sa1 USING (cid) GROUP BY sa1.scid, c2.pos),
+      |sd2 AS (SELECT c2.cid, s1.scid,
+      |               CAST(sum((c2.cq - s1.sq) * (c2.cq - s1.sq)) AS BIGINT) AS dist
+      |        FROM c2 JOIN s1 USING (pos) GROUP BY c2.cid, s1.scid),
+      |sa2 AS (SELECT cid, scid FROM (
+      |          SELECT cid, scid,
+      |                 row_number() OVER (PARTITION BY cid ORDER BY dist, scid) AS rn
+      |          FROM sd2) WHERE rn = 1),
+      |s2 AS (SELECT sa2.scid, c2.pos, ${ctrUpd("sum(c2.cq)", "count(*)")} AS sq
+      |       FROM c2 JOIN sa2 USING (cid) GROUP BY sa2.scid, c2.pos),
+      |cd AS (SELECT c2.cid, s2.scid,
+      |              CAST(sum((c2.cq - s2.sq) * (c2.cq - s2.sq)) AS BIGINT) AS dist
+      |       FROM c2 JOIN s2 USING (pos) GROUP BY c2.cid, s2.scid),
+      |ca AS (SELECT cid, scid FROM (
+      |         SELECT cid, scid,
+      |                row_number() OVER (PARTITION BY cid ORDER BY dist, scid) AS rn
+      |         FROM cd) WHERE rn = 1),
+      |vd AS (SELECT u.vec_id, s2.scid,
+      |              CAST(sum((u.v - s2.sq) * (u.v - s2.sq)) AS BIGINT) AS dist
+      |       FROM u JOIN s2 USING (pos) GROUP BY u.vec_id, s2.scid),
+      |va AS (SELECT vec_id, scid FROM (
+      |         SELECT vec_id, scid,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, scid) AS rn
+      |         FROM vd) WHERE rn = 1),
+      |ad AS (SELECT u.vec_id, ca.cid,
+      |              CAST(sum((u.v - c2.cq) * (u.v - c2.cq)) AS BIGINT) AS dist
+      |       FROM u JOIN va USING (vec_id)
+      |       JOIN ca ON ca.scid = va.scid
+      |       JOIN c2 ON c2.cid = ca.cid AND c2.pos = u.pos
+      |       GROUP BY u.vec_id, ca.cid),
+      |a3 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |         FROM ad) WHERE rn = 1),
+      |vn AS (SELECT u.vec_id, a3.cid,
+      |              CAST(sum(u.v * u.v) AS BIGINT) AS n2
+      |       FROM u JOIN a3 USING (vec_id) GROUP BY u.vec_id, a3.cid),
+      |pr AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cid,
+      |              CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
+      |              max(a.n2) AS na2, max(b.n2) AS nb2
+      |       FROM vn a JOIN vn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |       JOIN u ua ON ua.vec_id = a.vec_id
+      |       JOIN u ub ON ub.vec_id = b.vec_id AND ua.pos = ub.pos
+      |       GROUP BY a.vec_id, b.vec_id, a.cid),
+      |qual AS (SELECT va, vb, cid,
+      |                CAST(dot AS DOUBLE) /
+      |                  (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+      |                  AS cos_raw
+      |         FROM pr
+      |         WHERE CAST(dot AS DOUBLE) /
+      |                 (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+      |               >= CAST('0.45' AS DOUBLE)),
+      |dr AS (SELECT vb AS vec_id, cid, va, cos_raw,
+      |              row_number() OVER (PARTITION BY vb ORDER BY va) AS rn
+      |       FROM qual)
+      |SELECT vec_id, cid, va AS kept_id, round(cos_raw, 4) AS cos_sim
+      |FROM dr WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+  }
 
   /** Filtered vector search: ANN under a metadata predicate — the
     * production vector-retrieval shape (a RAG query is never "nearest
@@ -1674,6 +1930,9 @@ object SimilarityOps {
       "broadcast k-means: deterministic init, 2 Lloyd rounds, exact-integer updates"),
     Q("q135_semantic_dedup", q135SemanticDedup, Some(q135Sql), Seq("X-dedup", "X-sim", "X-scale"),
       "SemDeDup: corpus-proportional k-means partition, within-cluster cosine prune"),
+    Q("q163_semdedup_scaled", q163SemdedupScaled, Some(q163Sql),
+      Seq("X-dedup", "X-sim", "X-scale"),
+      "SemDeDup at scale: hash-sampled Lloyd train, two-level pruned assignment"),
     Q("q24_ann_brute", q24AnnBrute, Some(q24Sql), Seq("X-sim"),
       "brute-force cosine top-k (exact baseline)"),
     Q("q25_ann_ivf", q25AnnIvf, Some(q25Sql), Seq("X-sim"),

@@ -756,4 +756,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("O(cell^2)"))
   }
+
+  test("q163 scaled semdedup: deterministic hash sample, pruned assign, twins pruned") {
+    val dir = TestSpark.scratch("semdedup-scaled")
+    // 4 well-separated clusters of 16 + one exact twin of vec 0; with
+    // kCap=4 and samplePerCentroid=4 the sampling modulus is
+    // 65/(4·4) = 4 — a REAL subsample (the regime the driver corpus
+    // never reaches), and the super layer is ceil(sqrt(4)) = 2 cells.
+    val rows = (for { c <- 0 until 4; i <- 0 until 16 } yield {
+      val v = Array.fill(4)(0.0f)
+      v(c) = 10.0f
+      v((c + 1 + i % 3) % 4) += 3.0f
+      ((c * 16 + i).toLong, v.toSeq, c)
+    }) :+ ((100L, Seq(10.0f, 3.0f, 0.0f, 0.0f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def run() = operators.SimilarityOps.semanticDedupScaled(spark, dir,
+      tau = 0.85, kCap = 4, samplePerCentroid = 4)
+      .as[(Long, Long, Long, Double)].collect().toList
+    val out1 = run()
+    // no RNG state anywhere: a rerun regenerates the identical result
+    assert(out1 == run())
+    // prune semantics hold under the pruned assignment: keep-earliest,
+    // τ respected, and the planted exact twin is always dropped to an
+    // identical (cos 1.0) earlier vector
+    out1.foreach { case (vecId, _, keptId, cos) =>
+      assert(keptId < vecId && cos >= 0.85)
+    }
+    val twin = out1.find(_._1 == 100L).get
+    assert(twin._4 == 1.0)
+  }
 }
