@@ -103,6 +103,13 @@ object Bench {
         (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
+    // FINAL stdout line is a compact summary with no per-query map: the
+    // driver's capture tail-truncates long output, and a 5 KB queries
+    // map can push the line's head (the metric/value fields) out of the
+    // window — r7/r9 both recorded parsed:null that way. A short last
+    // line always survives a tail whole; the full per-query evidence
+    // lives in the line above and in target/bench_full*.json.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errField,"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
     if (errs.nonEmpty) sys.exit(1)
   }
 }
