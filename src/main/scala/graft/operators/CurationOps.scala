@@ -749,9 +749,16 @@ object CurationOps {
     def md5mod(c: Column): Column =
       pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(negBuckets.toLong))
     val pairs = DedupOps.jaccardPairs(docs, 0.5).select($"doc_a", $"doc_b")
-    val anchors = pairs.select($"doc_a".as("anchor"), $"doc_b".as("positive"))
-      .union(pairs.select($"doc_b".as("anchor"), $"doc_a".as("positive")))
-      .select($"anchor", $"positive",
+    // symmetrize by a row-local explode, NOT a self-union: a union's two
+    // branches each embed the (expensive — inverted-index Jaccard) pair
+    // subplan, so deriving the anchor frame would run it twice (the
+    // connectedComponents lesson; measured 333s → the jaccardPairs leg
+    // halves at sf10)
+    val anchors = pairs
+      .select(explode(array(
+        struct($"doc_a".as("anchor"), $"doc_b".as("positive")),
+        struct($"doc_b".as("anchor"), $"doc_a".as("positive")))).as("e"))
+      .select($"e.anchor".as("anchor"), $"e.positive".as("positive"),
         explode(array((1 to TripletK).map(lit(_)): _*)).as("k"))
       .withColumn("bucket", md5mod(concat_ws("|", $"anchor", $"k")))
       .localCheckpoint()

@@ -331,6 +331,101 @@ object MultimodalOps {
       |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHammingMax
       |ORDER BY media_a, media_b""".stripMargin
 
+  /** q164: hash-level near-dup ledger — the PRODUCTION representation
+    * of q144's answer. q144's all-pairs contract materializes one row
+    * per near-dup pair, which is quadratic in clone multiplicity: at
+    * the sf10 spot-check the fixture's payloads collapse into an
+    * 89,171-member identical-phash family, making the ground truth
+    * 4.0e9 pairs — infeasible to EMIT (any engine), though trivial to
+    * describe. This query keeps the description: collapse identical
+    * hashes first (group-by phash), then pair only DISTINCT hash
+    * values — within-family volume reports as n·(n−1)/2 on one row
+    * (hamming 0), cross-family near-dups as n_a·n_b per distinct-hash
+    * pair (hamming 1..radius). Σ n_pairs equals q144's row count
+    * exactly, so the ledger also serves as the pre-flight volume check
+    * a pipeline runs BEFORE deciding to materialize pairs.
+    *
+    * Scale shape: one payload pass for hashes, one phash-keyed count
+    * (map-side combined), then the banded join runs over |distinct
+    * hashes| rows — 21k at sf10 vs 550k medias — so candidate volume is
+    * bounded by distinct-hash collisions, immune to clone multiplicity.
+    * The oracle twin states the same semantics with an all-distinct-
+    * pairs join (fine at oracle SFs).
+    */
+  def q164PhashFamilies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaWithCanaries(spark, dir)
+    val hashes = media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map(m => (m.media_id, phashBytes(m.payload))))
+    }.toDF("media_id", "phash")
+    val fam = hashes.groupBy($"phash").agg(count(lit(1)).as("n")).localCheckpoint()
+    val within = fam.filter($"n" >= 2)
+      .select($"phash".as("ph_a"), $"phash".as("ph_b"), lit(0L).as("hamming"),
+        expr("n * (n - 1) div 2").as("n_pairs"))
+    val bands = fam.select($"phash", $"n",
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band_idx"),
+          shiftright($"phash", 16 * j).bitwiseAND(lit(0xffffL)).as("band_val"))): _*)).as("b"))
+      .select($"phash", $"n", $"b.band_idx", $"b.band_val")
+    val cross = bands.as("a").join(bands.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+          $"a.phash" < $"b.phash")
+      .select($"a.phash".as("ph_a"), $"b.phash".as("ph_b"),
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"),
+        ($"a.n" * $"b.n").as("n_pairs"))
+      .distinct()
+      .filter($"hamming" <= PhashHammingMax)
+    within.unionByName(cross).orderBy($"ph_a", $"ph_b")
+  }
+
+  /** Same hash construction as q144's twin, then the distinct-hash
+    * family/pair ledger (all-pairs between distinct hashes — the twin
+    * states semantics, the Spark plan adds the lossless bands).
+    */
+  val q164Sql: String =
+    s"""WITH media AS (
+      |  SELECT doc_id AS media_id, text,
+      |         CAST(strlen(text) AS BIGINT) AS n
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT -(doc_id + 1),
+      |         substr(text, 1, 10) || 'ZZZZZZZZZZ' || substr(text, 21),
+      |         CAST(strlen(text) AS BIGINT)
+      |  FROM documents WHERE doc_id % 50 = 0 AND strlen(text) >= 30),
+      |pos AS (
+      |  SELECT media_id, text, n, unnest(range(0, n)) AS i FROM media),
+      |ch AS (
+      |  SELECT media_id, i,
+      |         CAST(ascii(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) AS v,
+      |         CAST(i * 64 // n AS BIGINT) AS blk
+      |  FROM pos),
+      |blocks AS (
+      |  SELECT media_id, blk, sum(v) AS sb, count(*) AS nb
+      |  FROM ch GROUP BY media_id, blk),
+      |hashes AS (
+      |  SELECT m.media_id,
+      |         coalesce(bit_or(CASE WHEN b.sb <= 96 * b.nb THEN 0::BIGINT
+      |                              WHEN b.blk = 63
+      |                              THEN (-9223372036854775807 - 1)::BIGINT
+      |                              ELSE 1::BIGINT << CAST(b.blk AS INT)
+      |                              END), 0::BIGINT) AS phash
+      |  FROM media m LEFT JOIN blocks b USING (media_id)
+      |  GROUP BY m.media_id),
+      |fam AS (SELECT phash, CAST(count(*) AS BIGINT) AS cnt FROM hashes GROUP BY phash),
+      |within AS (
+      |  SELECT phash AS ph_a, phash AS ph_b, CAST(0 AS BIGINT) AS hamming,
+      |         cnt * (cnt - 1) // 2 AS n_pairs
+      |  FROM fam WHERE cnt >= 2),
+      |xf AS (
+      |  SELECT a.phash AS ph_a, b.phash AS ph_b,
+      |         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+      |         a.cnt * b.cnt AS n_pairs
+      |  FROM fam a JOIN fam b ON a.phash < b.phash
+      |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHammingMax)
+      |SELECT ph_a, ph_b, hamming, n_pairs FROM within
+      |UNION ALL SELECT ph_a, ph_b, hamming, n_pairs FROM xf
+      |ORDER BY ph_a, ph_b""".stripMargin
+
   final case class AudioSummary(media_id: Long, n_frames: Long,
       total_energy: Long, silent_frames: Long,
       peak_frame: Option[Long], peak_energy: Option[Long])
@@ -444,5 +539,8 @@ object MultimodalOps {
     Q("q57_frame_sample", q57FrameSample, Some(q57Sql), Seq("X-multimodal"),
       "video frame sampling: every k-th fixed-size payload slice"),
     Q("q144_phash_dedup", q144PhashDedup, Some(q144Sql), Seq("X-multimodal"),
-      "perceptual-hash near-dup pairs: block-mean bits, banded Hamming LSH"))
+      "perceptual-hash near-dup pairs: block-mean bits, banded Hamming LSH"),
+    Q("q164_phash_families", q164PhashFamilies, Some(q164Sql),
+      Seq("X-multimodal", "X-dedup", "X-scale"),
+      "hash-level near-dup ledger: identical-hash families + distinct-hash banded pairs"))
 }

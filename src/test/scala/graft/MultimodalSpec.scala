@@ -88,6 +88,22 @@ class MultimodalSpec extends AnyFunSuite {
     within.foreach(c => assert(banded.contains((-(c + 1), c))))
   }
 
+  test("q164 ledger: sum of n_pairs equals q144's materialized pair count") {
+    // the ledger's whole contract: it describes EXACTLY the volume q144
+    // would emit (within-family C(n,2) + cross-family n_a*n_b), without
+    // materializing it
+    val ledger = MultimodalOps.q164PhashFamilies(spark, sf).collect()
+    val pairTotal = ledger.map(_.getAs[Long]("n_pairs")).sum
+    val q144Rows = MultimodalOps.q144PhashDedup(spark, sf).count()
+    assert(pairTotal == q144Rows && pairTotal > 0)
+    // hamming-0 rows are same-hash families; cross rows are distinct
+    ledger.foreach { r =>
+      val (a, b, h) = (r.getAs[Long]("ph_a"), r.getAs[Long]("ph_b"),
+        r.getAs[Long]("hamming"))
+      assert(if (h == 0) a == b else a < b && h <= MultimodalOps.PhashHammingMax)
+    }
+  }
+
   test("q153 audio framing: hand-computed energies, silence, peak tie-break") {
     import MultimodalOps.{AudioSummary, MediaRow}
     val quietLoud = Array.fill(256)(10.toByte) ++ Array.fill(128)(200.toByte)
