@@ -721,27 +721,36 @@ object CurationOps {
     * the exact-Jaccard near-dup pairs (both directions, the q152
     * relevance set); negatives are DETERMINISTIC hash-ring draws: for
     * each (anchor, k) the corpus doc minimizing md5(anchor|k|doc)
-    * WITHIN the hash bucket addressed by md5(anchor|k) — so the
-    * candidate set is |corpus|/256 per draw by construction, not a
-    * corpus scan per triple, and reruns/backfills regenerate the
-    * identical triples (no RNG state to version).
+    * WITHIN the hash bucket addressed by md5(anchor|k), and reruns/
+    * backfills regenerate the identical triples (no RNG state to
+    * version).
     *
     * Scale shape: corpus docs bucket once (row-local md5); the draw is
     * an equi-join on the bucket id followed by a (anchor, k) min-fold.
-    * Join volume = |pairs|·K·(|corpus|/256). Anchors and their
-    * positives are excluded from the candidate set; excluding deeper
-    * near-dup rings composes by feeding q65's cluster table in as the
-    * exclusion side. Output contract: every (anchor, positive, k) draw
-    * appears exactly once — a draw whose bucket holds no candidate
-    * besides the anchor/positive emits negative = NULL, so a consumer
-    * can DETECT an under-drawn anchor instead of silently training on
-    * fewer than K negatives.
+    * The bucket count SCALES with the corpus — max(256, n/64) — so the
+    * per-draw candidate set stays ~64 docs and join volume is
+    * |pairs|·K·64, LINEAR in corpus growth (a fixed 256-bucket ring
+    * made every draw scan n/256 candidates: measured 190s of draw-join
+    * at sf10, quadratic-by-stealth since pair count also grows with n).
+    * Below n = 16384 the floor keeps the historical 256 ring, so
+    * small-corpus draws are unchanged. The count is read once at
+    * plan-build time; a production backfill pins it in pipeline
+    * metadata so a grown corpus can't silently re-address old draws.
+    * Anchors and their positives are excluded from the candidate set;
+    * excluding deeper near-dup rings composes by feeding q65's cluster
+    * table in as the exclusion side. Output contract: every (anchor,
+    * positive, k) draw appears exactly once — a draw whose bucket holds
+    * no candidate besides the anchor/positive emits negative = NULL, so
+    * a consumer can DETECT an under-drawn anchor instead of silently
+    * training on fewer than K negatives.
     */
   val TripletK = 3
   val NegBuckets = 256
 
-  def q158TripletMining(spark: SparkSession, dir: String): DataFrame =
-    tripletsOf(Tables(spark, dir).documents)
+  def q158TripletMining(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    tripletsOf(docs, math.max(NegBuckets.toLong, docs.count() / 64L).toInt)
+  }
 
   private[graft] def tripletsOf(docs: DataFrame,
       negBuckets: Int = NegBuckets): DataFrame = {
@@ -786,8 +795,11 @@ object CurationOps {
       s"""(${(1 to 15).map { j =>
         val mult = 1L << (4 * (15 - j))
         s"(strpos('0123456789abcdef', substr(md5($e), $j, 1)) - 1) * $mult"
-      }.mkString(" + ")}) % $NegBuckets"""
-    s"""WITH t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      }.mkString(" + ")}) % (SELECT nb FROM nbk)"""
+    s"""WITH nbk AS (
+      |  SELECT GREATEST($NegBuckets, CAST(count(*) AS BIGINT) // 64) AS nb
+      |  FROM documents),
+      |t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id, list_distinct(${DedupOps.TrigramSqlExpr}) AS shingles
       |       FROM t2 WHERE len(t) >= 3),
       |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
