@@ -1065,15 +1065,15 @@ object SimilarityOps {
       |         GREATEST(1, n // (32 * LEAST(4096, GREATEST(4, n // 128)))) AS smod,
       |         CAST(ceil(sqrt(LEAST(4096, GREATEST(4, n // 128)))) AS BIGINT) AS kp
       |  FROM nn),
-      |u AS (
+      |u AS MATERIALIZED (
       |  SELECT vec_id,
       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v,
       |         generate_subscripts(embedding, 1) AS pos
       |  FROM embeddings),
-      |samp AS (
+      |samp AS MATERIALIZED (
       |  SELECT vec_id FROM embeddings CROSS JOIN kk
       |  WHERE ${md5int("CAST(vec_id AS VARCHAR)")} % smod = 0),
-      |su AS (SELECT u.* FROM u JOIN samp USING (vec_id)),
+      |su AS MATERIALIZED (SELECT u.* FROM u JOIN samp USING (vec_id)),
       |initids AS (
       |  SELECT vec_id FROM (
       |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM samp)
@@ -1096,7 +1096,7 @@ object SimilarityOps {
       |         SELECT vec_id, cid,
       |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
       |         FROM d2) WHERE rn = 1),
-      |c2 AS (SELECT a2.cid, su.pos, ${ctrUpd("sum(su.v)", "count(*)")} AS cq
+      |c2 AS MATERIALIZED (SELECT a2.cid, su.pos, ${ctrUpd("sum(su.v)", "count(*)")} AS cq
       |       FROM su JOIN a2 USING (vec_id) GROUP BY a2.cid, su.pos),
       |sinit AS (
       |  SELECT cid FROM (
@@ -1120,7 +1120,7 @@ object SimilarityOps {
       |          SELECT cid, scid,
       |                 row_number() OVER (PARTITION BY cid ORDER BY dist, scid) AS rn
       |          FROM sd2) WHERE rn = 1),
-      |s2 AS (SELECT sa2.scid, c2.pos, ${ctrUpd("sum(c2.cq)", "count(*)")} AS sq
+      |s2 AS MATERIALIZED (SELECT sa2.scid, c2.pos, ${ctrUpd("sum(c2.cq)", "count(*)")} AS sq
       |       FROM c2 JOIN sa2 USING (cid) GROUP BY sa2.scid, c2.pos),
       |cd AS (SELECT c2.cid, s2.scid,
       |              CAST(sum((c2.cq - s2.sq) * (c2.cq - s2.sq)) AS BIGINT) AS dist
@@ -1132,7 +1132,7 @@ object SimilarityOps {
       |vd AS (SELECT u.vec_id, s2.scid,
       |              CAST(sum((u.v - s2.sq) * (u.v - s2.sq)) AS BIGINT) AS dist
       |       FROM u JOIN s2 USING (pos) GROUP BY u.vec_id, s2.scid),
-      |va AS (SELECT vec_id, scid FROM (
+      |va AS MATERIALIZED (SELECT vec_id, scid FROM (
       |         SELECT vec_id, scid,
       |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, scid) AS rn
       |         FROM vd) WHERE rn = 1),
@@ -1146,7 +1146,7 @@ object SimilarityOps {
       |         SELECT vec_id, cid,
       |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
       |         FROM ad) WHERE rn = 1),
-      |vn AS (SELECT u.vec_id, a3.cid,
+      |vn AS MATERIALIZED (SELECT u.vec_id, a3.cid,
       |              CAST(sum(u.v * u.v) AS BIGINT) AS n2
       |       FROM u JOIN a3 USING (vec_id) GROUP BY u.vec_id, a3.cid),
       |pr AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cid,
