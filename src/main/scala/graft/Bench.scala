@@ -73,14 +73,23 @@ object Bench {
         }
       (name, secs, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // ascending-by-time so the SLOWEST queries sit at the END of the line:
+    // the driver keeps only a ~2000-char tail of stdout, and this ordering
+    // lands the top-cost queries (the ones worth reading) inside that
+    // window for free, right before the compact total line
+    val qs = results.sortBy(_._2).map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
       "\"" + k + "\":\"" + m.replaceAll("""[\\"\n\r\t]""", " ").take(200) + "\""
     }
+    // full line carries the errors map; the compact final line gets only
+    // the numeric count — a heavy-failure run would otherwise re-inflate
+    // the last line past the driver's tail window (the thing it exists
+    // to stay inside of)
     val errField =
       if (errs.isEmpty) ""
       else errs.mkString(""","errors":{""", ",", "}") + s""","failed":${errs.size}"""
+    val failedField = if (errs.isEmpty) "" else s""","failed":${errs.size}"""
     // a crashed query contributes 0s of work — a summed total would READ
     // AS FASTER on a broken build, so the headline goes to -1 whenever
     // anything failed (per-query times stay available above)
@@ -109,7 +118,7 @@ object Bench {
     // window — r7/r9 both recorded parsed:null that way. A short last
     // line always survives a tail whole; the full per-query evidence
     // lives in the line above and in target/bench_full*.json.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$errField,"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$failedField,"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
     if (errs.nonEmpty) sys.exit(1)
   }
 }

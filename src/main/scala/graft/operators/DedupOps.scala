@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Ckpt
+import graft.Ckpt.GraftCheckpoint
 
 /** Deduplication operators over the `documents` corpus — the exact /
   * near-dup family of a pretraining data pipeline.
@@ -827,7 +829,7 @@ object DedupOps {
     // tiny — publish it once instead of re-deriving it for the corpus-
     // wins and batch-wins branches (q89 pattern)
     val pairs = minhashLsh(spark, dir, portable = true).select($"doc_a", $"doc_b")
-      .localCheckpoint()
+      .ckpt()
     val split = docs.agg(floor(lit(0.8) * (max($"doc_id") + 1)).cast("long").as("s"))
     val p = pairs.crossJoin(broadcast(split))
     val corpusWins = p.filter($"doc_a" < $"s" && $"doc_b" >= $"s")
@@ -909,13 +911,19 @@ object DedupOps {
     * re-attached label=self by one final left join, which never enters
     * the loop. Nothing stays pinned after the call: intermediates are
     * unpersisted in a try/finally (so the maxIter throw releases them
-    * too), and the converged subgraph labels are published via
-    * `localCheckpoint` — its blocks are reference-counted and freed by
-    * the ContextCleaner when the consumer drops the DataFrame, unlike a
-    * plan-cache `persist` which pins until an explicit unpersist. (On a
-    * real cluster with executor churn, swap localCheckpoint for a
-    * reliable `checkpoint` dir — localCheckpoint blocks die with their
-    * executor.)
+    * too); each round's dead frames (the round's `prop` and the PREVIOUS
+    * round's labels) are freed explicitly via [[graft.Ckpt.free]] the
+    * moment the next round materializes — a long-lived JVM running many
+    * CC queries would otherwise hold every round's blocks until the
+    * driver's GC happens to trigger the ContextCleaner. Only the
+    * CONVERGED labels frame keeps its blocks (it is the output).
+    *
+    * Durability contract: every publish goes through `ckpt()` — set
+    * [[graft.Ckpt.ConfKey]] (`spark.graft.checkpointDir`) and the loop
+    * checkpoints reliably to that directory, so on a real cluster an
+    * executor loss replays the round from checkpoint files instead of
+    * restarting the query (localCheckpoint blocks die with their
+    * executor; reliable mode is spec-pinned in CkptSpec).
     */
   /** Rounds the last [[connectedComponents]] call took to converge —
     * observability for specs/PERF (the doubling guarantee is testable:
@@ -943,12 +951,12 @@ object DedupOps {
     // Lineage discipline: the shortcut SELF-join makes the logical plan
     // reference the previous round TWICE, so a persist-only loop grows
     // the plan tree exponentially (2^rounds nodes — analysis itself OOMs
-    // by round ~9). Eager `localCheckpoint` per round truncates lineage
-    // to the materialized blocks; those blocks are reference-counted and
-    // freed by the ContextCleaner once the round's frame is dropped. (On
-    // a real cluster swap for reliable `checkpoint` — same truncation.)
+    // by round ~9). Eager ckpt() per round truncates lineage to the
+    // materialized copy (reliable checkpoint files when
+    // spark.graft.checkpointDir is set, executor-local blocks otherwise);
+    // dead rounds are freed explicitly below.
     var labels = sym.groupBy($"src".as("v")).agg(least($"v", min($"dst")).as("label"))
-      .localCheckpoint()
+      .ckpt()
     try {
       var iter = 0
       var converged = false
@@ -961,7 +969,7 @@ object DedupOps {
         // both caches (no double edge-join) and truncates the plan.
         val prop = labels.join(nbrMin, Seq("v"))
           .select($"v", least($"label", $"nbr").as("label"), $"label".as("old"))
-          .localCheckpoint()
+          .ckpt()
         // Shortcut (pointer doubling): L(v) := L(L(v)). Inner join is
         // safe — labels are themselves subgraph vertices (see scaladoc).
         // The convergence flag rides along as a column instead of a
@@ -970,8 +978,13 @@ object DedupOps {
         val next = prop.as("a")
           .join(prop.select($"v".as("p"), $"label".as("gp")), $"a.label" === $"p")
           .select($"a.v".as("v"), $"gp".as("label"), ($"gp" < $"a.old").as("__chg"))
-          .localCheckpoint()
+          .ckpt()
         val changed = next.filter($"__chg").count()
+        // `next` is materialized: this round's prop blocks and the
+        // PREVIOUS round's label blocks are now provably dead — free
+        // them eagerly instead of waiting on driver GC + ContextCleaner
+        Ckpt.free(prop)
+        Ckpt.free(labels)
         labels = next.select($"v", $"label")
         converged = changed == 0
         iter += 1
@@ -1000,7 +1013,7 @@ object DedupOps {
     // tiny — publish it once instead of re-deriving it for the corpus-
     // wins and batch-wins branches (q89 pattern)
     val pairs = minhashLsh(spark, dir, portable = true).select($"doc_a", $"doc_b")
-      .localCheckpoint()
+      .ckpt()
     val verts = Tables(spark, dir).documents.select($"doc_id".as("v"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
     connectedComponents(verts, pairs)
@@ -1069,7 +1082,7 @@ object DedupOps {
     // tiny — publish it once instead of re-deriving it for the corpus-
     // wins and batch-wins branches (q89 pattern)
     val pairs = minhashLsh(spark, dir, portable = true).select($"doc_a", $"doc_b")
-      .localCheckpoint()
+      .ckpt()
     val docs = Tables(spark, dir).documents
     val labels = connectedComponents(docs.select($"doc_id".as("v")), pairs)
       .select($"v".as("doc_id"), $"label".as("cluster_id"))
@@ -1171,7 +1184,7 @@ object DedupOps {
         explode(array_distinct(
           graft.plans.TextExpressions.wordTrigrams(col("text")))).as("s"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val perSource = fs.groupBy($"source").agg(count(lit(1)).as("n"))
     val pairs = fs
       .groupBy($"s").agg(sort_array(collect_set($"source")).as("srcs"))
@@ -1305,7 +1318,7 @@ object DedupOps {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val pairs = jaccardPairs(docs, 0.5)
-      .select($"doc_a", $"doc_b", $"jaccard").localCheckpoint()
+      .select($"doc_a", $"doc_b", $"jaccard").ckpt()
     val sh = shingledFrom(docs)
     val post = sh.select($"doc_id", explode($"shingles").as("s"))
     val dfreq = post.groupBy($"s").agg(count(lit(1)).as("df"))

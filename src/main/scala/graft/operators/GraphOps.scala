@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Ckpt.GraftCheckpoint
 
 /** Distributed graph analytics over relational edges — the iterative
   * family (alongside DedupOps.connectedComponents) a curation pipeline
@@ -47,9 +48,9 @@ object GraphOps {
       .distinct()
     val edges = pairs.select($"c".as("src"), $"s".as("dst"))
       .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
-      .localCheckpoint()
+      .ckpt()
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val outDeg = edges.join(deg, "src").localCheckpoint()
+    val outDeg = edges.join(deg, "src").ckpt()
     var ranks = deg.select($"src".as("node"), lit(Scale).as("rank"))
     for (_ <- 1 to Rounds) {
       ranks = outDeg
@@ -185,10 +186,10 @@ object GraphOps {
       .agg(count(lit(1)).as("pair_n"))
       .filter($"pair_n" >= 2)
       .select($"a", $"b")
-      .localCheckpoint()
+      .ckpt()
     val deg = und.select($"a".as("v")).unionAll(und.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .ckpt()
     val withDeg = und
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "deg_a"), "a")
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "deg_b"), "b")
@@ -201,7 +202,7 @@ object GraphOps {
         .otherwise($"a").as("dst"),
       when($"deg_a" < $"deg_b" || ($"deg_a" === $"deg_b" && $"a" < $"b"), $"deg_b")
         .otherwise($"deg_a").as("deg_dst"))
-      .localCheckpoint()
+      .ckpt()
     val e1 = oriented.select($"src", $"dst".as("v"), $"deg_dst".as("deg_v"))
     val e2 = oriented.select($"src", $"dst".as("w"), $"deg_dst".as("deg_w"))
     val wedges = e1.join(e2, "src")
@@ -279,7 +280,7 @@ object GraphOps {
     // pair fanout, and the item supports — publish it once (q89 pattern)
     val items = Tables(spark, dir).lineitem
       .select($"l_orderkey", $"l_partkey").distinct()
-      .localCheckpoint()
+      .ckpt()
     val nBaskets = items.select($"l_orderkey").distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val pairSupp = items.groupBy($"l_orderkey")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Ckpt.GraftCheckpoint
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, and decode / feature-extraction as
@@ -358,7 +359,7 @@ object MultimodalOps {
     val hashes = media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap(_.map(m => (m.media_id, phashBytes(m.payload))))
     }.toDF("media_id", "phash")
-    val fam = hashes.groupBy($"phash").agg(count(lit(1)).as("n")).localCheckpoint()
+    val fam = hashes.groupBy($"phash").agg(count(lit(1)).as("n")).ckpt()
     val within = fam.filter($"n" >= 2)
       .select($"phash".as("ph_a"), $"phash".as("ph_b"), lit(0L).as("hamming"),
         expr("n * (n - 1) div 2").as("n_pairs"))

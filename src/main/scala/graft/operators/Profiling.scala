@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Ckpt.GraftCheckpoint
 
 /** Data-profiling operators — the diagnostics a pipeline runs BEFORE
   * committing a partition strategy at scale. The first question on a new
@@ -1094,7 +1095,7 @@ object Profiling {
   private[graft] def mutualInfoOf(base: DataFrame, xc: String, yc: String): DataFrame = {
     import base.sparkSession.implicits._
     val cells = base.groupBy(col(xc), col(yc))
-      .agg(count(lit(1)).as("n")).localCheckpoint()
+      .agg(count(lit(1)).as("n")).ckpt()
     val mx = cells.groupBy(col(xc)).agg(sum($"n").as("n_x"))
     val my = cells.groupBy(col(yc)).agg(sum($"n").as("n_y"))
     val tot = cells.agg(sum($"n").as("total"))
@@ -1225,9 +1226,95 @@ object Profiling {
       |ORDER BY det, dep""".stripMargin
   }
 
+  /** q165: production FD discovery — q160's answer at sketch cost (the
+    * q164 pattern: keep the exhaustive query as the exactness baseline,
+    * ship a prescreened variant for the 100 TB run). Two stages:
+    *
+    *  1. '''HLL prescreen''' (one pass): per ordered pair,
+    *     `approx_count_distinct(det)` vs `approx_count_distinct((det,
+    *     dep))`. A→B holds iff the two DISTINCT counts are EQUAL, so a
+    *     pair whose sketch ratio exceeds 1.3 (≫ any plausible HLL error
+    *     at rsd 0.05 — falsely refuting a true FD would need ~6σ of
+    *     correlated sketch error) is refuted without ever shuffling
+    *     row-level values: HLL state partial-aggregates map-side, the
+    *     shuffle carries |pairs| sketches per partition, never rows.
+    *  2. '''Exact verify, survivors only''': the exploded value stream
+    *     semi-joins the broadcast ≤|cols|² survivor list BEFORE its
+    *     shuffle, then per (pair, det_val) a min/max fold refutes or
+    *     confirms — `min(dep) ≠ max(dep)` is violation-exact and needs
+    *     no countDistinct state. Output rows are exact by construction
+    *     (the sketch only ever PRUNES already-violating pairs), which is
+    *     why the oracle below is plain exact SQL with no sketch mirror.
+    *
+    * Output: the pairs where the FD exactly holds, with exact
+    * n_det_values. Kept fully lazy — no plan-build-time action (the
+    * survivor list stays a broadcast frame; at 100 TB you'd collect its
+    * ≤|cols|² rows to prune the stage-2 explode column-wise too).
+    * q160 measured 297.8s at sf10 (exhaustive 20-pair countDistinct);
+    * here the row-level shuffle carries only the ~4 surviving pairs and
+    * min/max state — see PERF.md for the measured prune ratio.
+    */
+  def q165FdDiscover(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fdDiscoverOf(Tables(spark, dir).orders
+      .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM")), FdCols)
+  }
+
+  private[graft] def fdDiscoverOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import df.sparkSession.implicits._
+    val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
+    val exploded = df
+      .select(cols.map(c => col(c).cast("string").as(c)): _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("det"), lit(b).as("dep"),
+          col(a).as("det_val"), col(b).as("dep_val"))
+      }: _*)).as("p"))
+      .select($"p.det", $"p.dep", $"p.det_val", $"p.dep_val")
+    val sketch = exploded.groupBy($"det", $"dep")
+      .agg(approx_count_distinct($"det_val", 0.05).as("n_det"),
+        approx_count_distinct(struct($"det_val", $"dep_val"), 0.05).as("n_pair"))
+    val survivors = sketch
+      .filter($"n_pair" <= $"n_det" * 1.3)
+      .select($"det", $"dep")
+    exploded.join(broadcast(survivors), Seq("det", "dep"), "leftsemi")
+      .groupBy($"det", $"dep", $"det_val")
+      .agg(min($"dep_val").as("mn"), max($"dep_val").as("mx"))
+      .groupBy($"det", $"dep")
+      .agg(count(lit(1)).as("n_det_values"),
+        sum(when($"mn" =!= $"mx", 1L).otherwise(0L)).as("nv"))
+      .filter($"nv" === 0)
+      .select($"det", $"dep", $"n_det_values")
+      .orderBy($"det", $"dep")
+  }
+
+  /** Oracle: exact FD set — no sketch mirror needed (see q165 scaladoc:
+    * the prescreen only prunes pairs the exact stage would refute
+    * anyway, so the output IS the exact answer).
+    */
+  val q165Sql: String = {
+    val subs = (for (a <- FdCols; b <- FdCols if a != b) yield {
+      s"""SELECT '$a' AS det, '$b' AS dep,
+         |  CAST(count(*) AS BIGINT) AS n_det_values,
+         |  sum(CASE WHEN mn <> mx THEN 1 ELSE 0 END) AS nv
+         |FROM (SELECT CAST($a AS VARCHAR) AS dv,
+         |        min(CAST($b AS VARCHAR)) AS mn, max(CAST($b AS VARCHAR)) AS mx
+         |      FROM o GROUP BY 1) GROUP BY 1, 2""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH o AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+      |         strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS o_month
+      |  FROM orders)
+      |SELECT det, dep, n_det_values
+      |FROM ($subs)
+      |WHERE nv = 0
+      |ORDER BY det, dep""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q160_fd_audit", q160FdAudit, Some(q160Sql), Seq("X-stats", "Q2", "X-scale"),
       "functional-dependency audit: key discovery and denormalization-drift tripwire"),
+    Q("q165_fd_discover", q165FdDiscover, Some(q165Sql), Seq("X-stats", "Q2", "X-scale"),
+      "sketch-prescreened FD discovery: HLL refutes non-FDs in one pass, exact min/max verify on survivors"),
     Q("q156_mutual_info", q156MutualInfo, Some(q156Sql), Seq("X-stats"),
       "mutual-information dependence profile: per-cell contributions over one contingency pass"),
     Q("q146_bucket_diff", q146BucketDiff, Some(q146Sql), Seq("X-scale", "Q2"),

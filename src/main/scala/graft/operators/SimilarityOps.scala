@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Ckpt.GraftCheckpoint
 import graft.functions.VectorOps
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -637,7 +638,7 @@ object SimilarityOps {
       .select($"vec_id",
         transform($"embedding",
           x => round(x.cast("double") * 1000).cast("long")).as("eq"))
-      .localCheckpoint()
+      .ckpt()
 
     // assignment: centroids collect to the driver (k·dim longs, ≤ 2 MB
     // at the k = 4096 cap — the MLlib broadcast-k-means contract, same
@@ -672,7 +673,7 @@ object SimilarityOps {
         .groupBy($"cid")
         .agg(transform(array_sort(collect_list(struct($"pos", $"cq"))),
           s => s("cq")).as("cq"))
-        .localCheckpoint()
+        .ckpt()
 
     val init = eq.filter($"vec_id" < k)
       .select($"vec_id".as("cid"), $"eq".as("cq"))
@@ -823,7 +824,7 @@ object SimilarityOps {
     val e = assigned
       .select($"vec_id", $"cid", $"eq",
         graft.plans.FloatVectorExpressions.normSqI64($"eq").as("n2"))
-      .localCheckpoint()
+      .ckpt()
     pruneWithinClusters(e, tau, maxCluster)
   }
 
@@ -968,7 +969,7 @@ object SimilarityOps {
         .groupBy($"cid")
         .agg(transform(array_sort(collect_list(struct($"pos", $"cq"))),
           s => s("cq")).as("cq"))
-        .localCheckpoint()
+        .ckpt()
     step(step(init))
   }
 
@@ -1015,7 +1016,7 @@ object SimilarityOps {
     val eq = Tables(spark, dir).embeddings
       .select($"vec_id", transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
-      .localCheckpoint()
+      .ckpt()
     val sample = eq.filter(pmod(
       conv(substring(md5($"vec_id".cast("string")), 1, 15), 16, 10).cast("long"),
       lit(sMod)) === 0)
@@ -1042,7 +1043,7 @@ object SimilarityOps {
       .agg(min(struct($"dist", $"cid")).as("m"),
         first($"eq").as("eq"), first($"n2").as("n2"))
       .select($"vec_id", $"m.cid".as("cid"), $"eq", $"n2")
-      .localCheckpoint()
+      .ckpt()
     pruneWithinClusters(assigned, tau, maxCluster)
   }
 
@@ -1238,7 +1239,7 @@ object SimilarityOps {
     // and the candidate stream — publish it once (q89 pattern)
     val toks = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val df = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
     val qtoks = toks.filter($"doc_id" === 0).select($"tok")
@@ -1355,7 +1356,7 @@ object SimilarityOps {
           x => round(x.cast("double") * 1000).cast("long")).as("eq"))
       .select($"vec_id", $"label", $"eq",
         graft.plans.FloatVectorExpressions.normSqI64($"eq").as("n2"))
-      .localCheckpoint() // guard aggregate + both self-join sides re-read this
+      .ckpt() // guard aggregate + both self-join sides re-read this
     val oversized = e.groupBy($"label").agg(count(lit(1)).as("cn"))
       .filter($"cn" > maxBlock).take(1)
     require(oversized.isEmpty, {
@@ -1436,7 +1437,7 @@ object SimilarityOps {
         transform($"embedding",
           x => round(x.cast("double") * 1000).cast("long")).as("eq"),
         (($"vec_id" * lit(2654435761L)) % lit(2147483648L) % nBuckets).as("bkt"))
-      .localCheckpoint()
+      .ckpt()
     val hist = e.as("a").join(e.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
       .select(
@@ -1525,7 +1526,7 @@ object SimilarityOps {
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
       .agg(graft.functions.Gram.gramAgg($"eq").as("g"))
       .select($"g.n".as("n"), $"g.sums".as("sums"), $"g.prods".as("prods"))
-      .localCheckpoint() // 1 row; pins the corpus pass so the fan-outs below reuse it
+      .ckpt() // 1 row; pins the corpus pass so the fan-outs below reuse it
     val sums = g.select($"n", size($"sums").as("d"),
       posexplode($"sums").as(Seq("i", "sx")))
     val prods = g.select(posexplode($"prods").as(Seq("flat", "sxy")))
@@ -1604,7 +1605,7 @@ object SimilarityOps {
 
   private[graft] def topComponentOf(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    val upper = covNums(emb).localCheckpoint() // ≤ d² rows; pinned for the mirror + 8 rounds
+    val upper = covNums(emb).ckpt() // ≤ d² rows; pinned for the mirror + 8 rounds
     val full = upper.select($"i", $"j", $"cov_num")
       .union(upper.filter($"i" =!= $"j")
         .select($"j".as("i"), $"i".as("j"), $"cov_num"))
@@ -1612,7 +1613,7 @@ object SimilarityOps {
       greatest(lit(0), length(bin(max(abs($"cov_num")))) - 1 - 30).as("sh"))
     val c = full.crossJoin(broadcast(shC))
       .select($"i", $"j", expr("shiftright(cov_num, sh)").as("c"))
-      .localCheckpoint()
+      .ckpt()
     var vec = upper.select($"i").distinct()
       .select($"i".as("j"), lit(1000L).as("v"))
     for (_ <- 1 to 8) {
@@ -1621,7 +1622,7 @@ object SimilarityOps {
         greatest(lit(0), length(bin(max(abs($"w")))) - 1 - 20).as("sh"))
       vec = w.crossJoin(broadcast(sh))
         .select($"i".as("j"), expr("shiftright(w, sh)").as("v"))
-        .localCheckpoint() // cut the 8-round lineage (q89 pattern)
+        .ckpt() // cut the 8-round lineage (q89 pattern)
     }
     val sgn = vec.orderBy(abs($"v").desc, $"j".asc).limit(1)
       .select(when($"v" < 0, lit(-1L)).otherwise(lit(1L)).as("sgn"))
@@ -1707,7 +1708,7 @@ object SimilarityOps {
       .agg(graft.functions.Gram.gramAgg($"eq").as("g"))
       .select($"label", $"g.n".as("n"), size($"g.sums").as("d"),
         $"g.sums".as("sums"), $"g.prods".as("prods"))
-      .localCheckpoint() // |labels| rows; pins the one corpus pass across both uses below
+      .ckpt() // |labels| rows; pins the one corpus pass across both uses below
     // variance needs only the diagonal: prods flat index of (i, i) is
     // i*d − i(i−1)/2 — extracted row-locally from the struct arrays
     val perDim = g
@@ -1782,7 +1783,7 @@ object SimilarityOps {
       .select($"vec_id", $"label",
         transform($"embedding",
           x => round(x.cast("double") * 1000).cast("long")).as("eq"))
-      .localCheckpoint()
+      .ckpt()
     val qs = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"eq".as("q_eq"))
     def score(base: DataFrame): DataFrame = base
@@ -1827,7 +1828,7 @@ object SimilarityOps {
         .filter($"vec_id" =!= $"q_id")))
     val joined = brute.as("b").join(ivf.as("v"), Seq("q_id", "vec_id"))
       .select($"q_id", col("b.rnk").as("brnk"), col("v.rnk").as("vrnk"))
-      .localCheckpoint() // ≤ 200 rows; reused by the three k-cuts below
+      .ckpt() // ≤ 200 rows; reused by the three k-cuts below
     val ks = Seq(1, 5, 10)
     ks.map { k =>
       joined.filter($"brnk" <= k && $"vrnk" <= k)

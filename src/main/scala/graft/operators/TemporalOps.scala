@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.Ckpt.GraftCheckpoint
 
 /** Temporal operators beyond the reference's surface: as-of join and
   * distribution statistics.
@@ -1408,7 +1409,7 @@ object TemporalOps {
     import hours.sparkSession.implicits._
     val hourly = hours
       .groupBy($"h").agg(count(lit(1)).as("x"))
-      .localCheckpoint() // both join sides + the denominator re-read it
+      .ckpt() // both join sides + the denominator re-read it
     val lags = lagHours.toDF("lag_h")
     val denom = hourly.agg(sum($"x" * $"x").as("den"))
     hourly.crossJoin(broadcast(lags))

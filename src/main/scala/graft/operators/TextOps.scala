@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Ckpt.GraftCheckpoint
 
 /** Text-analysis operators over the `documents` table — the language-ID /
   * quality-score / token-count / fingerprint family a training-data
@@ -96,10 +97,10 @@ object TextOps {
     *
     * Scale shape: one corpus scan explodes word-padded trigrams
     * row-locally; per-(doc, trigram) counts collapse with map-side
-    * combine before the doc-keyed shuffle (the frame is
-    * localCheckpoint-published once and feeds BOTH the doc-profile and
-    * the language-profile legs — on a multi-executor cluster swap for a
-    * reliable checkpoint or recompute). Language profiles are
+    * combine before the doc-keyed shuffle (the frame is ckpt()-published
+    * once and feeds BOTH the doc-profile and the language-profile legs —
+    * cluster-durable when [[graft.Ckpt.ConfKey]] is set). Language
+    * profiles are
     * |langs|·[[ProfTopN]] rows → broadcast; scoring is a broadcast join
     * + a (doc, lang)-keyed fold, so nothing quadratic and no shuffle
     * carries raw text.
@@ -116,7 +117,7 @@ object TextOps {
     // one (doc, trigram) count frame feeds both legs below
     val docCnt = tris.groupBy($"doc_id", $"lang", $"tg")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .ckpt()
     val wDoc = Window.partitionBy($"doc_id").orderBy($"c".desc, $"tg".asc)
     val docTop = docCnt
       .withColumn("r_doc", row_number().over(wDoc))
@@ -155,8 +156,8 @@ object TextOps {
     s"""w AS (
        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
        |pw AS (
-       |  SELECT doc_id, lang, '_' || w || '_' AS p, strlen(w) AS n
-       |  FROM w WHERE strlen(w) >= 1),
+       |  SELECT doc_id, lang, '_' || w || '_' AS p, length(w) AS n
+       |  FROM w WHERE length(w) >= 1),
        |tgs AS (
        |  SELECT doc_id, lang, substr(p, CAST(i AS INT), 3) AS tg
        |  FROM (SELECT doc_id, lang, p, unnest(range(1, n + 1)) AS i FROM pw)),
@@ -412,11 +413,11 @@ object TextOps {
     // broadcasts and the total — publish both once (q89 pattern), else
     // the bigram explode re-derives ~5x
     val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint()
+      .ckpt()
     val uni = c12.select($"w1".as("w"), $"c12")
       .unionByName(c12.select($"w2".as("w"), $"c12"))
       .groupBy($"w").agg(sum($"c12").as("c"))
-      .localCheckpoint()
+      .ckpt()
     val n = uni.agg(sum($"c").as("n"))
     c12.join(broadcast(uni.select($"w".as("w1"), $"c".as("c1"))), "w1")
       .join(broadcast(uni.select($"w".as("w2"), $"c".as("c2"))), "w2")
@@ -783,7 +784,17 @@ object TextOps {
   def q121FuzzyJoin(spark: SparkSession, dir: String): DataFrame =
     fuzzyJoin(spark, dir)
 
-  private[graft] def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** The match stage shared by q121 (full pair expansion) and q140 (thin
+    * CC edges): `keys` = raw (partkey, brand, size, name); `names` = one
+    * row per DISTINCT (brand, size, name) with `rep` = the group's min
+    * key; `namePairs` = the levenshtein-verified distinct-name matches,
+    * CARRYING rep_x/rep_y (functionally determined by the names, so the
+    * distinct is unaffected).
+    */
+  private[graft] final case class FuzzyMatch(
+      keys: DataFrame, names: DataFrame, namePairs: DataFrame)
+
+  private[graft] def fuzzyNameMatch(spark: SparkSession, dir: String): FuzzyMatch = {
     import spark.implicits._
     val k = 3
     val short = 6
@@ -811,7 +822,7 @@ object TextOps {
           $"rep".as("rep_y"), $"len".as("len_y")),
         Seq("p_brand", "p_size"))
       .filter($"rep_x" < $"rep_y" && abs($"len_x" - $"len_y") <= k)
-      .select($"p_brand", $"p_size", $"name_x", $"name_y")
+      .select($"p_brand", $"p_size", $"name_x", $"name_y", $"rep_x", $"rep_y")
 
     // Build: the 4-segment even partition of each name (remainder chars
     // spread over the leftmost segments), keyed by the name's own length
@@ -857,12 +868,21 @@ object TextOps {
       .filter($"rep_x" =!= $"rep_y")
       .filter($"lb" < $"len_x" || $"rep_x" < $"rep_y")
       .filter(!($"len_x" <= short && $"lb" <= short))
-      .select($"p_brand", $"p_size", $"name_x", $"name_y").distinct()
+      .select($"p_brand", $"p_size", $"name_x", $"name_y", $"rep_x", $"rep_y")
+      .distinct()
 
     // Matched name pairs, levenshtein-verified ONCE per distinct pair.
     val namePairs = passNamePairs.unionByName(shortNamePairs)
       .withColumn("dist", levenshtein($"name_x", $"name_y").cast("long"))
       .filter($"dist" <= k)
+    FuzzyMatch(keys, names, namePairs)
+  }
+
+  private[graft] def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = fuzzyNameMatch(spark, dir)
+    val keys = m.keys
+    val namePairs = m.namePairs
 
     // Output expansion: name-level matches fan back out to key pairs
     // (two equi-joins), and dist-0 clone pairs come from a plain
@@ -896,30 +916,57 @@ object TextOps {
       .orderBy($"key_a", $"key_b")
   }
 
+  /** Spanning-star contraction of the verified match graph — the CC input
+    * q140 uses INSTEAD of q121's full pair expansion. Edges: one star per
+    * DISTINCT (brand, size, name) group (rep → every other member,
+    * m−1 edges) plus ONE rep–rep edge per levenshtein-verified name pair.
+    * Connected components are provably identical to the full expansion:
+    * every thin edge appears in the full pair set (clone pairs contain
+    * (rep, member); the expansion of a name pair contains (rep_x, rep_y)),
+    * and every full pair is a ≤3-hop path in the thin graph
+    * (member —star→ rep_x —pair→ rep_y —star→ member). Only the edge
+    * MULTIPLICITY drops: Σ C(m,2) per clone family becomes Σ (m−1), so CC
+    * input grows linearly in members where the r10 sf10 probe measured
+    * 201.5M expanded pairs for 551k parts (the 100-member clone-family
+    * regime that made q140 the round's one scale-weak query — and that
+    * real corpora reproduce with boilerplate/templated names).
+    */
+  private[graft] def fuzzyMatchEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = fuzzyNameMatch(spark, dir)
+    val starEdges = m.keys
+      .join(m.names.select($"p_brand", $"p_size", $"p_name", $"rep"),
+        Seq("p_brand", "p_size", "p_name"))
+      .filter($"p_partkey" =!= $"rep")
+      .select($"rep".as("doc_a"), $"p_partkey".as("doc_b"))
+    val repEdges = m.namePairs.select($"rep_x".as("doc_a"), $"rep_y".as("doc_b"))
+    starEdges.unionByName(repEdges)
+  }
+
   /** q140: end-to-end entity canonicalization — the step AFTER the fuzzy
     * match. q121 emits the evidence (typo-distance pairs); this operator
     * turns it into the asset a warehouse actually joins against: every
     * part key mapped to one entity, with the entity's canonical surface
-    * form. Pipeline: q121's blocked PassJoin pair machinery (distinct-name
+    * form. Pipeline: q121's blocked PassJoin match machinery (distinct-name
     * collapse, segment pigeonhole, levenshtein only on survivors) →
-    * transitive closure via connectedComponents (the q65 edge-endpoint
-    * iteration — typo chains a→b→c merge even when a,c sit 6 edits
-    * apart) → canonical name = the cluster's most FREQUENT variant
+    * [[fuzzyMatchEdges]] spanning-star contraction (CC input linear in
+    * members, NOT the C(m,2)-per-clone-family pair expansion — components
+    * identical, see its scaladoc) → transitive closure via
+    * connectedComponents (typo chains a→b→c merge even when a,c sit 6
+    * edits apart) → canonical name = the cluster's most FREQUENT variant
     * (occurrence count, ties to the lexicographically smallest string —
     * majority vote is the standard canonicalization policy: the common
     * spelling is almost always the correct one) → one report row per
-    * entity. The pair frame is localCheckpoint-published once (q89
-    * pattern) so the CC iterations never re-derive the expensive
-    * candidate+verify subplan; every post-CC frame is entity-keyed —
+    * entity. The edge frame is published once (q89 pattern; reliable
+    * under [[graft.Ckpt.ConfKey]]) so the CC iterations never re-derive
+    * the candidate+verify subplan; every post-CC frame is entity-keyed —
     * orders of magnitude smaller than the input.
     */
   def q140EntityResolution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     canonicalEntities(
       Tables(spark, dir).part.select($"p_partkey", $"p_name"),
-      fuzzyJoin(spark, dir)
-        .select($"key_a".as("doc_a"), $"key_b".as("doc_b"))
-        .localCheckpoint())
+      fuzzyMatchEdges(spark, dir).ckpt())
   }
 
   /** Frame-level core: (p_partkey, p_name) + undirected match pairs →
@@ -1019,7 +1066,7 @@ object TextOps {
     import docs.sparkSession.implicits._
     val toks = docs
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .localCheckpoint() // tf stream, df table, lengths, query set
+      .ckpt() // tf stream, df table, lengths, query set
     val lens = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
     val stats = lens.agg(sum($"len").as("ltot"), count(lit(1)).as("n_docs"))
     val df = toks.distinct().groupBy($"tok").agg(count(lit(1)).as("df"))
@@ -1107,7 +1154,7 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .localCheckpoint() // shared by tf, df, lens, stats, qtoks
+      .ckpt() // shared by tf, df, lens, stats, qtoks
     val lens = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
     val stats = lens.agg(sum($"len").as("ltot"), count(lit(1)).as("n_docs"))
     val df = toks.distinct().groupBy($"tok").agg(count(lit(1)).as("df"))
@@ -1116,7 +1163,7 @@ object TextOps {
     // embed the full pair-machinery subplan, so materializing `queries`
     // would otherwise run jaccardPairs twice (the q89/CC publish pattern)
     val pairs = DedupOps.jaccardPairs(docs, 0.5).select($"doc_a", $"doc_b")
-      .localCheckpoint()
+      .ckpt()
     // Fixed-size evaluation panel (first 1000 query-relevance rows in
     // (q_id, rel) order): corpus growth grows the CANDIDATE side, not
     // the panel — the same reason q147 evaluates on a fixed 20-vector
@@ -1126,7 +1173,7 @@ object TextOps {
     val queries = pairs.select($"doc_a".as("q_id"), $"doc_b".as("rel"))
       .union(pairs.select($"doc_b".as("q_id"), $"doc_a".as("rel")))
       .orderBy($"q_id", $"rel").limit(1000)
-      .localCheckpoint()
+      .ckpt()
     // Query-term pruning (standard IR practice, load-bearing at scale):
     // keep each query's 32 LOWEST-df terms (ties → token order). Scoring
     // volume is Σ_q Σ_{t∈q} df(t); common terms put every corpus doc in
@@ -1147,7 +1194,7 @@ object TextOps {
           .orderBy($"df".asc, $"tok".asc)))
       .filter($"qrnk" <= 32)
       .select($"q_id", $"tok")
-      .localCheckpoint()
+      .ckpt()
     // Zero-idf pruning — load-bearing at scale, exactness-preserving:
     // a term with df > n_docs/2 has integer idf_bits = 0, so it can
     // change NO score; dropping it BEFORE the postings⋈queries join
@@ -1178,7 +1225,7 @@ object TextOps {
       // ~25s for the identical chain executed from materialized inputs);
       // cutting here lets the ranking window and the final folds plan
       // against the frame's true (bounded) size.
-      .localCheckpoint()
+      .ckpt()
     val ranked = scored.withColumn("rnk", row_number().over(
       Window.partitionBy($"q_id").orderBy($"bm25_milli".desc, $"doc_id")))
     val relRank = queries
@@ -1300,7 +1347,7 @@ object TextOps {
         expr("transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
         .as("pair"))
     val counted = pairs.groupBy($"pair").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // |distinct pairs| rows; reused by top-k and the total
+      .ckpt() // |distinct pairs| rows; reused by top-k and the total
     val total = counted.agg(sum($"cnt").as("n_positions"))
     counted
       .orderBy($"cnt".desc, $"pair".asc).limit(20)
@@ -1316,8 +1363,8 @@ object TextOps {
     """WITH w AS (
       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
       |pos AS (
-      |  SELECT w, unnest(range(0, strlen(w) - 1)) AS i
-      |  FROM w WHERE strlen(w) >= 2),
+      |  SELECT w, unnest(range(0, length(w) - 1)) AS i
+      |  FROM w WHERE length(w) >= 2),
       |p AS (SELECT substr(w, CAST(i + 1 AS INT), 2) AS pair FROM pos),
       |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1),
       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_positions FROM c),

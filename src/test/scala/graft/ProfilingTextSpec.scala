@@ -803,4 +803,48 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(correct.toDouble / docs.size > 0.9,
       s"accuracy ${correct.toDouble / docs.size} on planted vocab")
   }
+
+  test("q140 thin edges: star contraction keeps components, drops C(m,2) volume") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions._
+    // A 6-member clone family + a typo neighbor: the full q121 pair
+    // expansion emits C(6,2)=15 clone pairs + 6 typo pairs = 21 edges;
+    // the star contraction must emit (6-1) star edges + 1 rep-rep edge
+    // and produce IDENTICAL canonicalization output.
+    val parts = ((1L to 6L).map(k => (k, "blue widget")) :+ (7L, "blu widget"))
+      .toDF("p_partkey", "p_name")
+    val dir = TestSpark.scratch("thin-edges")
+    parts.select($"p_partkey", lit("B").as("p_brand"), lit(1).as("p_size"),
+        $"p_name", lit(0.0).as("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val full = TextOps.fuzzyJoin(spark, dir)
+    val thin = TextOps.fuzzyMatchEdges(spark, dir)
+    assert(full.count() == 21L) // 15 clone pairs + 6 typo pairs
+    assert(thin.count() == 6L) // 5 star edges + 1 rep-rep edge
+    val fromFull = TextOps.canonicalEntities(
+      parts, full.select($"key_a".as("doc_a"), $"key_b".as("doc_b")))
+      .as[(Long, Long, Long, String)].collect().toList
+    val fromThin = TextOps.canonicalEntities(parts, thin)
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(fromThin == fromFull)
+    assert(fromThin == List((1L, 7L, 2L, "blue widget")))
+  }
+
+  test("q165 fd discovery: exact survivors only, agrees with the exhaustive audit") {
+    // id -> grp holds; grp -> val violated in group "a" only; id is a key
+    // (all id -> * hold); nothing with determinant grp or val holds.
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"), (4L, "b", "z"))
+      .toDF("id", "grp", "vl")
+    val cols = Seq("id", "grp", "vl")
+    val got = Profiling.fdDiscoverOf(df, cols)
+      .as[(String, String, Long)].collect().toList
+    assert(got == List(
+      ("id", "grp", 4L), ("id", "vl", 4L), ("vl", "grp", 3L)))
+    // cross-check: exactly the holds=true rows of the exhaustive q160 audit
+    val audit = Profiling.fdAuditOf(df, cols)
+      .filter($"holds").select($"det", $"dep", $"n_det_values")
+      .as[(String, String, Long)].collect().toList
+    assert(got == audit)
+  }
 }

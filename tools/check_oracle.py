@@ -19,17 +19,81 @@ column in a Spark result, or a dtype mismatch between the two pandas
 frames, fails even if today's strings happen to agree.  Output columns
 must be pandas-stable: string / int64 / float64 / bool / datetime only.
 
+Cost guardrail (the q103/q140/q151/q163 incident class): every oracle query
+runs under a wall-clock budget (--timeout, default 120s) and the DuckDB
+connection gets a temp-disk + memory ceiling, so a multiply-referenced CTE
+that would fill the temp disk during an sf1 sweep dies with a named
+TIMEOUT/RESOURCE line instead of hanging the sweep.  The summary names every
+budget-killed query so the fix (usually `AS MATERIALIZED`) happens during
+development, not after a blown sweep.
+
 Dev tooling only — not part of the library.
 """
+import argparse
 import json
 import math
 import sys
+import threading
+import time
 
 import duckdb
 import pandas as pd
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# Resource ceilings for the oracle connection.  The driver's gate box has
+# 128 GiB RAM; a healthy oracle query at sf1 needs far less than these, so
+# hitting either ceiling is a query-shape bug (usually a re-executed CTE),
+# never legitimate load.
+TEMP_DISK_BUDGET = "24GB"
+MEMORY_BUDGET = "32GB"
+
+
+class QueryTimeout(Exception):
+    pass
+
+
+def connect(sf_dir):
+    con = duckdb.connect()
+    try:
+        con.execute(f"SET max_temp_directory_size='{TEMP_DISK_BUDGET}'")
+        con.execute(f"SET memory_limit='{MEMORY_BUDGET}'")
+    except duckdb.Error as e:
+        print(f"WARN: resource ceilings unsupported by this duckdb: {e}")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def run_budgeted(con, sql, timeout_s):
+    """Execute sql with a wall-clock budget; raise QueryTimeout on breach.
+
+    A watchdog thread calls con.interrupt() at the deadline; the interrupted
+    execute raises duckdb.InterruptException in the caller's thread.  The
+    connection stays usable after an interrupt (DuckDB guarantees this), so
+    the sweep continues with the next query.
+    """
+    fired = threading.Event()
+
+    def watchdog():
+        if not fired.wait(timeout_s):
+            con.interrupt()
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    t0 = time.monotonic()
+    try:
+        res = con.execute(sql)
+        cols = [c[0] for c in res.description]
+        rows = res.fetchall()
+        df = con.execute(sql).df()
+        return cols, rows, df, time.monotonic() - t0
+    except duckdb.InterruptException:
+        raise QueryTimeout(f"exceeded {timeout_s}s wall-clock budget")
+    finally:
+        fired.set()
+        t.join()
 
 
 def canon(rows, cols):
@@ -53,12 +117,11 @@ def pandas_strs(df):
     return sorted(tuple(str(x) for x in r) for r in df.itertuples(index=False))
 
 
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+def main(sf_dir, out_dir, timeout_s=120.0):
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    budget_kills = []
     for name, sql in sorted(oracle.items()):
         errs = []
         try:
@@ -68,10 +131,31 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            res = con.execute(sql)
-            d_cols = [c[0] for c in res.description]
-            d_rows = res.fetchall()
-            d_df = con.execute(sql).df()
+            d_cols, d_rows, d_df, elapsed = run_budgeted(con, sql, timeout_s)
+            if elapsed > timeout_s / 2:
+                print(f"SLOW {name}: {elapsed:.1f}s (budget {timeout_s:.0f}s) — "
+                      "candidate for AS MATERIALIZED / restructure")
+        except QueryTimeout as e:
+            print(f"TIMEOUT {name}: {e} — likely a re-executed multi-referenced "
+                  "CTE; pin it AS MATERIALIZED")
+            budget_kills.append((name, "TIMEOUT"))
+            n_fail += 1
+            continue
+        except duckdb.OutOfMemoryException as e:
+            print(f"RESOURCE {name}: memory budget {MEMORY_BUDGET} breached: {e}")
+            budget_kills.append((name, "MEMORY"))
+            n_fail += 1
+            continue
+        except duckdb.Error as e:
+            msg = str(e)
+            if "temp_directory" in msg or "temporary directory" in msg.lower():
+                print(f"RESOURCE {name}: temp-disk budget {TEMP_DISK_BUDGET} "
+                      f"breached: {msg}")
+                budget_kills.append((name, "TEMP_DISK"))
+            else:
+                print(f"FAIL {name}: duckdb error: {msg}")
+            n_fail += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -121,8 +205,17 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(sr)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {len(oracle)} oracle queries")
+    if budget_kills:
+        print("BUDGET-KILLED (fix before the next sweep): "
+              + ", ".join(f"{n}[{kind}]" for n, kind in budget_kills))
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--timeout", type=float, default=120.0,
+                    help="per-query wall-clock budget in seconds")
+    a = ap.parse_args()
+    sys.exit(main(a.sf_dir, a.out_dir, a.timeout))
