@@ -71,13 +71,18 @@ object GraphOps {
 
   val q89Sql: String = {
     val base =
-      s"""WITH pairs AS (
+      // MATERIALIZED is load-bearing (the q103/q163 lesson, caught at sf1
+      // by check_oracle's resource budget): pairs is referenced twice,
+      // edges and deg once PER ROUND — re-inlined, DuckDB recomputes the
+      // DISTINCT over lineitem⋈orders ~2·Rounds times and spills >22 GiB
+      // of temp at sf1; pinned, each builds once.
+      s"""WITH pairs AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT c AS src, s AS dst FROM pairs
          |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
-         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
          |        FROM edges GROUP BY src),
          |pr0 AS (SELECT src AS node, CAST($Scale AS BIGINT) AS rank FROM deg)""".stripMargin
     val rounds = (1 to Rounds).map { i =>
