@@ -1175,9 +1175,11 @@ object Profiling {
     *
     * Scale shape: ONE scan of the table explodes each row into its 20
     * (determinant, dependent) value pairs row-locally, then a two-level
-    * aggregate: per (pair, det_value) count distinct dependents, then
-    * per pair count the violating determinant values. Both shuffles
-    * carry (pair, value-string) keys — the second is |distinct det
+    * aggregate: per (pair, det_value) a min/max fold flags violating
+    * determinants (min ≠ max ⟺ >1 distinct dependent — exact, with two
+    * strings of aggregate state instead of a distinct set), then per
+    * pair count the violating determinant values. Both shuffles carry
+    * (pair, value-string) keys — the second is |distinct det
     * values|-sized, never row-sized.
     */
   private val FdCols =
@@ -1199,12 +1201,18 @@ object Profiling {
           col(a).as("det_val"), col(b).as("dep_val"))
       }: _*)).as("p"))
       .select($"p.det", $"p.dep", $"p.det_val", $"p.dep_val")
+    // Violation detection is min≠max, NOT countDistinct: nd is only ever
+    // compared against 1, and `min(dep) ≠ max(dep) ⟺ nd > 1` exactly
+    // (both ignore NULLs identically). The distinct rewrite would carry
+    // per-(group, dep_val) rows into the shuffle; min/max folds to two
+    // strings of state per (pair, det_val) map-side — measured 297.8s →
+    // see PERF.md at sf10 for this exact change.
     exploded
       .groupBy($"det", $"dep", $"det_val")
-      .agg(countDistinct($"dep_val").as("nd"))
+      .agg(min($"dep_val").as("mn"), max($"dep_val").as("mx"))
       .groupBy($"det", $"dep")
       .agg(count(lit(1)).as("n_det_values"),
-        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_violating"))
+        sum(when($"mn" =!= $"mx", 1L).otherwise(0L)).as("n_violating"))
       .withColumn("holds", $"n_violating" === 0)
       .orderBy($"det", $"dep")
   }
