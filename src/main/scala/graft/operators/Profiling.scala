@@ -1175,11 +1175,9 @@ object Profiling {
     *
     * Scale shape: ONE scan of the table explodes each row into its 20
     * (determinant, dependent) value pairs row-locally, then a two-level
-    * aggregate: per (pair, det_value) a min/max fold flags violating
-    * determinants (min ≠ max ⟺ >1 distinct dependent — exact, with two
-    * strings of aggregate state instead of a distinct set), then per
-    * pair count the violating determinant values. Both shuffles carry
-    * (pair, value-string) keys — the second is |distinct det
+    * aggregate: per (pair, det_value) count distinct dependents, then
+    * per pair count the violating determinant values. Both shuffles
+    * carry (pair, value-string) keys — the second is |distinct det
     * values|-sized, never row-sized.
     */
   private val FdCols =
@@ -1201,18 +1199,22 @@ object Profiling {
           col(a).as("det_val"), col(b).as("dep_val"))
       }: _*)).as("p"))
       .select($"p.det", $"p.dep", $"p.det_val", $"p.dep_val")
-    // Violation detection is min≠max, NOT countDistinct: nd is only ever
-    // compared against 1, and `min(dep) ≠ max(dep) ⟺ nd > 1` exactly
-    // (both ignore NULLs identically). The distinct rewrite would carry
-    // per-(group, dep_val) rows into the shuffle; min/max folds to two
-    // strings of state per (pair, det_val) map-side — measured 297.8s →
-    // see PERF.md at sf10 for this exact change.
+    // Violation detection stays countDistinct, MEASURED against the
+    // min/max-fold alternative (nd only ever compares against 1, so
+    // `min(dep) ≠ max(dep)` is the same exact predicate): the single-
+    // distinct rewrite plans as two stacked HASH aggregates (distinct
+    // collapse, then count — long buffers throughout), while min/max of
+    // strings falls back to SortAggregate (var-length buffers), and the
+    // sort costs more than the distinct state saves — same-host
+    // single-shot: 3.3s vs 5.6s at sf0.1, 49.9s vs 46.6s at sf10.
+    // (r10's recorded 297.8s sf10 point for this query was ~6× ambient
+    // contention, not plan cost — see PERF.md r11.)
     exploded
       .groupBy($"det", $"dep", $"det_val")
-      .agg(min($"dep_val").as("mn"), max($"dep_val").as("mx"))
+      .agg(countDistinct($"dep_val").as("nd"))
       .groupBy($"det", $"dep")
       .agg(count(lit(1)).as("n_det_values"),
-        sum(when($"mn" =!= $"mx", 1L).otherwise(0L)).as("n_violating"))
+        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_violating"))
       .withColumn("holds", $"n_violating" === 0)
       .orderBy($"det", $"dep")
   }
@@ -1248,9 +1250,8 @@ object Profiling {
     *     shuffle carries |pairs| sketches per partition, never rows.
     *  2. '''Exact verify, survivors only''': the exploded value stream
     *     semi-joins the broadcast ≤|cols|² survivor list BEFORE its
-    *     shuffle, then per (pair, det_val) a min/max fold refutes or
-    *     confirms — `min(dep) ≠ max(dep)` is violation-exact and needs
-    *     no countDistinct state. Output rows are exact by construction
+    *     shuffle, then the q160 two-level exact aggregate runs over the
+    *     surviving ~20% of rows. Output rows are exact by construction
     *     (the sketch only ever PRUNES already-violating pairs), which is
     *     why the oracle below is plain exact SQL with no sketch mirror.
     *
@@ -1258,9 +1259,10 @@ object Profiling {
     * n_det_values. Kept fully lazy — no plan-build-time action (the
     * survivor list stays a broadcast frame; at 100 TB you'd collect its
     * ≤|cols|² rows to prune the stage-2 explode column-wise too).
-    * q160 measured 297.8s at sf10 (exhaustive 20-pair countDistinct);
-    * here the row-level shuffle carries only the ~4 surviving pairs and
-    * min/max state — see PERF.md for the measured prune ratio.
+    * The row-level shuffle carries only the ~4 surviving pairs' rows —
+    * a 5× shuffle-volume cut vs q160's all-pairs shuffle, the gap that
+    * matters where shuffle IO dominates; see PERF.md for measured sf10
+    * points of both and the crossover discussion.
     */
   def q165FdDiscover(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1284,12 +1286,16 @@ object Profiling {
     val survivors = sketch
       .filter($"n_pair" <= $"n_det" * 1.3)
       .select($"det", $"dep")
+    // Same aggregate shape as q160 (stacked HASH aggregates via the
+    // single-countDistinct rewrite) — a string min/max fold is the same
+    // exact predicate but plans as SortAggregate and measured slower at
+    // every SF (see the q160 comment above).
     exploded.join(broadcast(survivors), Seq("det", "dep"), "leftsemi")
       .groupBy($"det", $"dep", $"det_val")
-      .agg(min($"dep_val").as("mn"), max($"dep_val").as("mx"))
+      .agg(countDistinct($"dep_val").as("nd"))
       .groupBy($"det", $"dep")
       .agg(count(lit(1)).as("n_det_values"),
-        sum(when($"mn" =!= $"mx", 1L).otherwise(0L)).as("nv"))
+        sum(when($"nd" > 1, 1L).otherwise(0L)).as("nv"))
       .filter($"nv" === 0)
       .select($"det", $"dep", $"n_det_values")
       .orderBy($"det", $"dep")
