@@ -3,15 +3,37 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every registered query at the env-selected scale
-  * factor, one JSON line to stdout. Each query runs median-of-3 (override
-  * via SPARK_GRAFT_BENCH_REPS) so host variance cannot masquerade as a
-  * regression.
+  * factor, one JSON line to stdout. Reps are interleaved round-robin across
+  * the whole suite (pass 1 times every query once, then pass 2, ...) so a
+  * host-contention window inflates ONE rep of many queries — which the
+  * per-query median filters out — instead of every rep of a few queries,
+  * which no statistic can repair (the r7/r10/r11 adjudications were all
+  * back-to-back reps caught inside such a window).
+  *
+  * The artifact is self-defending: /proc/loadavg at start/end/per-pass and
+  * per-rep process-CPU deltas are recorded, so a contaminated run is
+  * identifiable from the JSON alone (wall inflates while process CPU stays
+  * flat → ambient load, not a code regression).
   *
   * Each query is forced through a `noop`-format write — unlike `count()`,
   * that materializes every output column (no Catalyst shortcut where the
   * count skips projections), so timings reflect real execution.
   */
 object Bench {
+  private def loadavg: Seq[Double] =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").take(3).map(_.toDouble).toSeq
+    catch { case _: Throwable => Seq(-1.0) }
+
+  private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+  private def procCpuSec: Double = osBean match {
+    case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1e9
+    case _ => -1.0
+  }
+
+  private def jArr(xs: Seq[Double]): String =
+    xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,6 +46,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg
     // warm-up outside timing: parquet footers (+ first row group) of
     // every table, then one full query for JIT — so the first timed
     // queries don't pay one-off IO/compile costs the rest never see.
@@ -52,26 +75,37 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      // a crashing query must NOT score as a fast pass: record -1 and the
-      // error, and exit nonzero after reporting
-      val runs = (1 to reps).map { _ =>
+    val n = selected.size
+    val wall = Array.fill(n)(collection.mutable.ArrayBuffer.empty[Double])
+    val cpu = Array.fill(n)(collection.mutable.ArrayBuffer.empty[Double])
+    val errAt = Array.fill[Option[String]](n)(None)
+    val passLoads = collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    for (_ <- 1 to reps) {
+      passLoads += loadavg
+      for (((_, fn), i) <- selected.zipWithIndex if errAt(i).isEmpty) {
+        // a crashing query must NOT score as a fast pass: record the error
+        // and exit nonzero after reporting (later passes skip it)
+        val c0 = procCpuSec
         val t0 = System.nanoTime()
-        val err =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-          catch { case t: Throwable => Some(t.toString) }
-        (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          wall(i) += (System.nanoTime() - t0) / 1e9
+          cpu(i) += procCpuSec - c0
+        } catch { case t: Throwable => errAt(i) = Some(t.toString) }
       }
-      val err = runs.collectFirst { case (_, Some(m)) => m }
+    }
+    val loadEnd = loadavg
+    val results = selected.zipWithIndex.map { case ((name, _), i) =>
       val secs =
-        if (err.isDefined) -1.0
+        if (errAt(i).isDefined || wall(i).isEmpty) -1.0
         else {
           // true median: average the two middle elements for even reps
-          // (sorted(reps/2) alone would report the SLOWER middle run)
-          val s = runs.map(_._1).sorted
-          if (reps % 2 == 1) s(reps / 2) else (s(reps / 2 - 1) + s(reps / 2)) / 2.0
+          // (sorted(k/2) alone would report the SLOWER middle run)
+          val s = wall(i).sorted
+          val k = s.size
+          if (k % 2 == 1) s(k / 2) else (s(k / 2 - 1) + s(k / 2)) / 2.0
         }
-      (name, secs, err)
+      (name, secs, errAt(i))
     }
     // ascending-by-time so the SLOWEST queries sit at the END of the line:
     // the driver keeps only a ~2000-char tail of stdout, and this ordering
@@ -95,21 +129,42 @@ object Bench {
     // anything failed (per-query times stay available above)
     val total =
       if (errs.isEmpty) results.map(_._2).sum else -1.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
+    // contention markers: loadavg trail + the suite-level CPU/wall ratio of
+    // the medians. On an otherwise-idle local[32] host the ratio sits well
+    // above 1 (parallel execution); a run squeezed by ambient load shows
+    // wall growing with process-CPU flat, dragging the ratio down and
+    // loadavg far above this process's own burn.
+    val cpuTotal = selected.indices.collect {
+      case i if errAt(i).isEmpty && cpu(i).nonEmpty => cpu(i).sorted.apply(cpu(i).size / 2)
+    }.sum
+    val cpuWall = if (total > 0) cpuTotal / total else -1.0
+    val loadField =
+      s""","load_start":${jArr(loadStart)},"load_end":${jArr(loadEnd)}""" +
+        s""","pass_loads":${passLoads.map(jArr).mkString("[", ",", "]")}""" +
+        f""","cpu_wall_ratio":$cpuWall%.2f,"reps":$reps,"interleaved":true"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$loadField,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture truncates long output (BENCH_r07 lost 70
     // of 134 per-query numbers that way) — persist the complete line to a
-    // stable path as well, so every round's evidence survives verbatim
+    // stable path as well, so every round's evidence survives verbatim.
+    // bench_full.json additionally carries every per-rep wall/CPU sample:
+    // the per-query spread is the proof that a slow median was (or was not)
+    // a one-pass contention artifact.
     try {
+      val repsDetail = selected.zipWithIndex.map { case ((name, _), i) =>
+        "\"" + name + "\":{\"wall\":" + jArr(wall(i).toSeq) +
+          ",\"cpu\":" + jArr(cpu(i).toSeq) + "}"
+      }.mkString("{", ",", "}")
+      val fullLine = line.dropRight(1) + s""","rep_detail":$repsDetail}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_full.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (fullLine + "\n").getBytes("UTF-8"))
       // sf-suffixed copy so a later run at another SF doesn't clobber
       // this one's evidence (subset runs at other SFs did exactly that)
       val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"target/bench_full-$sfTag.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
     // FINAL stdout line is a compact summary with no per-query map: the
@@ -118,7 +173,7 @@ object Bench {
     // window — r7/r9 both recorded parsed:null that way. A short last
     // line always survives a tail whole; the full per-query evidence
     // lives in the line above and in target/bench_full*.json.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$failedField,"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$failedField$loadField,"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
     if (errs.nonEmpty) sys.exit(1)
   }
 }

@@ -185,6 +185,58 @@ object TemporalOps {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q41's production twin (the q144→q164 / q160→q165 pattern, third
+    * application): same output contract, Expand-free plan.
+    *
+    * q41's 18.5×/decade scaling is the `Expand` node Spark plans for
+    * TWO exact countDistinct columns in one aggregate — every input row
+    * replicated per distinct column before the partial dedup, a
+    * row-count multiplier that at 100 TB doubles the heaviest shuffle
+    * in the registry. This twin splits the work into plans that never
+    * expand:
+    *
+    *   - production branch: one HLL-only aggregate
+    *     (`approx_count_distinct` is a REGULAR aggregate — sketch
+    *     buffers merge partial→final, the shuffle carries 3 rows of
+    *     registers, no Expand). At 100 TB this branch alone is what a
+    *     pipeline runs; its cost is one 2-column scan + a
+    *     constant-size shuffle.
+    *   - verification branches: each exact count planned as a SINGLE
+    *     distinct aggregate (`select(key, col).distinct → count`),
+    *     which Catalyst executes as partial dedup → dedup shuffle →
+    *     count: the shuffle carries only surviving distinct pairs, not
+    *     expanded rows, and each scan reads exactly 2 columns.
+    *
+    * The three 3-row aggregates broadcast-join back on the flag; the
+    * oracle asserts the HLL ±rsd bound (15% = 3σ of the default rsd
+    * 0.05) as literal `true` — an out-of-bound estimator fails the hash
+    * gate. q41 stays registered as the exactness baseline whose Expand
+    * cost is its contract as the HLL validation harness.
+    */
+  def q166DistinctTwin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir).lineitem
+    val hll = li.groupBy($"l_returnflag").agg(
+      approx_count_distinct($"l_partkey").as("approx_parts"),
+      approx_count_distinct($"l_orderkey").as("approx_orders"))
+    val exactParts = li.select($"l_returnflag", $"l_partkey").distinct()
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("exact_parts"))
+    val exactOrders = li.select($"l_returnflag", $"l_orderkey").distinct()
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("exact_orders"))
+    hll
+      .join(broadcast(exactParts), Seq("l_returnflag"))
+      .join(broadcast(exactOrders), Seq("l_returnflag"))
+      .select(
+        $"l_returnflag", $"exact_parts", $"exact_orders",
+        (abs($"approx_parts" - $"exact_parts") <= $"exact_parts" * 0.15)
+          .as("parts_within_15pct"),
+        (abs($"approx_orders" - $"exact_orders") <= $"exact_orders" * 0.15)
+          .as("orders_within_15pct"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q166Sql: String = q41Sql
+
   /** Banded range join: clicks within (signup, signup + 1h] per user,
     * counted per signup. Spark would plan the raw inequality join as a
     * broadcast-nested-loop; instead both sides bucket into hour-wide
@@ -1574,6 +1626,9 @@ object TemporalOps {
       "approx percentile checked against exact rank-error bounds"),
     Q("q41_approx_distinct", q41ApproxDistinct, Some(q41Sql), Seq("X-stats"),
       "HLL approximate distinct bounded against exact"),
+    Q("q166_distinct_twin", q166DistinctTwin, Some(q166Sql),
+      Seq("X-stats", "X-scale"),
+      "q41's Expand-free production twin: HLL aggregate + split single-distinct verify"),
     Q("q37_quantiles", q37Quantiles, Some(q37Sql), Seq("X-stats"),
       "exact interpolated percentiles per group"),
     Q("q38_histogram", q38Histogram, Some(q38Sql), Seq("X-stats"),
