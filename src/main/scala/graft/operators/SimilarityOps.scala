@@ -166,6 +166,16 @@ object SimilarityOps {
     persistedIndex(spark, dir, "ivf-index")(
       buildIvfIndex(Tables(spark, dir).embeddings))
 
+  /** Registered IVF probe width, shared by the q25 lookup and the q147
+    * recall eval. Chosen from the measured operating curve (PERF.md
+    * round-12): on clustered data (what an IVF index is for) nProbe=1
+    * is already exact on the planted fixture, 2 buys boundary-query
+    * margin at 20% scan cost; on the proximity-free driver fixture no
+    * width short of all cells helps, and the right move is a different
+    * index (SRP-LSH, q60), not a wider probe.
+    */
+  private[graft] val IvfNProbe = 2
+
   /** IVF-style ANN lookup: probe the 2 cells whose PRECOMPUTED centroids
     * are nearest the query, exact cosine within them, top-10. The lookup
     * plan touches the embeddings table only for the probed-cell scan —
@@ -181,7 +191,7 @@ object SimilarityOps {
       .select($"label",
         (VectorOps.dot($"centroid", $"q_emb") / (VectorOps.l2Norm($"centroid") * $"q_nrm")).as("cell_cos"))
       .orderBy($"cell_cos".desc, $"label")
-      .limit(2)
+      .limit(IvfNProbe)
       .select($"label")
     e.filter($"vec_id" =!= 0)
       .join(broadcast(probed), "label")
@@ -1775,7 +1785,24 @@ object SimilarityOps {
     * intersection counts are stable — no float-tie ambiguity at the
     * rank-10 boundary.
     */
-  def q147AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+  def q147AnnRecall(spark: SparkSession, dir: String): DataFrame =
+    annRecallAt(spark, dir, nProbe = IvfNProbe)
+
+  /** q147's harness at an arbitrary probe width — the sweep that picks
+    * the operating point (`graft.Probe ivf-sweep`) and the planted-
+    * cluster spec both run through this, so the measured curve is the
+    * REGISTERED code path, not a reimplementation.
+    */
+  private[graft] def annRecallAt(spark: SparkSession, dir: String,
+      nProbe: Int): DataFrame =
+    annRecallParts(spark, dir, nProbe)._1
+
+  /** Recall frame plus the (q_id, label) probed-cell assignment — the
+    * second frame prices the probe width: joined against cell sizes it
+    * gives exactly how many vectors the IVF leg scans for the panel.
+    */
+  private def annRecallParts(spark: SparkSession, dir: String,
+      nProbe: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     val nQueries = 20
     val topK = 10
@@ -1820,7 +1847,7 @@ object SimilarityOps {
       .withColumn("crnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
           .orderBy($"ccos".desc, $"label")))
-      .filter($"crnk" <= 2)
+      .filter($"crnk" <= nProbe)
       .select($"q_id", $"label")
     val ivf = rank(score(
       e.join(broadcast(probed), Seq("label"))
@@ -1830,13 +1857,41 @@ object SimilarityOps {
       .select($"q_id", col("b.rnk").as("brnk"), col("v.rnk").as("vrnk"))
       .ckpt() // ≤ 200 rows; reused by the three k-cuts below
     val ks = Seq(1, 5, 10)
-    ks.map { k =>
+    val recall = ks.map { k =>
       joined.filter($"brnk" <= k && $"vrnk" <= k)
         .agg(count(lit(1)).as("hits"))
         .select(lit(k.toLong).as("k"), $"hits",
           round($"hits".cast("double") / (nQueries.toLong * k), 4).as("recall"))
     }.reduce(_ union _)
       .orderBy($"k")
+    (recall, probed)
+  }
+
+  /** Operating-point sweep: recall@{1,5,10} plus the probe leg's scan
+    * cost at each probe width. `scanned_vecs` (Σ probed-cell sizes over
+    * the 20-query panel) over `corpus_vecs × 20` is the fraction of the
+    * corpus a lookup touches — the cost term that scales to 100 TB,
+    * where per-query wall time is proportional to it. Driven by
+    * `graft.Probe ivf-sweep` and the planted-cluster spec.
+    */
+  private[graft] def ivfSweep(spark: SparkSession, dir: String,
+      probes: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    val sizes = Tables(spark, dir).embeddings
+      .groupBy($"label").agg(count(lit(1)).as("n")).ckpt()
+    val corpus = sizes.agg(sum($"n")).head.getLong(0)
+    probes.map { p =>
+      val (recall, probed) = annRecallParts(spark, dir, p)
+      val scanned = probed.join(sizes, Seq("label"))
+        .agg(coalesce(sum($"n"), lit(0L))).head.getLong(0)
+      recall.withColumn("n_probe", lit(p))
+        .withColumn("scanned_vecs", lit(scanned))
+        .withColumn("scanned_frac",
+          round(lit(scanned.toDouble / (corpus * 20)), 4))
+    }.reduce(_ union _)
+      .select($"n_probe", $"k", $"hits", $"recall",
+        $"scanned_vecs", $"scanned_frac")
+      .orderBy($"n_probe", $"k")
   }
 
   val q147Sql: String = {
