@@ -30,6 +30,41 @@ object Probe {
             f"eval_secs=$secs%.1f"
         }
         rows.mkString("\n[probe] ")
+      case "durability-price" =>
+        // prices the reliable-checkpoint switch on the checkpoint-heaviest
+        // queries (the CC family): median-of-3 per mode in one warm JVM,
+        // local mode first so JIT warmup is charged to neither mode's
+        // median. Reliable mode writes through target/ckpt-price.
+        val qs =
+          if (args.length > 2) args(2).split(",").toSeq
+          else Seq("q140_entity_resolution", "q65_dup_clusters")
+        def time(name: String): Double = {
+          val t0i = System.nanoTime()
+          operators.Registry.byName(name).run(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0i) / 1e9
+        }
+        // modes ALTERNATE within each rep (L,R,L,R,L,R after one warmup
+        // of each) — a back-to-back mode block would hand the second
+        // mode all the JIT/page-cache warmup and fake a speedup
+        def inMode(reliable: Boolean, f: => Double): Double = {
+          spark.conf.set(Ckpt.ConfKey,
+            if (reliable) new java.io.File("target/ckpt-price").getAbsolutePath
+            else "")
+          f
+        }
+        val lines = qs.map { q =>
+          inMode(reliable = false, time(q)): Unit
+          inMode(reliable = true, time(q)): Unit
+          val samples = (1 to 3).map { _ =>
+            (inMode(reliable = false, time(q)), inMode(reliable = true, time(q)))
+          }
+          val l = samples.map(_._1).sorted.apply(1)
+          val r = samples.map(_._2).sorted.apply(1)
+          f"$q local=$l%.1fs reliable=$r%.1fs ratio=${r / l}%.2f"
+        }
+        spark.conf.set(Ckpt.ConfKey, "")
+        lines.mkString("\n[probe] ")
       case other => sys.error(s"unknown probe: $other")
     }
     println(f"[probe] $line dir=$dir secs=${(System.nanoTime() - t0) / 1e9}%.1f")
