@@ -682,6 +682,109 @@ object CurationOps {
       |ORDER BY ml_milli ASC, doc_id ASC
       |LIMIT 20""".stripMargin
 
+  private val DsirBuckets = 1024L
+
+  /** q169: DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): per-document log importance ratio
+    * log p_target(doc)/p_raw(doc) under two hashed-feature unigram
+    * models — target = the English slice, raw = the whole corpus. The
+    * hashed complement to q108's Moore–Lewis: q108's LM is VOCAB-sized
+    * (model grows with the corpus — at 100 TB the token table is
+    * billions of rows), DSIR's is FIXED at [[DsirBuckets]] buckets
+    * (md5-fold feature hashing), so the model side of the join is a
+    * broadcast constant no matter how large the corpus grows — the
+    * reason DSIR is the production data-selection method at scale.
+    *
+    * Exactness: bucket log-ratios are the fixed-point integer log2
+    * (Profiling.withLog2Q12) of (ct+1)·(Tr+B) / (cr+1)·(Tt+B) —
+    * add-one-smoothed rationals cross-multiplied into exact longs
+    * (bounded for corpora ≤ ~3·10⁹ tokens; beyond that pre-shift the
+    * counts by a common power of two before the multiply). Per-doc
+    * weight is an integer sum of its tokens' bucket ratios; the one
+    * double divides by dyadic 4096.
+    *
+    * Plan: one token explode feeding (a) a B-group aggregate with
+    * map-side combine and (b) the per-doc sum after a broadcast join
+    * against the 1024-row ratio table — one doc-keyed shuffle total,
+    * then TakeOrdered for the top-20 ledger.
+    */
+  def q169DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsOf(Tables(spark, dir).documents)
+
+  /** NOTE the driver corpus's `lang` labels are synthetic relative to
+    * its text (every language draws from the same 31-token salad — the
+    * q16/q162 situation), so on THAT data the en/raw ratios hover near
+    * zero and the top-20 ordering mostly reflects document length; the
+    * planted disjoint-vocabulary fixture in CurationSpec is where
+    * decisive positive-weight selection of target-language documents is
+    * asserted.
+    */
+  private[graft] def dsirWeightsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+      .withColumn("b",
+        conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % DsirBuckets)
+    val stats = toks.groupBy($"b").agg(
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = stats.agg(sum($"ct").as("tt"), sum($"cr").as("tr"))
+    val lr = stats.crossJoin(broadcast(tot))
+      .withColumn("x", ($"ct" + 1) * ($"tr" + lit(DsirBuckets)))
+      .withColumn("y", ($"cr" + 1) * ($"tt" + lit(DsirBuckets)))
+    val bucketLr = Profiling.withLog2Q12(lr)
+      .select($"b", $"log2_q12".as("lr_q12"))
+    toks.join(broadcast(bucketLr), Seq("b"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_toks"), sum($"lr_q12").as("weight_q12"))
+      .orderBy($"weight_q12".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", $"lang", $"n_toks", $"weight_q12",
+        ($"weight_q12".cast("double") / 4096.0).as("weight_bits"))
+  }
+
+  /** DuckDB twin: same md5-fold bucket hash (the LSH oracles' fold),
+    * same smoothed cross-multiplied ratio through the shared fixed-point
+    * log2 CTE chain.
+    */
+  val q169Sql: String = {
+    val foldH = (1 to 8).map { j =>
+      val mult = 1L << (4 * (8 - j))
+      s"(strpos('0123456789abcdef', substr(md5(tok), $j, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tk AS MATERIALIZED (
+      |  SELECT doc_id, lang, ($foldH) % $DsirBuckets AS b
+      |  FROM toks),
+      |stats AS (
+      |  SELECT b,
+      |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct,
+      |    CAST(count(*) AS BIGINT) AS cr
+      |  FROM tk GROUP BY b),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+      |               CAST(sum(cr) AS BIGINT) AS tr FROM stats),
+      |j AS (
+      |  SELECT b, (ct + 1) * (tr + $DsirBuckets) AS x,
+      |         (cr + 1) * (tt + $DsirBuckets) AS y
+      |  FROM stats CROSS JOIN tot),
+      |${Profiling.log2Q12SqlChain("j")},
+      |blr AS (
+      |  SELECT b, CAST(${Profiling.log2Q12SqlExpr} AS BIGINT) AS lr_q12
+      |  FROM ${Profiling.log2Q12SqlOut}),
+      |dw AS (
+      |  SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_toks,
+      |         CAST(sum(l.lr_q12) AS BIGINT) AS weight_q12
+      |  FROM tk t JOIN blr l USING (b)
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, lang, n_toks, weight_q12,
+      |  CAST(weight_q12 AS DOUBLE) / 4096.0 AS weight_bits
+      |FROM dw
+      |ORDER BY weight_q12 DESC, doc_id
+      |LIMIT 20""".stripMargin
+  }
+
   /** q150: cross-source quantile normalization — map each document's
     * raw quality signal (chars here; any score plugs in) to its
     * source-RELATIVE percentile, so one curation threshold means the
@@ -858,6 +961,9 @@ object CurationOps {
       "cross-source quantile normalization: per-source percent_rank to a shared scale"),
     Q("q61_pii_redact", q61PiiRedact, Some(q61Sql), Seq("X-curation"),
       "PII redaction: emails / IPv4s / long digit runs, ordered counts"),
+    Q("q169_dsir_weights", q169DsirWeights, Some(q169Sql),
+      Seq("X-curation", "X-sample", "X-scale"),
+      "DSIR importance weights: hashed-feature models, fixed-point log ratios, top-20 ledger"),
     Q("q108_moore_lewis", q108MooreLewis, Some(q108Sql), Seq("X-curation", "X-sample"),
       "Moore-Lewis domain data selection: integer cross-entropy difference"),
     Q("q107_percentile_gate", q107PercentileGate, Some(q107Sql), Seq("X-curation", "X-sample"),

@@ -104,6 +104,110 @@ object GraphOps {
        |LIMIT 50""".stripMargin
   }
 
+  private val BfsRounds = 4
+
+  /** q167: multi-source BFS reachability — hop distance from a seed set
+    * (every customer in nation 0) over the symmetrized customer↔supplier
+    * purchase graph, bounded at 4 rounds, reported as a per-(kind, dist)
+    * ledger. The graph primitive q89 (global centrality) and the CC
+    * family (undirected equivalence) don't cover: DIRECTED expansion
+    * from a seed set — blast-radius analysis ("which suppliers sit
+    * within 2 hops of this region's customers"), contamination tracing,
+    * feature propagation depth.
+    *
+    * Scale shape (frontier BFS, the Pregel iteration pattern): each
+    * round joins the edge list against the CURRENT FRONTIER only (never
+    * the full visited set), dedups the candidate set, and anti-joins
+    * visited — per-round shuffle volume is O(edges incident to the
+    * frontier), and on a small-diameter graph the frontier saturates in
+    * 2–3 rounds so later rounds shuffle almost nothing. Every round
+    * publishes through ckpt() (lineage would otherwise double per
+    * round — the CC lesson). Output is a ≤ 2·(rounds+1)-row ledger, so
+    * result size is scale-free.
+    */
+  def q167BfsReach(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val pairs = t.lineitem.select($"l_orderkey", $"l_suppkey")
+      .join(t.orders.select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select($"c".as("src"), $"s".as("dst"))
+      .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
+      .ckpt()
+    val seeds = t.customer.filter($"c_nationkey" === 0)
+      .select(($"c_custkey" * 2).as("node")).distinct()
+    bfsReach(edges, seeds, BfsRounds)
+      .groupBy(
+        when($"node" % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("kind"),
+        $"dist")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(expr("node div 2")).as("min_entity"),
+        max(expr("node div 2")).as("max_entity"))
+      .orderBy($"kind", $"dist")
+  }
+
+  /** The frontier-BFS core: min hop distance from `seeds` (col `node`)
+    * over `edges` (cols `src`, `dst`), bounded at `rounds`. Returns
+    * (node, dist) for every node reached — each node exactly once, at
+    * its minimum distance (a node enters `visited` the first round it
+    * appears and the anti-join bars re-entry).
+    */
+  private[graft] def bfsReach(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    var visited = seeds.withColumn("dist", lit(0L)).ckpt()
+    var frontier = visited.select($"node")
+    for (r <- 1 to rounds) {
+      val next = edges
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select($"dst".as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .ckpt()
+      visited = visited.unionAll(next.withColumn("dist", lit(r.toLong))).ckpt()
+      frontier = next
+    }
+    visited
+  }
+
+  /** DuckDB twin: the same 4 rounds unrolled. Every round's frontier and
+    * visited CTE is multiply referenced → pinned MATERIALIZED (the q89
+    * lesson, caught by check_oracle's resource budget at sf1).
+    */
+  val q167Sql: String = {
+    val rounds = (1 to BfsRounds).map { r =>
+      s"""f$r AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM edges e JOIN f${r - 1} ON e.src = f${r - 1}.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} x WHERE x.node = e.dst)),
+         |v$r AS MATERIALIZED (
+         |  SELECT node, dist FROM v${r - 1}
+         |  UNION ALL SELECT node, CAST($r AS BIGINT) AS dist FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+       |f0 AS MATERIALIZED (
+       |  SELECT DISTINCT c_custkey * 2 AS node
+       |  FROM customer WHERE c_nationkey = 0),
+       |v0 AS MATERIALIZED (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist FROM f0),
+       |$rounds
+       |SELECT
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  dist, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(min(node // 2) AS BIGINT) AS min_entity,
+       |  CAST(max(node // 2) AS BIGINT) AS max_entity
+       |FROM v$BfsRounds
+       |GROUP BY 1, 2
+       |ORDER BY kind, dist""".stripMargin
+  }
+
   /** Frequent co-purchased part pairs (market-basket itemset mining,
     * the k=2 core of FP-growth-style analysis): support counts for part
     * pairs that appear in the same order, min-support pruned, top-25.
@@ -339,5 +443,7 @@ object GraphOps {
     Q("q92_item_pairs", q92ItemPairs, Some(q92Sql), Seq("X-graph", "X-stats"),
       "co-purchase pair mining: basket-local pair fanout, support pruning"),
     Q("q116_assoc_rules", q116AssocRules, Some(q116Sql), Seq("X-graph", "X-stats"),
-      "association rules over frequent pairs: milli confidence/lift, exact integers"))
+      "association rules over frequent pairs: milli confidence/lift, exact integers"),
+    Q("q167_bfs_reach", q167BfsReach, Some(q167Sql), Seq("X-graph", "X-scale"),
+      "multi-source frontier BFS: 4-hop reachability ledger from a seed nation"))
 }

@@ -1027,7 +1027,7 @@ object Profiling {
     * codegen'd integer arithmetic — see the q156 scaladoc for why no
     * libm log is allowed near a hash-compared output).
     */
-  private def withLog2Q12(df: DataFrame): DataFrame = {
+  private[operators] def withLog2Q12(df: DataFrame): DataFrame = {
     val fracExpr = (0 until Log2FracBits)
       .map(k => s"b$k * ${1L << (Log2FracBits - 1 - k)}")
       .mkString(" + ")
@@ -1113,8 +1113,15 @@ object Profiling {
       .orderBy(col(xc), col(yc))
   }
 
-  val q156Sql: String = {
-    // the same fixed-point log2, unrolled as chained CTE column steps
+  /** SQL twin of [[withLog2Q12]], shared by every fixed-point-log oracle
+    * (q156, q168, q169): the CTE chain from `inCte` (long columns `x`,
+    * `y`, both ≥ 1) through the shift-and-square steps. The final CTE is
+    * [[log2Q12SqlOut]]; the log2(x/y) value inside it is
+    * [[log2Q12SqlExpr]]. Reserves CTE names pre/d/mu/en/lin/l0..l11 —
+    * callers must not use those, and the chain can appear once per
+    * statement.
+    */
+  private[operators] def log2Q12SqlChain(inCte: String): String = {
     val steps = (0 until Log2FracBits).map { k =>
       s"""l$k AS (
          |  SELECT *, CASE WHEN (m$k * m$k) >> 28 >= ${1L << 29} THEN 1 ELSE 0 END AS b$k,
@@ -1123,6 +1130,140 @@ object Profiling {
          |           AS m${k + 1}
          |  FROM l${if (k == 0) "in" else (k - 1).toString})""".stripMargin
     }.mkString(",\n")
+    s"""pre AS (
+       |  SELECT *, least(greatest(0, greatest(length(bin(x)), length(bin(y))) - 34),
+       |                  length(bin(y)) - 1) AS sh
+       |  FROM $inCte),
+       |d AS (
+       |  SELECT *, x >> sh AS x2, y >> sh AS y2 FROM pre),
+       |mu AS (
+       |  SELECT *, ((x2 // y2) << 28) + ((x2 % y2) << 28) // y2 AS m_un FROM d),
+       |en AS (
+       |  SELECT *, CAST(length(bin(m_un)) - 1 - 28 AS BIGINT) AS e,
+       |         CASE WHEN length(bin(m_un)) - 1 >= 28
+       |              THEN m_un >> (length(bin(m_un)) - 1 - 28)
+       |              ELSE m_un << (28 - (length(bin(m_un)) - 1)) END AS m0
+       |  FROM mu),
+       |lin AS (SELECT * FROM en),
+       |$steps""".stripMargin
+  }
+
+  private[operators] val log2Q12SqlExpr: String =
+    "e * 4096 + " + (0 until Log2FracBits)
+      .map(k => s"b$k * ${1L << (Log2FracBits - 1 - k)}").mkString(" + ")
+
+  private[operators] val log2Q12SqlOut: String = s"l${Log2FracBits - 1}"
+
+  /** q168: population-stability-index drift between the first and second
+    * time-half of the events stream, per event type over 10 fixed-width
+    * value bins — THE industry drift gate (credit scoring's PSI,
+    * re-expressed in bits): PSI = Σ_bins (p1 − p0)·log(p1/p0), > 0.25
+    * conventionally meaning "distribution moved, retrain". Completes the
+    * drift triptych: q87 (χ²-style residuals, categorical), q105 (KS,
+    * continuous ranks), q168 (PSI, binned with magnitude-weighted
+    * log-ratio — the one that tells you WHICH bins moved and by how
+    * much).
+    *
+    * Exactness: proportions are truncating-integer ppm (`div` / `//`,
+    * +1 Laplace so no bin is empty on either side), the log is the
+    * fixed-point integer log2 ([[withLog2Q12]]), and the per-type fold
+    * is an integer window sum — every column is exact cross-engine; the
+    * one double (psi_bits) is an integer divided by 4096e6, both
+    * dyadic-exact steps of IEEE division.
+    *
+    * Scale shape: one scan → one (type, bin) aggregate with map-side
+    * combine (50 cells regardless of row count); the min/max/mid frame
+    * is a broadcast 1-row aggregate; windows run over the 50-cell
+    * frame. Nothing row-scaled shuffles.
+    */
+  def q168PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    psiOf(Tables(spark, dir).events
+      .select($"event_type",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        unix_timestamp($"ts").as("sec")))
+  }
+
+  /** The PSI core over a (event_type, cents, sec) frame — q168's body,
+    * factored so specs can feed planted distributions directly.
+    */
+  private[graft] def psiOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import ev.sparkSession.implicits._
+    // same exact-long midpoint derivation as q87 (floor of a < 2^52
+    // double quotient is exact); bin width w covers [cmin, cmax] in 10
+    // equal integer-cent bins, the top bin clamped by least()
+    val mm = ev.agg(
+        min($"sec").as("smin"), max($"sec").as("smax"),
+        min($"cents").as("cmin"), max($"cents").as("cmax"))
+      .select(
+        ($"smin" + floor(($"smax" - $"smin" + 1) / 2).cast("long")).as("mid"),
+        $"cmin",
+        expr("(cmax - cmin) div 10 + 1").as("w"))
+    val cells = ev.crossJoin(broadcast(mm))
+      .withColumn("bin", expr("least(9, (cents - cmin) div w)"))
+      .groupBy($"event_type", $"bin")
+      .agg(
+        sum(when($"sec" < $"mid", 1L).otherwise(0L)).as("c0"),
+        sum(when($"sec" >= $"mid", 1L).otherwise(0L)).as("c1"))
+    val wt = Window.partitionBy($"event_type")
+    val p = cells
+      .withColumn("t0", sum($"c0").over(wt))
+      .withColumn("t1", sum($"c1").over(wt))
+      .withColumn("p0_ppm", expr("c0 * 1000000 div t0 + 1"))
+      .withColumn("p1_ppm", expr("c1 * 1000000 div t1 + 1"))
+      .withColumn("x", $"p1_ppm")
+      .withColumn("y", $"p0_ppm")
+    withLog2Q12(p)
+      .withColumn("psi_q12", ($"p1_ppm" - $"p0_ppm") * $"log2_q12")
+      .withColumn("psi_total_q12", sum($"psi_q12").over(wt))
+      .select($"event_type", $"bin", $"c0", $"c1", $"p0_ppm", $"p1_ppm",
+        $"psi_q12", $"psi_total_q12",
+        ($"psi_total_q12".cast("double") / lit(4.096e9)).as("psi_bits"))
+      .orderBy($"event_type", $"bin")
+  }
+
+  val q168Sql: String =
+    s"""WITH ev AS (
+      |  SELECT event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS cents,
+      |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+      |  FROM events),
+      |mm AS (
+      |  SELECT min(sec) + (max(sec) - min(sec) + 1) // 2 AS mid,
+      |         min(cents) AS cmin,
+      |         (max(cents) - min(cents)) // 10 + 1 AS w
+      |  FROM ev),
+      |cells AS (
+      |  SELECT event_type, least(9, (cents - cmin) // w) AS bin,
+      |    CAST(count(*) FILTER (WHERE sec < mid) AS BIGINT) AS c0,
+      |    CAST(count(*) FILTER (WHERE sec >= mid) AS BIGINT) AS c1
+      |  FROM ev CROSS JOIN mm GROUP BY 1, 2),
+      |t AS (
+      |  SELECT *, CAST(sum(c0) OVER (PARTITION BY event_type) AS BIGINT) AS t0,
+      |            CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT) AS t1
+      |  FROM cells),
+      |j AS (
+      |  SELECT event_type, bin, c0, c1,
+      |         c0 * 1000000 // t0 + 1 AS p0_ppm,
+      |         c1 * 1000000 // t1 + 1 AS p1_ppm,
+      |         c1 * 1000000 // t1 + 1 AS x,
+      |         c0 * 1000000 // t0 + 1 AS y
+      |  FROM t),
+      |${log2Q12SqlChain("j")},
+      |cell_psi AS (
+      |  SELECT event_type, bin, c0, c1, p0_ppm, p1_ppm,
+      |         CAST((p1_ppm - p0_ppm) * ($log2Q12SqlExpr) AS BIGINT) AS psi_q12
+      |  FROM $log2Q12SqlOut)
+      |SELECT event_type, bin, c0, c1, p0_ppm, p1_ppm, psi_q12,
+      |  CAST(sum(psi_q12) OVER (PARTITION BY event_type) AS BIGINT)
+      |    AS psi_total_q12,
+      |  CAST(sum(psi_q12) OVER (PARTITION BY event_type) AS DOUBLE) / 4096000000
+      |    AS psi_bits
+      |FROM cell_psi
+      |ORDER BY event_type, bin""".stripMargin
+
+  val q156Sql: String = {
     val fracSum = (0 until Log2FracBits)
       .map(k => s"b$k * ${1L << (Log2FracBits - 1 - k)}").mkString(" + ")
     s"""WITH base AS (
@@ -1141,26 +1282,11 @@ object Profiling {
       |         n * total AS x, n_x * n_y AS y
       |  FROM cells JOIN mx USING (segment) JOIN my USING (region)
       |  CROSS JOIN tot),
-      |pre AS (
-      |  SELECT *, least(greatest(0, greatest(length(bin(x)), length(bin(y))) - 34),
-      |                  length(bin(y)) - 1) AS sh
-      |  FROM j),
-      |d AS (
-      |  SELECT *, x >> sh AS x2, y >> sh AS y2 FROM pre),
-      |mu AS (
-      |  SELECT *, ((x2 // y2) << 28) + ((x2 % y2) << 28) // y2 AS m_un FROM d),
-      |en AS (
-      |  SELECT *, CAST(length(bin(m_un)) - 1 - 28 AS BIGINT) AS e,
-      |         CASE WHEN length(bin(m_un)) - 1 >= 28
-      |              THEN m_un >> (length(bin(m_un)) - 1 - 28)
-      |              ELSE m_un << (28 - (length(bin(m_un)) - 1)) END AS m0
-      |  FROM mu),
-      |lin AS (SELECT * FROM en),
-      |$steps
+      |${log2Q12SqlChain("j")}
       |SELECT segment, region, n, n_x, n_y, total,
       |  CAST(n * (e * 4096 + $fracSum) AS BIGINT) AS mi_q12,
       |  CAST(n * (e * 4096 + $fracSum) AS DOUBLE) / (total * 4096) AS mi_bits
-      |FROM l${Log2FracBits - 1}
+      |FROM $log2Q12SqlOut
       |ORDER BY segment, region""".stripMargin
   }
 
@@ -1363,6 +1489,8 @@ object Profiling {
       "per-group Pearson correlation via exact sufficient statistics"),
     Q("q85_column_profile", q85ColumnProfile, Some(q85Sql), Seq("X-scale"),
       "one-scan per-column profile: nulls, exact distincts, min/max, completeness"),
+    Q("q168_psi_drift", q168PsiDrift, Some(q168Sql), Seq("X-stats", "X-scale"),
+      "PSI drift per event type over 10 value bins: integer-ppm proportions, fixed-point log2"),
     Q("q87_drift", q87Drift, Some(q87Sql), Seq("X-stats", "X-scale"),
       "categorical drift: chi-square contingency cells between time halves"))
 

@@ -274,4 +274,28 @@ class CurationSpec extends AnyFunSuite {
       assert(out((a, k.toLong)) == expect)
     }
   }
+
+  test("q169 DSIR: disjoint-vocabulary planted fixture ranks target-language docs on top") {
+    // en draws from one vocabulary, de/fr from another two — the regime
+    // DSIR is built for (the driver fixture's shared word salad carries
+    // no lang signal; see the q169 scaladoc). All 10 en docs must rank
+    // above every non-en doc, with strictly positive weights, and the
+    // non-en docs must weigh negative.
+    val en = (0 until 10).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta tok$i", "en", "s", 0L))
+    val de = (10 until 20).map(i =>
+      (i.toLong, s"eins zwei drei vier funf sechs tok$i", "de", "s", 0L))
+    val fr = (20 until 30).map(i =>
+      (i.toLong, s"un deux trois quatre cinq six tok$i", "fr", "s", 0L))
+    val docs = (en ++ de ++ fr)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.CurationOps.dsirWeightsOf(docs).collect()
+    val top10 = out.take(10)
+    assert(top10.forall(_.getString(1) == "en"),
+      s"top-10 langs: ${top10.map(_.getString(1)).toSeq}")
+    assert(top10.forall(_.getLong(3) > 0L),
+      s"en weights must be positive: ${top10.map(_.getLong(3)).toSeq}")
+    assert(out.drop(10).forall(r => r.getLong(3) < 0L),
+      "non-target docs must weigh negative")
+  }
 }

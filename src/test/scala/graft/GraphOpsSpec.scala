@@ -134,4 +134,25 @@ class GraphOpsSpec extends AnyFunSuite {
       (2L, 1L, 3L, 4L, 5L, 750L, 900L),
       (1L, 2L, 3L, 5L, 4L, 600L, 900L)))
   }
+
+  test("bfsReach: min distance wins, bounded rounds, unreachable stays absent") {
+    // 1→2→3→4→5 chain plus a shortcut 1→4 (4 must land at dist 1, not 3),
+    // node 9 disconnected, node 6 beyond the round bound
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (5L, 6L), (9L, 9L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = GraphOps.bfsReach(edges, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L,
+      6L -> 3L))
+  }
+
+  test("bfsReach: multi-seed fronts merge at min distance") {
+    val edges = Seq((1L, 2L), (5L, 4L), (2L, 3L), (4L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val out = GraphOps.bfsReach(edges, seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
 }

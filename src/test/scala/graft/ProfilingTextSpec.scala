@@ -847,4 +847,31 @@ class ProfilingTextSpec extends AnyFunSuite {
       .as[(String, String, Long)].collect().toList
     assert(got == audit)
   }
+
+  test("q168 PSI: identical halves score exactly zero") {
+    // same cents multiset on both sides of the midpoint (secs 0..49 vs
+    // 50..99) → every bin's p0 == p1 → every psi term is exactly 0
+    val ev = (0 until 50).flatMap(i => Seq(
+      ("a", i * 20L, i.toLong), ("a", i * 20L, 50L + i)))
+      .toDF("event_type", "cents", "sec")
+    val out = Profiling.psiOf(ev).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("psi_q12") == 0L))
+    assert(out.forall(_.getAs[Long]("psi_total_q12") == 0L))
+  }
+
+  test("q168 PSI: a full distribution shift scores far above the 0.25 gate") {
+    // first half all-low, second half all-high: mass moves 10 bins,
+    // PSI in bits ≈ 2 · log2(1e6) ≈ 40 ≫ the conventional 0.25 alarm
+    val ev = (0 until 50).flatMap(i => Seq(
+      ("b", 0L, i.toLong), ("b", 999L, 50L + i)))
+      .toDF("event_type", "cents", "sec")
+    val out = Profiling.psiOf(ev).collect()
+    val bits = out.head.getAs[Double]("psi_bits")
+    assert(bits > 10.0, s"psi_bits = $bits")
+    // and the per-bin ledger names the movers: bin 0 lost, bin 9 gained
+    val byBin = out.map(r => r.getAs[Long]("bin") ->
+      (r.getAs[Long]("c0"), r.getAs[Long]("c1"))).toMap
+    assert(byBin(0L) == (50L, 0L) && byBin(9L) == (0L, 50L))
+  }
 }
