@@ -1069,6 +1069,92 @@ object DedupOps {
        |FROM cl
        |ORDER BY doc_id""".stripMargin
 
+  private val SplitFolds = 5L
+
+  /** q170: group-aware k-fold split — fold assignment keyed by the
+    * NEAR-DUP CLUSTER (q65's components), not the document, so no two
+    * near-duplicates ever straddle train/eval: the split-time HALF of
+    * the contamination problem (q49/q100 detect leakage after the fact;
+    * this prevents the dominant source of it at assignment time —
+    * near-identical docs landing on both sides). Emits the per-fold
+    * ledger plus the audit pair that justifies the design: group-keyed
+    * assignment has 0 straddling clusters (computed, not assumed — a
+    * countDistinct over actual assignments), while the naive
+    * doc-id-hash split would have straddled `naive_leaky_clusters`
+    * multi-doc clusters on the same corpus.
+    *
+    * Fold hashing is the portable md5 fold of the cluster id — folds
+    * are stable under corpus growth for unchanged clusters (a cluster
+    * keeps its fold when new docs arrive elsewhere), the property that
+    * lets a 100 TB split be assigned incrementally.
+    *
+    * Scale shape: clustering reuses q65's LSH→CC path (its cost
+    * profile is q65's); everything after is one row-local fold hash,
+    * one cluster-keyed aggregate, one 5-group fold aggregate, and a
+    * broadcast 1-row audit join.
+    */
+  def q170GroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val pairs = minhashLsh(spark, dir, portable = true).select($"doc_a", $"doc_b")
+      .ckpt()
+    val labels = connectedComponents(docs.select($"doc_id".as("v")), pairs)
+      .select($"v".as("doc_id"), $"label".as("cluster_id"))
+    def md5fold(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % SplitFolds
+    val perDoc = labels.join(docs.select($"doc_id", $"n_chars"), "doc_id")
+      .withColumn("fold", md5fold($"cluster_id"))
+      .withColumn("naive_fold", md5fold($"doc_id"))
+      .ckpt() // feeds the fold ledger AND the cluster audit below
+    val audit = perDoc.groupBy($"cluster_id")
+      .agg(countDistinct($"fold").as("nf"),
+        countDistinct($"naive_fold").as("nn"),
+        count(lit(1)).as("sz"))
+      .agg(
+        sum(when($"nf" > 1, 1L).otherwise(0L)).as("group_leaky_clusters"),
+        sum(when($"nn" > 1 && $"sz" > 1, 1L).otherwise(0L))
+          .as("naive_leaky_clusters"))
+    perDoc
+      .groupBy($"fold")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster_id").as("n_clusters"),
+        sum($"n_chars").as("n_chars"))
+      .crossJoin(broadcast(audit))
+      .orderBy($"fold")
+  }
+
+  val q170Sql: String = {
+    def fold(col: String) = {
+      val h = (1 to 8).map { j =>
+        val mult = 1L << (4 * (8 - j))
+        s"(strpos('0123456789abcdef', substr(md5(CAST($col AS VARCHAR)), $j, 1)) - 1) * $mult"
+      }.mkString(" + ")
+      s"($h) % $SplitFolds"
+    }
+    s"""$ccClustersCte,
+       |pd AS (
+       |  SELECT cl.doc_id, cl.cluster_id, d.n_chars,
+       |         ${fold("cl.cluster_id")} AS fold,
+       |         ${fold("cl.doc_id")} AS naive_fold
+       |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
+       |aud AS (
+       |  SELECT
+       |    CAST(count(*) FILTER (WHERE nf > 1) AS BIGINT)
+       |      AS group_leaky_clusters,
+       |    CAST(count(*) FILTER (WHERE nn > 1 AND sz > 1) AS BIGINT)
+       |      AS naive_leaky_clusters
+       |  FROM (SELECT cluster_id, count(DISTINCT fold) AS nf,
+       |               count(DISTINCT naive_fold) AS nn, count(*) AS sz
+       |        FROM pd GROUP BY cluster_id))
+       |SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  group_leaky_clusters, naive_leaky_clusters
+       |FROM pd CROSS JOIN aud
+       |GROUP BY fold, group_leaky_clusters, naive_leaky_clusters
+       |ORDER BY fold""".stripMargin
+  }
+
   /** Representative selection — the curation step AFTER clustering: each
     * near-dup cluster keeps its highest-quality member (q18's portable
     * quality score; ties break to the smallest doc_id). One row per
@@ -1382,6 +1468,9 @@ object DedupOps {
       "transitive near-dup clustering: connected components over LSH pairs"),
     Q("q68_cluster_reps", q68ClusterReps, Some(q68Sql), Seq("X-dedup"),
       "per-cluster representative selection by portable quality score"),
+    Q("q170_group_split", q170GroupSplit, Some(q170Sql),
+      Seq("X-dedup", "X-sample", "X-scale"),
+      "group-aware k-fold split: folds keyed by near-dup cluster, leakage audit vs naive"),
     Q("q64_keepfirst_dedup", q64KeepFirstDedup, Some(q64Sql), Seq("X-dedup"),
       "LSH keep-first dedup materialization (batch twin of the streaming path)"),
     Q("q77_incremental_dedup", q77IncrementalDedup, Some(q77Sql), Seq("X-dedup"),

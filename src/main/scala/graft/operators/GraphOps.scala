@@ -38,7 +38,12 @@ object GraphOps {
     * wider. The symmetric graph has no dangling vertices by
     * construction (every vertex has out-degree ≥ 1).
     */
-  def q89PageRank(spark: SparkSession, dir: String): DataFrame = {
+  /** Symmetrized customer↔supplier purchase edges, vertex ids disjoint
+    * by parity (2·custkey vs 2·suppkey+1) — the shared graph under
+    * q89/q167/q171. One fact-fact shuffle on orderkey + a distinct,
+    * ckpt-published so iterative consumers re-read materialized blocks.
+    */
+  private def purchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
     val pairs = t.lineitem.select($"l_orderkey", $"l_suppkey")
@@ -46,9 +51,14 @@ object GraphOps {
         $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
       .distinct()
-    val edges = pairs.select($"c".as("src"), $"s".as("dst"))
+    pairs.select($"c".as("src"), $"s".as("dst"))
       .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
       .ckpt()
+  }
+
+  def q89PageRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = purchaseEdges(spark, dir)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val outDeg = edges.join(deg, "src").ckpt()
     var ranks = deg.select($"src".as("node"), lit(Scale).as("rank"))
@@ -128,14 +138,7 @@ object GraphOps {
   def q167BfsReach(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
-    val pairs = t.lineitem.select($"l_orderkey", $"l_suppkey")
-      .join(t.orders.select($"o_orderkey", $"o_custkey"),
-        $"l_orderkey" === $"o_orderkey")
-      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
-      .distinct()
-    val edges = pairs.select($"c".as("src"), $"s".as("dst"))
-      .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
-      .ckpt()
+    val edges = purchaseEdges(spark, dir)
     val seeds = t.customer.filter($"c_nationkey" === 0)
       .select(($"c_custkey" * 2).as("node")).distinct()
     bfsReach(edges, seeds, BfsRounds)
@@ -206,6 +209,89 @@ object GraphOps {
        |FROM v$BfsRounds
        |GROUP BY 1, 2
        |ORDER BY kind, dist""".stripMargin
+  }
+
+  private val LpRounds = 3
+
+  /** q171: synchronous label propagation (Raghavan et al. 2007) — the
+    * community-detection member of the iterative family (q89 centrality,
+    * q167 reachability, CC equivalence): every node starts as its own
+    * label; each round it adopts the most frequent label among its
+    * neighbours (ties to the smallest label — the determinism knob the
+    * original randomized algorithm lacks), 3 synchronous rounds, then a
+    * top-10 community ledger. On the bipartite purchase graph the
+    * labels collapse around high-degree hubs — the "market community"
+    * structure a mixing/curation pipeline stratifies by.
+    *
+    * Scale shape: per round ONE join of the edge list against the
+    * |V|-sized label frame and a two-level aggregate — (dst, label)
+    * counts with map-side combine, then a per-dst struct-min argmax
+    * (count desc, label asc). Shuffle payload is |E| longs per round,
+    * the same bound as a PageRank round; every round ckpt-publishes.
+    * The ledger is TakeOrdered top-10.
+    */
+  def q171LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    labelProp(purchaseEdges(spark, dir), LpRounds).groupBy($"label")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when($"node" % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when($"node" % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
+      .orderBy($"n_members".desc, $"label".asc)
+      .limit(10)
+      .select($"label".as("community"), $"n_members", $"n_customers",
+        $"n_suppliers")
+  }
+
+  /** The propagation core: (node, label) after `rounds` synchronous
+    * majority votes over `edges` (src, dst) — every node's new label is
+    * the most frequent among its in-neighbours, ties to the smallest.
+    */
+  private[graft] def labelProp(edges: DataFrame, rounds: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    var labels = edges.select($"src".as("node")).distinct()
+      .withColumn("label", $"node").ckpt()
+    for (_ <- 1 to rounds) {
+      labels = edges.join(labels, $"src" === $"node")
+        .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
+        .groupBy($"dst").agg(min(struct(($"c" * -1).as("nc"), $"label")).as("m"))
+        .select($"dst".as("node"), $"m.label".as("label"))
+        .ckpt()
+    }
+    labels
+  }
+
+  /** DuckDB twin: rounds unrolled; the argmax is row_number over
+    * (count DESC, label ASC) — the same total order as the struct-min.
+    */
+  val q171Sql: String = {
+    val rounds = (1 to LpRounds).map { r =>
+      s"""c$r AS (
+         |  SELECT e.dst AS node, l.label, count(*) AS c
+         |  FROM edges e JOIN lp${r - 1} l ON e.src = l.node
+         |  GROUP BY 1, 2),
+         |lp$r AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |           row_number() OVER (PARTITION BY node
+         |                              ORDER BY c DESC, label ASC) AS rn
+         |    FROM c$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+       |lp0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$rounds
+       |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(count(*) FILTER (WHERE node % 2 = 0) AS BIGINT) AS n_customers,
+       |  CAST(count(*) FILTER (WHERE node % 2 = 1) AS BIGINT) AS n_suppliers
+       |FROM lp$LpRounds
+       |GROUP BY label
+       |ORDER BY n_members DESC, label ASC
+       |LIMIT 10""".stripMargin
   }
 
   /** Frequent co-purchased part pairs (market-basket itemset mining,
@@ -445,5 +531,7 @@ object GraphOps {
     Q("q116_assoc_rules", q116AssocRules, Some(q116Sql), Seq("X-graph", "X-stats"),
       "association rules over frequent pairs: milli confidence/lift, exact integers"),
     Q("q167_bfs_reach", q167BfsReach, Some(q167Sql), Seq("X-graph", "X-scale"),
-      "multi-source frontier BFS: 4-hop reachability ledger from a seed nation"))
+      "multi-source frontier BFS: 4-hop reachability ledger from a seed nation"),
+    Q("q171_label_prop", q171LabelProp, Some(q171Sql), Seq("X-graph", "X-scale"),
+      "deterministic synchronous label propagation: 3 rounds, top-10 community ledger"))
 }

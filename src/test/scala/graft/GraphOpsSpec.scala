@@ -155,4 +155,36 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
   }
+
+  test("labelProp: disjoint cliques converge to per-clique min labels") {
+    // two symmetric triangles {1,2,3} and {7,8,9}: after 2 rounds every
+    // node carries its clique's minimum label; no cross-contamination
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a != b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(7L, 8L, 9L)))
+      .toDF("src", "dst")
+    val out = GraphOps.labelProp(edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("labelProp: a true majority beats the smallest-label tie-break") {
+    // clique {5,6,7} collapses to label 5 by round 2; node 1 keeps
+    // label 1 via its self-loop. Node 10's in-neighbours {6, 7, 1} then
+    // carry labels {5, 5, 1}: majority 5 must win even though 1 < 5 —
+    // proving the argmax orders by count first, label only on ties
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a != b) yield (a, b)
+    val edges = (clique(Seq(5L, 6L, 7L)) ++
+      Seq((1L, 1L), (6L, 10L), (7L, 10L), (1L, 10L))).toDF("src", "dst")
+    val out = GraphOps.labelProp(edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10L) === 5L, s"majority must win: $out")
+    // and the pure-tie rule: after round 1, node 10 saw distinct labels
+    // {6, 7, 1} (one vote each) → smallest label 1
+    val one = GraphOps.labelProp(edges, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(10L) === 1L, s"tie must break to smallest: $one")
+  }
 }
