@@ -1455,9 +1455,320 @@ object DedupOps {
       |FROM ev WHERE rank <= 3
       |ORDER BY doc_a, doc_b, rank""".stripMargin
 
+  /** Window width (in whitespace tokens) for the duplicate-SPAN coverage
+    * diagnostic. 5 keeps the fixture's short docs in range; the published
+    * operating point for pretraining corpora is ~50 tokens (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022) — the plan shape is identical at any width.
+    */
+  private[graft] val SpanN = 5
+
+  /** q172: duplicate n-gram SPAN coverage per document — the
+    * substring-level complement of whole-doc dedup (q19) and set-overlap
+    * near-dup (q20/q21). Document-level Jaccard misses a doc that is 95%
+    * original but embeds a boilerplate paragraph repeated across the
+    * corpus; span coverage reports exactly that: the fraction of a doc's
+    * TOKENS lying inside at least one {SpanN}-token window that also
+    * occurs verbatim in some OTHER document. Lee et al. (ACL 2022) showed
+    * cutting such repeated spans measurably improves LMs; this is the
+    * audit that prices the cut per document. Intra-doc repetition is
+    * deliberately out of scope (q50 measures it) — a window must appear
+    * in ≥ 2 DISTINCT documents to count.
+    *
+    * Scale shape: windows are hashed row-locally (one md5 per window —
+    * the shuffle carries 32-char digests, never window text), then
+    *   (1) a (gram, doc) partial-dedup aggregate (map-side combine
+    *       collapses a doc's internal repeats before the shuffle),
+    *   (2) a gram-level distinct-doc count keeping only cross-doc grams,
+    *   (3) a semi join of the window stream against that gram set, and
+    *   (4) a per-doc interval-union window (classic gaps-and-islands:
+    *       running max of window-end over position order) folding
+    *       overlapping dup windows into covered-token counts.
+    * Every aggregate is partial-agg combinable; the only per-doc state is
+    * the position-sorted dup-window list, bounded by doc length. No
+    * all-pairs stage exists at any scale. dup_coverage is a quotient of
+    * exact integers — bit-identical cross-engine (jaccardFromSized's
+    * no-round policy).
+    */
+  def q172DupSpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupSpanCoverage(Tables(spark, dir).documents)
+
+  private[graft] def dupSpanCoverage(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select($"doc_id", split($"text", " ").as("t"))
+    val win = toks
+      .filter(size($"t") >= SpanN)
+      .select($"doc_id", expr(
+        s"""explode(transform(sequence(1, size(t) - ${SpanN - 1}),
+           |  i -> named_struct('pos', CAST(i AS BIGINT),
+           |                    'g', md5(concat_ws(' ', slice(t, i, $SpanN))))))""".stripMargin).as("w"))
+      .select($"doc_id", $"w.pos".as("pos"), $"w.g".as("g"))
+    val dupg = win
+      .groupBy($"g", $"doc_id").agg(count(lit(1)).as("occ"))
+      .groupBy($"g").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .select($"g")
+    val ord = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = win.join(dupg, Seq("g"), "left_semi")
+      .withColumn("prev_end", coalesce(max($"pos" + lit(SpanN)).over(ord), lit(0L)))
+      .withColumn("contrib",
+        greatest(lit(0L), ($"pos" + lit(SpanN)) - greatest($"pos", $"prev_end")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("dup_windows"), sum($"contrib").as("covered_tokens"))
+    toks
+      .select($"doc_id", size($"t").cast("long").as("n_tokens"),
+        greatest(lit(0L), size($"t").cast("long") - lit(SpanN - 1L)).as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"n_windows",
+        coalesce($"dup_windows", lit(0L)).as("dup_windows"),
+        coalesce($"covered_tokens", lit(0L)).as("covered_tokens"),
+        (coalesce($"covered_tokens", lit(0L)).cast("double") / $"n_tokens")
+          .as("dup_coverage"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB twin: the same md5 window keys (full-digest grouping in BOTH
+    * engines, so a hash collision — however improbable — collides
+    * identically), the same cross-doc gram filter, the same running-max
+    * interval union.
+    */
+  val q172Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |win AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         md5(array_to_string(t[i:i+${SpanN - 1}], ' ')) AS g
+      |  FROM toks, unnest(range(1, len(t) - ${SpanN - 2})) AS u(i)
+      |  WHERE len(t) >= $SpanN),
+      |gd AS (SELECT g, doc_id FROM win GROUP BY 1, 2),
+      |dupg AS (SELECT g FROM gd GROUP BY g HAVING count(*) >= 2),
+      |dw AS (SELECT win.doc_id, pos FROM win JOIN dupg USING (g)),
+      |cov AS (
+      |  SELECT doc_id,
+      |    greatest(0, pos + $SpanN - greatest(pos,
+      |      coalesce(max(pos + $SpanN) OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS contrib
+      |  FROM dw),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows,
+      |         CAST(sum(contrib) AS BIGINT) AS covered_tokens
+      |  FROM cov GROUP BY 1),
+      |base AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |         CAST(greatest(len(t) - ${SpanN - 1}, 0) AS BIGINT) AS n_windows
+      |  FROM toks)
+      |SELECT base.doc_id, n_tokens, n_windows,
+      |  coalesce(dup_windows, CAST(0 AS BIGINT)) AS dup_windows,
+      |  coalesce(covered_tokens, CAST(0 AS BIGINT)) AS covered_tokens,
+      |  CAST(coalesce(covered_tokens, CAST(0 AS BIGINT)) AS DOUBLE) / n_tokens
+      |    AS dup_coverage
+      |FROM base LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q174: MinHash estimator CALIBRATION — q148 scores the LSH
+    * candidate GENERATOR (recall/precision of bucket collisions); this
+    * scores the ESTIMATOR the verify-free fast path would use: per
+    * agreement level k/16 between two signatures, how far is k/16 from
+    * the true Jaccard? A pipeline that trusts raw sketch agreement above
+    * some bar (skipping exact verification — the only option when the
+    * shingle sets are too big to re-intersect) needs exactly this table
+    * to pick the bar: ship est ≥ b only for bins whose measured gap is
+    * tolerable.
+    *
+    * Binning is DISCRETE (k ∈ 0..16 — the estimator's native support),
+    * so no float bin-boundary ambiguity exists. Per bin the micro-avg
+    * true Jaccard is Σinter/Σunion — a single quotient of exact longs,
+    * not a mean of per-pair doubles, so no cross-row float sum enters
+    * any aggregate (the q87/q156 rule). Population = the LSH candidate
+    * set (the only pairs a sketch-trusting path ever scores).
+    *
+    * Scale shape: the q21 one-shuffle signature machine twice-joined to
+    * a candidate list the banding already bounds, then a ≤17-group
+    * aggregate. Output is ≤ 17 rows at any corpus size.
+    */
+  def q174SketchCalibration(spark: SparkSession, dir: String): DataFrame =
+    sketchCalibration(shingled(spark, dir))
+
+  private[graft] def sketchCalibration(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val postH = sh.select($"doc_id", explode($"shingles").as("s"))
+      .withColumn("h", conv(substring(md5($"s"), 1, 8), 16, 10).cast("long") % P31)
+    val mins = (0 until NumHashes).map(i =>
+      min((lit(hashA(i)) * $"h" + lit(hashB(i))) % P31).as(s"mh$i"))
+    val sigs = postH.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val buckets = sigs.select(
+      $"doc_id",
+      explode(array((0 until Bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          bandKey(portable = true)(
+            (b * RowsPerBand until (b + 1) * RowsPerBand)
+              .map(i => col(s"mh$i"))).as("h"))
+      }: _*)).as("bh"))
+      .select($"doc_id", $"bh.band".as("band"), $"bh.h".as("h"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        $"a.band" === $"b.band" && $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sigA = sigs.select($"doc_id".as("doc_a") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+    val sigB = sigs.select($"doc_id".as("doc_b") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+    cand
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .select($"doc_a", $"doc_b", agree.as("est16"))
+      .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"),
+        size($"shingles").cast("long").as("n_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"),
+        size($"shingles").cast("long").as("n_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"est16",
+        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"),
+        $"n_a", $"n_b")
+      .groupBy($"est16")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"inter").as("sum_inter"),
+        sum($"n_a" + $"n_b" - $"inter").as("sum_union"))
+      .select($"est16", $"n_pairs", $"sum_inter", $"sum_union",
+        ($"est16".cast("double") / NumHashes).as("est_jaccard"),
+        ($"sum_inter".cast("double") / $"sum_union").as("act_jaccard"))
+      .withColumn("gap", $"est_jaccard" - $"act_jaccard")
+      .orderBy($"est16")
+  }
+
+  /** DuckDB twin: the shared portable-LSH CTE (identical signatures and
+    * candidate set to q21/q148), lane-agreement fold, exact intersect,
+    * micro-averaged per-bin Jaccard.
+    */
+  val q174Sql: String = {
+    val agreeSql = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$lshBucketsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT doc_a, doc_b, CAST($agreeSql AS BIGINT) AS est16
+       |  FROM cand
+       |  JOIN sigs sa ON doc_a = sa.doc_id
+       |  JOIN sigs sb ON doc_b = sb.doc_id),
+       |ws AS (
+       |  SELECT e.doc_a, e.doc_b, est16,
+       |         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+       |         CAST(ca.n_sh AS BIGINT) AS n_a, CAST(cb.n_sh AS BIGINT) AS n_b
+       |  FROM est e
+       |  JOIN sh sa ON e.doc_a = sa.doc_id
+       |  JOIN sh sb ON e.doc_b = sb.doc_id
+       |  JOIN counts ca ON e.doc_a = ca.doc_id
+       |  JOIN counts cb ON e.doc_b = cb.doc_id)
+       |SELECT est16,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(inter) AS BIGINT) AS sum_inter,
+       |  CAST(sum(n_a + n_b - inter) AS BIGINT) AS sum_union,
+       |  CAST(est16 AS DOUBLE) / $NumHashes AS est_jaccard,
+       |  CAST(CAST(sum(inter) AS BIGINT) AS DOUBLE)
+       |    / CAST(sum(n_a + n_b - inter) AS BIGINT) AS act_jaccard,
+       |  CAST(est16 AS DOUBLE) / $NumHashes
+       |    - CAST(CAST(sum(inter) AS BIGINT) AS DOUBLE)
+       |      / CAST(sum(n_a + n_b - inter) AS BIGINT) AS gap
+       |FROM ws
+       |GROUP BY est16
+       |ORDER BY est16""".stripMargin
+  }
+
+  /** q175: per-document n-gram NOVELTY profile — the incremental-ingest
+    * complement of q172. q172 answers "how much of this doc is repeated
+    * ANYWHERE else" (symmetric, both copies score); a growing corpus
+    * needs the asymmetric view: in doc_id ingest order, what fraction of
+    * a doc's distinct {SpanN}-token windows appear here FIRST? A doc
+    * whose content is entirely covered by earlier documents contributes
+    * zero new n-grams and is a skip candidate regardless of whether any
+    * single earlier doc clears a pairwise-Jaccard bar — exactly the
+    * marginal-utility signal novelty-aware samplers cut on. Attribution
+    * is deterministic: a window belongs to min(doc_id) over its
+    * occurrences (ties impossible — the window stream is per-doc
+    * deduplicated first).
+    *
+    * Scale shape: windows hash row-locally (the shuffle carries 32-char
+    * digests, never text); then (1) a (gram, doc) dedup aggregate with
+    * map-side combine, (2) a gram-level min(doc_id) aggregate, (3) one
+    * join of the deduped gram stream back to its gram's first owner, and
+    * (4) a per-doc count/sum aggregate. All four are partial-agg
+    * combinable, no stage is pairwise, and novelty is a quotient of
+    * exact longs (portable bit-for-bit). Docs shorter than SpanN have no
+    * windows: counts 0, novelty NULL (settled identically in both
+    * engines before any division).
+    */
+  def q175NoveltyProfile(spark: SparkSession, dir: String): DataFrame =
+    noveltyProfile(Tables(spark, dir).documents)
+
+  private[graft] def noveltyProfile(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs.select($"doc_id", split($"text", " ").as("t"))
+    val grams = toks
+      .filter(size($"t") >= SpanN)
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(1, size(t) - ${SpanN - 1}),
+           |  i -> md5(concat_ws(' ', slice(t, i, $SpanN))))""".stripMargin)).as("g"))
+      .groupBy($"g", $"doc_id").agg(count(lit(1)).as("occ"))
+    val firstDoc = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    val perDoc = grams.join(firstDoc, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("novel_grams"))
+    toks.select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"novel_grams", lit(0L)).as("novel_grams"),
+        when(coalesce($"n_grams", lit(0L)) > 0,
+          $"novel_grams".cast("double") / $"n_grams").as("novelty"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB twin: same md5 window keys, same min-doc attribution, same
+    * NULL policy for window-less docs.
+    */
+  val q175Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |gr AS (
+      |  SELECT DISTINCT doc_id,
+      |         md5(array_to_string(t[i:i+${SpanN - 1}], ' ')) AS g
+      |  FROM toks, unnest(range(1, len(t) - ${SpanN - 2})) AS u(i)
+      |  WHERE len(t) >= $SpanN),
+      |fd AS (SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY g),
+      |pd AS (
+      |  SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(sum(CASE WHEN first_doc = gr.doc_id THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS novel_grams
+      |  FROM gr JOIN fd USING (g) GROUP BY 1)
+      |SELECT t.doc_id,
+      |  coalesce(n_grams, CAST(0 AS BIGINT)) AS n_grams,
+      |  coalesce(novel_grams, CAST(0 AS BIGINT)) AS novel_grams,
+      |  CASE WHEN coalesce(n_grams, CAST(0 AS BIGINT)) > 0
+      |       THEN CAST(novel_grams AS DOUBLE) / n_grams END AS novelty
+      |FROM toks t LEFT JOIN pd USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q159_dup_evidence", q159DupEvidence, Some(q159Sql), Seq("X-dedup"),
       "explainable dedup: rarest shared shingles as per-pair merge evidence"),
+    Q("q175_novelty_profile", q175NoveltyProfile, Some(q175Sql),
+      Seq("X-dedup", "X-scale"),
+      "per-doc n-gram novelty: fraction of distinct windows first seen in this doc"),
+    Q("q172_dupspan_coverage", q172DupSpanCoverage, Some(q172Sql),
+      Seq("X-dedup", "X-scale"),
+      "substring-level dup-span coverage: fraction of tokens inside cross-doc repeated windows"),
+    Q("q174_sketch_calibration", q174SketchCalibration, Some(q174Sql),
+      Seq("X-dedup", "X-eval"),
+      "MinHash estimator calibration: per-agreement-bin gap vs exact Jaccard"),
     Q("q148_lsh_eval", q148LshEval, Some(q148Sql), Seq("X-dedup", "X-eval", "X-scale"),
       "LSH candidate recall/precision vs the exact-Jaccard truth set"),
     Q("q19_dedup_exact", q19DedupExact, Some(q19Sql), Seq("X-dedup"),

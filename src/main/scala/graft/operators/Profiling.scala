@@ -1210,8 +1210,14 @@ object Profiling {
     val p = cells
       .withColumn("t0", sum($"c0").over(wt))
       .withColumn("t1", sum($"c1").over(wt))
-      .withColumn("p0_ppm", expr("c0 * 1000000 div t0 + 1"))
-      .withColumn("p1_ppm", expr("c1 * 1000000 div t1 + 1"))
+      // Empty-HALF guard (fuzz-found: an event type wholly inside one
+      // time-half has t=0 for the other): the +1-ppm empty-bin floor
+      // extends to the whole absent half — every bin reads 1 ppm, PSI
+      // saturates for that type instead of dividing by zero. The guard
+      // is a no-op whenever t > 0, so non-degenerate outputs are
+      // byte-identical to the unguarded form.
+      .withColumn("p0_ppm", expr("CASE WHEN t0 = 0 THEN 1 ELSE c0 * 1000000 div t0 + 1 END"))
+      .withColumn("p1_ppm", expr("CASE WHEN t1 = 0 THEN 1 ELSE c1 * 1000000 div t1 + 1 END"))
       .withColumn("x", $"p1_ppm")
       .withColumn("y", $"p0_ppm")
     withLog2Q12(p)
@@ -1245,10 +1251,10 @@ object Profiling {
       |  FROM cells),
       |j AS (
       |  SELECT event_type, bin, c0, c1,
-      |         c0 * 1000000 // t0 + 1 AS p0_ppm,
-      |         c1 * 1000000 // t1 + 1 AS p1_ppm,
-      |         c1 * 1000000 // t1 + 1 AS x,
-      |         c0 * 1000000 // t0 + 1 AS y
+      |         CASE WHEN t0 = 0 THEN 1 ELSE c0 * 1000000 // t0 + 1 END AS p0_ppm,
+      |         CASE WHEN t1 = 0 THEN 1 ELSE c1 * 1000000 // t1 + 1 END AS p1_ppm,
+      |         CASE WHEN t1 = 0 THEN 1 ELSE c1 * 1000000 // t1 + 1 END AS x,
+      |         CASE WHEN t0 = 0 THEN 1 ELSE c0 * 1000000 // t0 + 1 END AS y
       |  FROM t),
       |${log2Q12SqlChain("j")},
       |cell_psi AS (
@@ -1450,9 +1456,130 @@ object Profiling {
       |ORDER BY det, dep""".stripMargin
   }
 
+  /** Top-K cut for the Zipf fit. The head of the frequency curve is
+    * where the power law lives (the tail bends under finite-corpus
+    * effects); 200 terms is the standard head window and caps every
+    * post-TakeOrdered stage at driver-trivial size.
+    */
+  private val ZipfK = 200
+
+  /** q173: Zipf power-law fit of the corpus token-frequency curve —
+    * OLS slope of log2(freq) against log2(rank) over the top-{ZipfK}
+    * terms. THE one-number sanity check on a text corpus's token
+    * distribution (Zipf 1949: natural language ⇒ slope ≈ −1): a slope
+    * near 0 means template/boilerplate-dominated text (uniform head), a
+    * slope ≪ −1 means a few tokens swamp everything (log spam, OCR
+    * noise). Complements q73 (the vocab table itself) and q18 (per-doc
+    * quality) with a corpus-level distributional gate a 100 TB ingest
+    * can cheaply re-run per source or per shard.
+    *
+    * Numeric policy: both logs go through the shared shift-and-square
+    * fixed-point log2 (the q156/q168/q169 routine — exact longs, no
+    * libm), so Σx, Σy, Σxy, Σx² are exact integer sums (order-free) and
+    * slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) divides two exact longs, each
+    * < 2⁵³ at any corpus size (|log2·4096| ≤ 2.6e5 even at 2⁶⁴ counts;
+    * with K = 200 the numerator is ≤ K²·(2.6e5)² ≈ 2.7e14, well inside
+    * both int64 and the double-exact window). The intercept
+    * reuses the slope double in a fixed expression tree over
+    * exactly-representable integers — deterministic IEEE arithmetic,
+    * not a cross-row float fold.
+    *
+    * Scale shape: one token-count aggregate (partial+final, |vocab|-row
+    * shuffle payload), a distributed TakeOrdered top-K, then every
+    * remaining stage runs on ≤ K rows (the single-partition rank window
+    * is over the K-row frame, not the corpus).
+    */
+  def q173ZipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFitOf(Tables(spark, dir).documents)
+
+  private[graft] def zipfFitOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val logCols = Seq("sh", "x2", "y2", "m_un_raw", "m_un", "e", "m0") ++
+      (0 until Log2FracBits).map(k => s"b$k") ++
+      (0 to Log2FracBits).map(k => s"m$k")
+    val terms = docs
+      .select(explode(split($"text", " ")).as("term"))
+      .filter(length($"term") > 0)
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"term".asc).limit(ZipfK)
+    val ranked = terms.withColumn("rank",
+      row_number().over(Window.orderBy($"cnt".desc, $"term".asc)).cast("long"))
+    val lx = withLog2Q12(ranked.withColumn("x", $"rank").withColumn("y", lit(1L)))
+      .withColumn("lx", $"log2_q12")
+      .drop(logCols :+ "log2_q12" :+ "x" :+ "y": _*)
+    val lxy = withLog2Q12(lx.withColumn("x", $"cnt").withColumn("y", lit(1L)))
+      .withColumn("ly", $"log2_q12")
+      .drop(logCols :+ "log2_q12" :+ "x" :+ "y": _*)
+    lxy
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum($"lx").as("sx"), sum($"ly").as("sy"),
+        sum($"lx" * $"lx").as("sxx"), sum($"lx" * $"ly").as("sxy"))
+      .select(
+        $"n_terms",
+        $"sx".as("sx_q12"), $"sy".as("sy_q12"),
+        ($"n_terms" * $"sxy" - $"sx" * $"sy").as("num_q24"),
+        ($"n_terms" * $"sxx" - $"sx" * $"sx").as("den_q24"))
+      .withColumn("slope", $"num_q24".cast("double") / $"den_q24")
+      .withColumn("intercept_bits",
+        (($"sy_q12".cast("double") - $"slope" * $"sx_q12".cast("double"))
+          / $"n_terms") / 4096.0)
+  }
+
+  /** DuckDB twin: the chain can appear once per statement, so both logs
+    * ride ONE pass — the K ranked rows are stacked twice (leg 'r' with
+    * x = rank, leg 'c' with x = cnt), logged together, and pivoted back
+    * by term.
+    */
+  val q173Sql: String =
+    s"""WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |tc AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok
+      |  WHERE len(term) > 0 GROUP BY term),
+      |topk AS (
+      |  SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT $ZipfK),
+      |ranked AS (
+      |  SELECT term, cnt,
+      |    CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank
+      |  FROM topk),
+      |stacked AS (
+      |  SELECT term, rank, cnt, 'r' AS leg, rank AS x, CAST(1 AS BIGINT) AS y
+      |  FROM ranked
+      |  UNION ALL
+      |  SELECT term, rank, cnt, 'c' AS leg, cnt AS x, CAST(1 AS BIGINT) AS y
+      |  FROM ranked),
+      |${log2Q12SqlChain("stacked")},
+      |logs AS (
+      |  SELECT term, leg, CAST($log2Q12SqlExpr AS BIGINT) AS lg
+      |  FROM $log2Q12SqlOut),
+      |piv AS (
+      |  SELECT r.term, lr.lg AS lx, lc.lg AS ly
+      |  FROM ranked r
+      |  JOIN logs lr ON lr.term = r.term AND lr.leg = 'r'
+      |  JOIN logs lc ON lc.term = r.term AND lc.leg = 'c'),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+      |    CAST(sum(lx * lx) AS BIGINT) AS sxx,
+      |    CAST(sum(lx * ly) AS BIGINT) AS sxy
+      |  FROM piv)
+      |SELECT n_terms, sx AS sx_q12, sy AS sy_q12,
+      |  n_terms * sxy - sx * sy AS num_q24,
+      |  n_terms * sxx - sx * sx AS den_q24,
+      |  CAST(n_terms * sxy - sx * sy AS DOUBLE) / (n_terms * sxx - sx * sx)
+      |    AS slope,
+      |  ((CAST(sy AS DOUBLE)
+      |    - (CAST(n_terms * sxy - sx * sy AS DOUBLE) / (n_terms * sxx - sx * sx))
+      |      * CAST(sx AS DOUBLE)) / n_terms) / 4096.0 AS intercept_bits
+      |FROM s""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q160_fd_audit", q160FdAudit, Some(q160Sql), Seq("X-stats", "Q2", "X-scale"),
       "functional-dependency audit: key discovery and denormalization-drift tripwire"),
+    Q("q173_zipf_fit", q173ZipfFit, Some(q173Sql), Seq("X-stats", "X-text", "X-scale"),
+      "Zipf power-law fit: fixed-point OLS slope of log-freq vs log-rank over the top-200 terms"),
     Q("q165_fd_discover", q165FdDiscover, Some(q165Sql), Seq("X-stats", "Q2", "X-scale"),
       "sketch-prescreened FD discovery: HLL refutes non-FDs in one pass, exact min/max verify on survivors"),
     Q("q156_mutual_info", q156MutualInfo, Some(q156Sql), Seq("X-stats"),

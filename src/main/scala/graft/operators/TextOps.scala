@@ -1421,9 +1421,125 @@ object TextOps {
       |ORDER BY lang, lang_pred""".stripMargin
   }
 
+  /** q176: tokenizer FERTILITY per language — the corpus-level sizing
+    * table a multilingual pretraining run reads before fixing its token
+    * budget. q51 reports per-document token counts; budget decisions are
+    * made per LANGUAGE on micro-averaged ratios: chars/token (compression
+    * — a tokenizer mismatched to a language burns budget on short
+    * tokens) and tokens/word (fertility proper — how many subword pieces
+    * a whitespace word fragments into). Micro-averaging is deliberate:
+    * each ratio is ONE quotient of exact corpus-total longs (Σchars /
+    * Σtokens), never a mean of per-doc doubles, so no cross-row float
+    * sum exists and both engines produce the identical bits.
+    *
+    * Scale shape: one row-local pass (three regexp_count/length columns,
+    * all codegen'd) into a |langs|-group partial+final aggregate — the
+    * cheapest shape an operator can have; output is |langs| rows at any
+    * corpus size.
+    */
+  def q176TokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenizerFertilityOf(Tables(spark, dir).documents)
+
+  private[graft] def tokenizerFertilityOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val nToks = regexp_count($"text", lit(BpeTokenRegex)).cast("long")
+    docs
+      .select($"lang", length($"text").cast("long").as("chars"),
+        nToks.as("toks"), wordCount($"text").as("words"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"chars").as("total_chars"),
+        sum($"toks").as("total_tokens"),
+        sum($"words").as("total_words"))
+      .select($"lang", $"n_docs", $"total_chars", $"total_tokens", $"total_words",
+        when($"total_tokens" > 0,
+          $"total_chars".cast("double") / $"total_tokens").as("chars_per_token"),
+        when($"total_words" > 0,
+          $"total_tokens".cast("double") / $"total_words").as("tokens_per_word"))
+      .orderBy($"lang")
+  }
+
+  val q176Sql: String = {
+    val re = BpeTokenRegex.replace("'", "''")
+    s"""WITH d AS (
+       |  SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+       |    CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS toks,
+       |    $wordCountSql AS words
+       |  FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+       |  CAST(sum(words) AS BIGINT) AS total_words,
+       |  CASE WHEN sum(toks) > 0 THEN CAST(sum(chars) AS DOUBLE)
+       |    / CAST(sum(toks) AS BIGINT) END AS chars_per_token,
+       |  CASE WHEN sum(words) > 0 THEN CAST(sum(toks) AS DOUBLE)
+       |    / CAST(sum(words) AS BIGINT) END AS tokens_per_word
+       |FROM d GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
+  /** q177: hapax / Good–Turing unseen-mass profile per language — the
+    * vocabulary-saturation gate. The Good–Turing estimate of the
+    * probability mass of NEVER-SEEN tokens is N₁/N (hapax count over
+    * total tokens; Good 1953): a language slice with high unseen mass is
+    * under-sampled (its vocabulary curve is still climbing) while one
+    * near zero is saturated — the signal a mixture scheduler (q91)
+    * raises or lowers source weights on. Ships with the type-token
+    * ratio and the N₂ (dis legomena) count, the inputs to the standard
+    * Turing confidence check N₁ ≫ 2N₂·(N₁/N). All ratios are single
+    * quotients of exact longs — the q51/q67 no-float-fold rule.
+    *
+    * Scale shape: one (lang, term) hash aggregate (map-side combine
+    * collapses each partition's repeats of stopword-class hot keys
+    * before the shuffle) feeding a |langs|-group conditional-count
+    * aggregate. Nothing downstream of the first shuffle exceeds |vocab|
+    * rows, and the output is |langs| rows at any corpus size.
+    */
+  def q177HapaxProfile(spark: SparkSession, dir: String): DataFrame =
+    hapaxProfileOf(Tables(spark, dir).documents)
+
+  private[graft] def hapaxProfileOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"lang", explode(split($"text", " ")).as("term"))
+      .filter(length($"term") > 0)
+      .groupBy($"lang", $"term").agg(count(lit(1)).as("c"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("vocab"),
+        sum($"c").as("total_tokens"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when($"c" === 2, 1L).otherwise(0L)).as("dis"))
+      .select($"lang", $"vocab", $"total_tokens", $"hapax", $"dis",
+        ($"hapax".cast("double") / $"total_tokens").as("gt_unseen_mass"),
+        ($"vocab".cast("double") / $"total_tokens").as("type_token_ratio"))
+      .orderBy($"lang")
+  }
+
+  val q177Sql: String =
+    """WITH toks AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tc AS (
+      |  SELECT lang, term, CAST(count(*) AS BIGINT) AS c FROM toks
+      |  WHERE len(term) > 0 GROUP BY lang, term)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+      |  CAST(sum(c) AS BIGINT) AS total_tokens,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(c) AS BIGINT) AS gt_unseen_mass,
+      |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS type_token_ratio
+      |FROM tc GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q162_langid_eval", q162LangIdEval, Some(q162Sql), Seq("F-text", "X-eval"),
       "language-ID confusion matrix: the q16 TextCat classifier vs labeled ground truth"),
+    Q("q176_tokenizer_fertility", q176TokenizerFertility, Some(q176Sql),
+      Seq("F-text", "X-scale"),
+      "per-language tokenizer fertility: micro-averaged chars/token and tokens/word"),
+    Q("q177_hapax_profile", q177HapaxProfile, Some(q177Sql),
+      Seq("F-text", "X-stats", "X-scale"),
+      "per-language hapax / Good-Turing unseen-mass vocabulary-saturation profile"),
     Q("q161_bpe_merges", q161BpeMerges, Some(q161Sql), Seq("F-text", "X-scale"),
       "BPE training round-one statistics: top adjacent-pair merges with shares"),
     Q("q152_mrr_eval", q152MrrEval, Some(q152Sql), Seq("F-text", "X-eval", "X-scale"),

@@ -786,4 +786,90 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val twin = out1.find(_._1 == 100L).get
     assert(twin._4 == 1.0)
   }
+
+  test("q172 dup-span coverage: planted shared run covered exactly, unique doc zero") {
+    // docA = a1..a20; docB embeds a1..a10 at positions 6..15; docC unique.
+    // Every 5-window fully inside the shared run is cross-doc duplicated:
+    // docA windows 1..6 (union covers tokens 1..10), docB windows 6..11
+    // (union covers tokens 6..15) — 10 covered tokens each, coverage 0.5.
+    val a = (1 to 20).map(i => s"a$i")
+    val b = (1 to 5).map(i => s"b$i") ++ (1 to 10).map(i => s"a$i") ++
+      (6 to 10).map(i => s"b$i")
+    val c = (1 to 8).map(i => s"c$i")
+    val docs = Seq(
+      (0L, a.mkString(" "), "en", "src", 1L),
+      (1L, b.mkString(" "), "en", "src", 1L),
+      (2L, c.mkString(" "), "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.DedupOps.dupSpanCoverage(docs)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(out == List(
+      (0L, 20L, 16L, 6L, 10L, 0.5),
+      (1L, 20L, 16L, 6L, 10L, 0.5),
+      (2L, 8L, 4L, 0L, 0L, 0.0)))
+  }
+
+  test("q172 interval union folds overlapping and disjoint dup runs") {
+    // docD shares TWO disjoint 5-runs with docE (positions 1..5 and
+    // 11..15 in both): one dup window each, no overlap folding needed;
+    // covered = 10 of 15.
+    val run1 = (1 to 5).map(i => s"x$i")
+    val run2 = (1 to 5).map(i => s"y$i")
+    val mid1 = (1 to 5).map(i => s"m$i")
+    val mid2 = (1 to 5).map(i => s"n$i")
+    val docs = Seq(
+      (0L, (run1 ++ mid1 ++ run2).mkString(" "), "en", "src", 1L),
+      (1L, (run1 ++ mid2 ++ run2).mkString(" "), "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.DedupOps.dupSpanCoverage(docs)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toList
+    out.foreach { case (_, nTok, nWin, dupWin, covered, cov) =>
+      assert((nTok, nWin, dupWin, covered) == (15L, 11L, 2L, 10L))
+      assert(cov == 10.0 / 15.0)
+    }
+  }
+
+  test("q175 novelty: first owner keeps 1.0, verbatim re-ingest scores 0.0") {
+    // doc0 = a1..a20 (first, fully novel); doc1 = exact copy (novelty 0);
+    // doc2 = half copied from doc0, half fresh; doc3 too short for any
+    // window (NULL novelty).
+    val a = (1 to 20).map(i => s"a$i")
+    val mix = (1 to 10).map(i => s"a$i") ++ (1 to 10).map(i => s"z$i")
+    val docs = Seq(
+      (0L, a.mkString(" "), "en", "src", 1L),
+      (1L, a.mkString(" "), "en", "src", 1L),
+      (2L, mix.mkString(" "), "en", "src", 1L),
+      (3L, "x1 x2 x3", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.DedupOps.noveltyProfile(docs).collect().toList
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_grams"), r.getAs[Long]("novel_grams"),
+        Option(r.getAs[java.lang.Double]("novelty")).map(_.doubleValue))).toMap
+    assert(byId(0L) == ((16L, 16L, Some(1.0))))
+    assert(byId(1L) == ((16L, 0L, Some(0.0))))
+    // doc2 has 16 windows; those fully inside a1..a10 (positions 1..6)
+    // were first seen in doc0; the other 10 contain a z-token → novel
+    assert(byId(2L) == ((16L, 10L, Some(10.0 / 16.0))))
+    assert(byId(3L) == ((0L, 0L, None)))
+  }
+
+  test("q174 sketch calibration: exact copies land in the est16=16 bin with gap 0") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"alt$i").mkString(" ")
+    val docs = Seq(
+      (0L, base, "en", "src", 1L),
+      (1L, base, "en", "src", 1L),
+      (2L, other, "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sh = operators.DedupOps.shingledFrom(docs)
+    val out = operators.DedupOps.sketchCalibration(sh).collect().toList
+    // only the identical pair collides in any band; its agreement is
+    // necessarily 16/16 and the measured Jaccard exactly 1
+    assert(out.map(_.getAs[Long]("est16")) == List(16L))
+    val r = out.head
+    assert(r.getAs[Long]("n_pairs") == 1L)
+    assert(r.getAs[Double]("est_jaccard") == 1.0)
+    assert(r.getAs[Double]("act_jaccard") == 1.0)
+    assert(r.getAs[Double]("gap") == 0.0)
+  }
 }

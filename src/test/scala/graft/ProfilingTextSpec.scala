@@ -874,4 +874,77 @@ class ProfilingTextSpec extends AnyFunSuite {
       (r.getAs[Long]("c0"), r.getAs[Long]("c1"))).toMap
     assert(byBin(0L) == (50L, 0L) && byBin(9L) == (0L, 50L))
   }
+
+  test("q168 PSI: an event type wholly inside one half saturates, not crashes") {
+    // type "a" spans both halves; type "c" exists only in the first —
+    // the fuzz-found t1 = 0 case. The empty half reads 1 ppm per bin
+    // (the same floor empty bins get), so "c" scores maximal drift.
+    val ev = (0 until 50).flatMap(i => Seq(
+      ("a", i * 20L, i.toLong), ("a", i * 20L, 50L + i),
+      ("c", 100L, i.toLong)))
+      .toDF("event_type", "cents", "sec")
+    val out = Profiling.psiOf(ev).collect()
+    val cRows = out.filter(_.getAs[String]("event_type") == "c")
+    assert(cRows.nonEmpty)
+    assert(cRows.forall(_.getAs[Long]("p1_ppm") == 1L))
+    assert(cRows.head.getAs[Double]("psi_bits") > 10.0)
+    // the spanning type is untouched by the guard
+    assert(out.filter(_.getAs[String]("event_type") == "a")
+      .forall(_.getAs[Long]("psi_q12") == 0L))
+  }
+
+  test("q176 fertility: micro-averaged exact quotients per language") {
+    // en: "hello world" → BPE tokens ["hello", " world"], 2 words, 11
+    // chars; de: "abc123 x" → ["abc", "123", " x"], 2 words, 8 chars.
+    val docs = Seq(
+      (0L, "hello world", "en", "src", 1L),
+      (1L, "abc123 x", "de", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.TextOps.tokenizerFertilityOf(docs).collect().toList
+    val byLang = out.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Long]("total_chars"), r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("total_words"), r.getAs[Double]("chars_per_token"),
+        r.getAs[Double]("tokens_per_word"))).toMap
+    assert(byLang("en") == ((11L, 2L, 2L, 5.5, 1.0)))
+    assert(byLang("de") == ((8L, 3L, 2L, 8.0 / 3.0, 1.5)))
+  }
+
+  test("q177 hapax profile: Good-Turing mass counts singletons per language") {
+    // en: tokens a a b → vocab 2, hapax 1 (b), dis 1 (a), N=3;
+    // de reuses the term "a" but is counted in its own slice.
+    val docs = Seq(
+      (0L, "a a b", "en", "src", 1L),
+      (1L, "a c c c", "de", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.TextOps.hapaxProfileOf(docs).collect().toList
+    val byLang = out.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Long]("vocab"), r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("hapax"), r.getAs[Long]("dis"),
+        r.getAs[Double]("gt_unseen_mass"))).toMap
+    assert(byLang("en") == ((2L, 3L, 1L, 1L, 1.0 / 3.0)))
+    assert(byLang("de") == ((2L, 4L, 1L, 0L, 0.25)))
+  }
+
+  test("q173 zipf fit matches a double-precision OLS within fixed-point accuracy") {
+    // planted counts 16/8/4/2/1: exact powers of two, ranks 1..5; the
+    // fixed-point log2 is within 2^-12 per point, so the slope must sit
+    // within ~1e-3 of the libm OLS on the same (rank, cnt) pairs.
+    val words =
+      Seq.fill(16)("t1") ++ Seq.fill(8)("t2") ++ Seq.fill(4)("t3") ++
+        Seq.fill(2)("t4") ++ Seq("t5")
+    val docs = Seq((0L, words.mkString(" "), "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val row = Profiling.zipfFitOf(docs).collect().head
+    assert(row.getAs[Long]("n_terms") == 5L)
+    val pts = Seq((1.0, 16.0), (2.0, 8.0), (3.0, 4.0), (4.0, 2.0), (5.0, 1.0))
+      .map { case (r, c) => (math.log(r) / math.log(2), math.log(c) / math.log(2)) }
+    val n = pts.size
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val got = row.getAs[Double]("slope")
+    assert(math.abs(got - want) < 1e-3, s"slope $got vs $want")
+    assert(got < -1.0 && got > -2.5)
+  }
 }
