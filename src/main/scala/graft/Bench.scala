@@ -92,6 +92,18 @@ object Bench {
           wall(i) += (System.nanoTime() - t0) / 1e9
           cpu(i) += procCpuSec - c0
         } catch { case t: Throwable => errAt(i) = Some(t.toString) }
+        // Release the query's published blocks OUTSIDE the timing window.
+        // localCheckpoint persists at the RDD layer, which survives the
+        // DataFrame going out of scope until the ContextCleaner gets to
+        // it — in a 177-query shared JVM the accumulated blocks inflated
+        // later heavy queries 2–2.9× (q172 at sf1: 23.9s fresh-JVM vs
+        // 48–69s late in a suite pass). Nothing reuses Spark storage
+        // across query calls (each call builds fresh frames), so a
+        // blanket release between timings is safe and makes in-suite
+        // numbers match fresh-JVM solo numbers.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
       }
     }
     val loadEnd = loadavg

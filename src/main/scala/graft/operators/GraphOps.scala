@@ -53,6 +53,16 @@ object GraphOps {
       .distinct()
     pairs.select($"c".as("src"), $"s".as("dst"))
       .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
+      // NOTE (measured, do not "optimize" back): publishing this frame
+      // pre-partitioned+sorted on src does NOT help the per-round joins —
+      // localCheckpoint's LogicalRDD drops outputPartitioning, so every
+      // round re-exchanges the edge scan regardless (probe: a join onto
+      // the ckpt'd frame plans Exchange hashpartitioning over
+      // Scan ExistingRDD even after repartition(src).sortWithinPartitions).
+      // Tried at r12: q167 sf10 209→218s (noise), q171 224→186s — the
+      // extra build-time exchange buys nothing on local[32]. On a real
+      // cluster the equivalent layout win needs a bucketed TABLE, not a
+      // checkpoint.
       .ckpt()
   }
 
