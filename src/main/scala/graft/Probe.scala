@@ -65,6 +65,46 @@ object Probe {
         }
         spark.conf.set(Ckpt.ConfKey, "")
         lines.mkString("\n[probe] ")
+      case "graph-bucketed" =>
+        // prices the bucketed edge TABLE against the checkpoint path for
+        // the iterative graph family: table build cost reported once
+        // (paid ONCE per corpus, amortized over every iterative query),
+        // then per-query wall with modes ALTERNATING per rep (the
+        // durability-price discipline — neither mode inherits the
+        // other's JIT/page-cache warmup). reps=1 default for the sf10
+        // single-shot method; pass reps=3 at sf1.
+        val qs =
+          if (args.length > 2) args(2).split(",").toSeq
+          else Seq("q167_bfs_reach", "q171_label_prop")
+        val reps = if (args.length > 3) args(3).toInt else 1
+        def timeQ(name: String): Double = {
+          val t0i = System.nanoTime()
+          operators.Registry.byName(name).run(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0i) / 1e9
+        }
+        val whDir = new java.io.File("target/graph-edge-wh").getAbsolutePath
+        def inMode(bucketed: Boolean, f: => Double): Double = {
+          spark.conf.set(operators.GraphOps.EdgeTableConf,
+            if (bucketed) whDir else "")
+          f
+        }
+        val b0 = System.nanoTime()
+        val edgeRows = operators.GraphOps
+          .bucketedPurchaseEdges(spark, dir, whDir).count()
+        val buildSecs = (System.nanoTime() - b0) / 1e9
+        val lines = qs.map { q =>
+          val samples = (1 to reps).map { _ =>
+            (inMode(bucketed = false, timeQ(q)),
+              inMode(bucketed = true, timeQ(q)))
+          }
+          val c = samples.map(_._1).sorted.apply(samples.size / 2)
+          val b = samples.map(_._2).sorted.apply(samples.size / 2)
+          f"$q ckpt=$c%.1fs bucketed=$b%.1fs ratio=${b / c}%.2f"
+        }
+        spark.conf.set(operators.GraphOps.EdgeTableConf, "")
+        (f"edge_table_build=$buildSecs%.1fs edge_rows=$edgeRows" +: lines)
+          .mkString("\n[probe] ")
       case other => sys.error(s"unknown probe: $other")
     }
     println(f"[probe] $line dir=$dir secs=${(System.nanoTime() - t0) / 1e9}%.1f")

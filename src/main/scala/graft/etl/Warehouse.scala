@@ -104,7 +104,15 @@ final case class Warehouse(spark: SparkSession, root: String) {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
       numBuckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    // repartition on the bucket cols into exactly numBuckets tasks:
+    // repartition's hash is bucketBy's partitionIdExpression (Murmur3
+    // pmod n), so each task holds exactly one bucket and writes ONE file.
+    // With multiple files per bucket Spark must re-Sort the scan before a
+    // merge join (sortBy is only per-file); one file per bucket lets the
+    // scan report the sort order too, so a join on the bucket key plans
+    // with neither Exchange nor Sort on this side.
+    df.repartition(numBuckets, bucketCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
       .option("path", path(table))
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)

@@ -1682,6 +1682,147 @@ object DedupOps {
        |ORDER BY est16""".stripMargin
   }
 
+  /** The verify-skip bar q178 trusts, chosen FROM q174's calibration
+    * table (the downstream decision that table exists to feed): the
+    * smallest agreement bin whose measured micro-avg true Jaccard clears
+    * the 0.5 dedup threshold with margin across the fixture SFs.
+    * Measured (q174, DuckDB, r13): sf0.1 bins 13/14/15/16 read
+    * act_jaccard 0.981/0.956/0.976/0.984 with worst gap −0.169 (the
+    * estimator UNDERSHOOTS — conservative direction); sf0.01 agrees
+    * (0.941–0.982). A false fast-accept at bar 13 would need a −0.31
+    * gap, ~2× beyond the worst measured bin. Bins below 13 straddle the
+    * threshold (est 0.56–0.75, where a ±1-lane wobble crosses 0.5) —
+    * those verify exactly.
+    */
+  private[graft] val FastAcceptLanes = 13
+
+  /** q178: CALIBRATED verify-skip dedup — the production consumer of
+    * q174's calibration table. q21 verifies EVERY LSH candidate with an
+    * exact shingle intersection; at 100 TB that verify join is the
+    * pipeline's widest leg (it carries full shingle arrays for every
+    * candidate pair). This operator splits the candidate set by sketch
+    * agreement at [[FastAcceptLanes]]:
+    *
+    *   - est16 ≥ bar → accepted on the 128-byte signatures ALONE
+    *     (`path='sketch'`, jaccard NULL — the shingle sets are never
+    *     re-read, which is the only option when they no longer fit a
+    *     join);
+    *   - est16 < bar → the exact q21 verify, Jaccard ≥ 0.5 keeps
+    *     (`path='verified'`).
+    *
+    * The decision this feeds: the q64/q65/q117 keep-drop materializations
+    * run on the union of both paths; the q174 table is the dial that
+    * sets (and audits — its per-bin gap IS the fast path's error budget)
+    * the bar.
+    *
+    * Scale shape: identical candidate machinery to q21 (banded LSH — one
+    * doc-keyed signature shuffle + the bucket join), then the exact
+    * intersection join runs ONLY for the ambiguous band — the widest
+    * join in the dedup pipeline now carries the mid-agreement sliver
+    * instead of every candidate. Doubles are quotients of exact longs
+    * (jaccardFromSized's no-round policy); est_jaccard is k/16 — both
+    * bit-identical cross-engine.
+    */
+  def q178CalibratedDedup(spark: SparkSession, dir: String): DataFrame =
+    calibratedDedup(shingled(spark, dir))
+
+  private[graft] def calibratedDedup(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val postH = sh.select($"doc_id", explode($"shingles").as("s"))
+      .withColumn("h", conv(substring(md5($"s"), 1, 8), 16, 10).cast("long") % P31)
+    val mins = (0 until NumHashes).map(i =>
+      min((lit(hashA(i)) * $"h" + lit(hashB(i))) % P31).as(s"mh$i"))
+    val sigs = postH.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val buckets = sigs.select(
+      $"doc_id",
+      explode(array((0 until Bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          bandKey(portable = true)(
+            (b * RowsPerBand until (b + 1) * RowsPerBand)
+              .map(i => col(s"mh$i"))).as("h"))
+      }: _*)).as("bh"))
+      .select($"doc_id", $"bh.band".as("band"), $"bh.h".as("h"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        $"a.band" === $"b.band" && $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sigA = sigs.select($"doc_id".as("doc_a") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+    val sigB = sigs.select($"doc_id".as("doc_b") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+    val est = cand
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .select($"doc_a", $"doc_b", agree.as("est16"))
+    val fast = est.filter($"est16" >= FastAcceptLanes)
+      .select($"doc_a", $"doc_b", $"est16",
+        lit(null).cast("double").as("jaccard"), lit("sketch").as("path"))
+    val verified = est.filter($"est16" < FastAcceptLanes)
+      .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"),
+        size($"shingles").cast("long").as("n_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"),
+        size($"shingles").cast("long").as("n_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"est16",
+        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"),
+        $"n_a", $"n_b")
+      .select($"doc_a", $"doc_b", $"est16",
+        ($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter")).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .withColumn("path", lit("verified"))
+    fast.unionByName(verified)
+      .select($"doc_a", $"doc_b", $"est16",
+        ($"est16".cast("double") / NumHashes).as("est_jaccard"),
+        $"jaccard", $"path")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** DuckDB twin: the shared portable-LSH CTE, agreement fold, then the
+    * same bar split — NULL jaccard on the sketch path, exact intersect
+    * only below the bar.
+    */
+  val q178Sql: String = {
+    val agreeSql = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$lshBucketsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT doc_a, doc_b, CAST($agreeSql AS BIGINT) AS est16
+       |  FROM cand
+       |  JOIN sigs sa ON doc_a = sa.doc_id
+       |  JOIN sigs sb ON doc_b = sb.doc_id),
+       |fast AS (
+       |  SELECT doc_a, doc_b, est16, CAST(NULL AS DOUBLE) AS jaccard,
+       |         'sketch' AS path
+       |  FROM est WHERE est16 >= $FastAcceptLanes),
+       |ver AS (
+       |  SELECT e.doc_a, e.doc_b, e.est16,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |      / (ca.n_sh + cb.n_sh
+       |         - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+       |  FROM est e
+       |  JOIN sh sa ON e.doc_a = sa.doc_id
+       |  JOIN sh sb ON e.doc_b = sb.doc_id
+       |  JOIN counts ca ON e.doc_a = ca.doc_id
+       |  JOIN counts cb ON e.doc_b = cb.doc_id
+       |  WHERE e.est16 < $FastAcceptLanes),
+       |verf AS (
+       |  SELECT doc_a, doc_b, est16, jaccard, 'verified' AS path
+       |  FROM ver WHERE jaccard >= 0.5),
+       |unioned AS (
+       |  SELECT * FROM fast UNION ALL SELECT * FROM verf)
+       |SELECT doc_a, doc_b, est16,
+       |  CAST(est16 AS DOUBLE) / $NumHashes AS est_jaccard, jaccard, path
+       |FROM unioned
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** q175: per-document n-gram NOVELTY profile — the incremental-ingest
     * complement of q172. q172 answers "how much of this doc is repeated
     * ANYWHERE else" (symmetric, both copies score); a growing corpus
@@ -1778,6 +1919,9 @@ object DedupOps {
     Q("q174_sketch_calibration", q174SketchCalibration, Some(q174Sql),
       Seq("X-dedup", "X-eval"),
       "MinHash estimator calibration: per-agreement-bin gap vs exact Jaccard"),
+    Q("q178_calibrated_dedup", q178CalibratedDedup, Some(q178Sql),
+      Seq("X-dedup", "X-scale"),
+      "verify-skip dedup: q174-calibrated sketch bar fast-accepts, exact verify only below it"),
     Q("q148_lsh_eval", q148LshEval, Some(q148Sql), Seq("X-dedup", "X-eval", "X-scale"),
       "LSH candidate recall/precision vs the exact-Jaccard truth set"),
     Q("q19_dedup_exact", q19DedupExact, Some(q19Sql), Seq("X-dedup"),

@@ -38,12 +38,37 @@ object GraphOps {
     * wider. The symmetric graph has no dangling vertices by
     * construction (every vertex has out-degree ≥ 1).
     */
+  /** Session conf key: when set to a non-empty warehouse directory, the
+    * iterative graph family reads its edge stream from a bucketed+sorted
+    * TABLE (materialized there once per sf dir) instead of a per-query
+    * localCheckpoint — see [[bucketedPurchaseEdges]].
+    */
+  val EdgeTableConf = "spark.graft.graphEdgeTable"
+
   /** Symmetrized customer↔supplier purchase edges, vertex ids disjoint
     * by parity (2·custkey vs 2·suppkey+1) — the shared graph under
-    * q89/q167/q171. One fact-fact shuffle on orderkey + a distinct,
-    * ckpt-published so iterative consumers re-read materialized blocks.
+    * q89/q167/q171. One fact-fact shuffle on orderkey + a distinct;
+    * published per the session's layout switch below.
     */
-  private def purchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+  private def purchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.conf.getOption(EdgeTableConf).filter(_.nonEmpty) match {
+      case Some(wh) => bucketedPurchaseEdges(spark, dir, wh)
+      case None =>
+        rawPurchaseEdges(spark, dir)
+          // NOTE (measured, do not "optimize" back): publishing this frame
+          // pre-partitioned+sorted on src does NOT help the per-round joins —
+          // localCheckpoint's LogicalRDD drops outputPartitioning, so every
+          // round re-exchanges the edge scan regardless (probe: a join onto
+          // the ckpt'd frame plans Exchange hashpartitioning over
+          // Scan ExistingRDD even after repartition(src).sortWithinPartitions).
+          // Tried at r12: q167 sf10 209→218s (noise), q171 224→186s — the
+          // extra build-time exchange buys nothing on local[32]. On a real
+          // cluster the equivalent layout win needs a bucketed TABLE — that
+          // is what EdgeTableConf routes to.
+          .ckpt()
+    }
+
+  private def rawPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
     val pairs = t.lineitem.select($"l_orderkey", $"l_suppkey")
@@ -53,17 +78,41 @@ object GraphOps {
       .distinct()
     pairs.select($"c".as("src"), $"s".as("dst"))
       .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
-      // NOTE (measured, do not "optimize" back): publishing this frame
-      // pre-partitioned+sorted on src does NOT help the per-round joins —
-      // localCheckpoint's LogicalRDD drops outputPartitioning, so every
-      // round re-exchanges the edge scan regardless (probe: a join onto
-      // the ckpt'd frame plans Exchange hashpartitioning over
-      // Scan ExistingRDD even after repartition(src).sortWithinPartitions).
-      // Tried at r12: q167 sf10 209→218s (noise), q171 224→186s — the
-      // extra build-time exchange buys nothing on local[32]. On a real
-      // cluster the equivalent layout win needs a bucketed TABLE, not a
-      // checkpoint.
-      .ckpt()
+  }
+
+  /** The cluster-real edge layout for the iterative family: the purchase
+    * edges materialized ONCE as a TABLE bucketed+sorted on `src`
+    * (`Warehouse.writeBucketed` — one file per bucket, so the scan
+    * reports both hash partitioning AND sort order). Every subsequent
+    * `edges ⋈ frontier/labels/ranks` round then plans with NO Exchange
+    * and NO Sort on the edge side — only the |V|-sized frame shuffles,
+    * per round, instead of the |E|-row edge stream. This is the layout
+    * a 1000-executor job wants: the 117M-row (sf10) edge scan crosses
+    * the network ONCE at table-build time, not once per iteration round.
+    * (localCheckpoint cannot express this — its LogicalRDD drops
+    * outputPartitioning; probed and recorded at r12.)
+    *
+    * Freshness contract: the table is keyed by the sf dir and built only
+    * if absent from the session catalog — callers that mutate the
+    * underlying fixture own dropping the table. Registered queries keep
+    * the checkpoint path unless the session opts in via [[EdgeTableConf]]
+    * (results are identical either way — GraphBucketedSpec pins that).
+    */
+  private[graft] def bucketedPurchaseEdges(spark: SparkSession, dir: String,
+      whDir: String): DataFrame = {
+    // Spark ≥3.0 ignores a bucketed scan's sortBy order unless this conf
+    // is on (it only ever applies when a bucket is ONE file — exactly
+    // what writeBucketed's pre-repartition guarantees). Without it the
+    // per-round merge join re-Sorts |E| rows each round; with it the
+    // scan serves both the partitioning and the order. Scoped to the
+    // opt-in edge-table mode.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val table = "graft_purchase_edges_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    if (!spark.catalog.tableExists(table))
+      graft.etl.Warehouse(spark, whDir)
+        .writeBucketed(rawPurchaseEdges(spark, dir), table, Seq("src"), 32)
+    spark.table(table)
   }
 
   def q89PageRank(spark: SparkSession, dir: String): DataFrame = {

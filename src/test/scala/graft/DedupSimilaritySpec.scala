@@ -872,4 +872,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r.getAs[Double]("act_jaccard") == 1.0)
     assert(r.getAs[Double]("gap") == 0.0)
   }
+
+  test("q178 calibrated dedup: exact copies ride the sketch path, ambiguous pairs verify") {
+    val rows = DedupOps.q178CalibratedDedup(spark, docDir).collect().toSeq
+    // the exact-copy pair agrees on all 16 lanes DETERMINISTICALLY →
+    // fast-accepted without touching the shingle sets
+    val fast = rows.find(r =>
+      r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 2L).get
+    assert(fast.getAs[String]("path") == "sketch")
+    assert(fast.getAs[Long]("est16") == 16L)
+    assert(fast.isNullAt(fast.fieldIndex("jaccard")))
+    // path/bar/jaccard invariants hold row-by-row
+    rows.foreach { r =>
+      val sketch = r.getAs[String]("path") == "sketch"
+      assert(sketch == (r.getAs[Long]("est16") >= DedupOps.FastAcceptLanes))
+      assert(sketch == r.isNullAt(r.fieldIndex("jaccard")))
+      if (!sketch) assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+    // the unrelated docs never appear on either path
+    assert(!rows.exists(r =>
+      r.getAs[Long]("doc_a") >= 3L || r.getAs[Long]("doc_b") >= 3L))
+    // on a fixture where every fast-accept is a true dup, the accepted
+    // pair set coincides with q21's fully-verified set — the fast path
+    // changed the COST of the decision, not the decision
+    val q21Keys = DedupOps.q21MinhashLsh(spark, docDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val q178Keys = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(q178Keys == q21Keys)
+  }
+
+  test("q178 verified band: sub-bar candidate verifies exactly; sub-threshold candidate is dropped") {
+    // deterministic plants (the md5 hash family makes est16 a FIXED
+    // number per text pair — found by offline search, pinned here):
+    //   doc1 changes tokens {1,5}        → LSH candidate, est16=11 < bar,
+    //                                      J=27/31 ≈ 0.871 → verified accept
+    //   doc2 changes {2,8,14,20,26,32,38} → LSH candidate, est16=12 < bar,
+    //                                      J=19/39 ≈ 0.487 → verify REJECTS
+    def variant(changed: Set[Int]): String =
+      (1 to 60).map(i => if (changed(i)) s"chg$i" else s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, variant(Set.empty[Int]), "en", "src", 1L),
+      (1L, variant(Set(1, 5)), "en", "src", 1L),
+      (2L, variant(Set(2, 8, 14, 20, 26, 32, 38)), "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = DedupOps.calibratedDedup(DedupOps.shingledFrom(docs))
+      .collect().toSeq
+    val va = rows.find(r =>
+      r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L).get
+    assert(va.getAs[String]("path") == "verified")
+    assert(va.getAs[Long]("est16") == 11L)
+    assert(math.abs(va.getAs[Double]("jaccard") - 27.0 / 31.0) < 1e-12)
+    // the J<0.5 candidate is dropped by the exact verify, not fast-accepted
+    assert(!rows.exists(r =>
+      r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 2L))
+  }
 }

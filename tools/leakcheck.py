@@ -90,6 +90,12 @@ def main():
     with open(out, "w") as f:
         json.dump(art, f, indent=2)
         f.write("\n")
+    # round-suffixed copy: a tracked home the driver's own LEAKCHECK.json
+    # overwrite can't clobber (r12 verdict order 3) — the stamp survives
+    if art["round"] is not None:
+        with open(os.path.join(ROOT, f"LEAKCHECK_r{art['round']}.json"), "w") as f:
+            json.dump(art, f, indent=2)
+            f.write("\n")
     print(f"leakcheck: {art['n_hits']} hits at {art['commit'][:12]} -> {out}")
     for cat, v in hits.items():
         for h in v[:5]:
