@@ -118,13 +118,24 @@ object GraphOps {
   def q89PageRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val edges = purchaseEdges(spark, dir)
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val outDeg = edges.join(deg, "src").ckpt()
+    // |V|-sized, feeds the init frame and every round — publish once
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).ckpt()
     var ranks = deg.select($"src".as("node"), lit(Scale).as("rank"))
     for (_ <- 1 to Rounds) {
-      ranks = outDeg
-        .join(ranks, $"src" === $"node")
-        .select($"dst", expr(s"(rank * 85) div (100 * deg)").as("contrib"))
+      // per-src contribution unit FIRST (|V| ⋈ |V|, key-sized), then one
+      // join against the raw edge stream — the same shape as the DuckDB
+      // twin's per-round deg join. Joining edges directly (instead of a
+      // ckpt'd edges⋈deg frame, the pre-r13 shape) keeps the edge side's
+      // table layout visible to the planner: under EdgeTableConf the
+      // per-round join plans with NO Exchange/Sort on the |E| side, and
+      // in default mode the round payload is (src, dst) — the deg column
+      // no longer rides the big frame. The round's dst-keyed aggregate
+      // exchange is the transpose and stays in either shape.
+      val rd = ranks.join(deg, $"node" === $"src")
+        .select($"node", expr(s"(rank * 85) div (100 * deg)").as("w"))
+      ranks = edges
+        .join(rd, $"src" === $"node")
+        .select($"dst", $"w".as("contrib"))
         .groupBy($"dst")
         .agg((lit(15L * Scale / 100) + sum($"contrib")).as("rank"))
         .select($"dst".as("node"), $"rank")
