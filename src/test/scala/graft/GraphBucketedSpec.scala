@@ -22,10 +22,20 @@ class GraphBucketedSpec extends AnyFunSuite {
 
   private def withEdgeTable[A](f: => A): A = {
     val wh = TestSpark.scratch("graph-edge-wh")
+    val prevOrdering = spark.conf
+      .getOption("spark.sql.legacy.bucketedTableScan.outputOrdering")
     spark.conf.set(GraphOps.EdgeTableConf, wh)
     try f
     finally {
       spark.conf.set(GraphOps.EdgeTableConf, "")
+      // bucketedPurchaseEdges turns the ordering conf on — restore, so
+      // the shared test session doesn't leak it into other suites
+      prevOrdering match {
+        case Some(v) => spark.conf
+          .set("spark.sql.legacy.bucketedTableScan.outputOrdering", v)
+        case None => spark.conf
+          .unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      }
       spark.sql(s"SHOW TABLES").collect()
         .map(_.getAs[String]("tableName"))
         .filter(_.startsWith("graft_purchase_edges_"))
