@@ -1754,9 +1754,19 @@ object DedupOps {
       (0 until NumHashes).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
     val sigB = sigs.select($"doc_id".as("doc_b") +:
       (0 until NumHashes).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+    // est feeds BOTH the fast and the verified branch of the union —
+    // publish it (pair-sized: 3 longs per candidate) or each branch
+    // re-derives the whole signature+bucket+candidate machinery (the
+    // q65 union-branch lesson; the unpublished plan re-scans the corpus
+    // 10× STATICALLY, and only AQE's runtime ReusedExchange rescues it —
+    // measured sf0.1 scoped: wall 1.83→2.04s, process-CPU 7.4→6.7s, so
+    // the publish trades a small local materialization barrier for a
+    // plan-GUARANTEED single derivation instead of runtime-luck reuse;
+    // on a cluster the unlucky case is 2× a full corpus pass)
     val est = cand
       .join(sigA, "doc_a").join(sigB, "doc_b")
       .select($"doc_a", $"doc_b", agree.as("est16"))
+      .ckpt()
     val fast = est.filter($"est16" >= FastAcceptLanes)
       .select($"doc_a", $"doc_b", $"est16",
         lit(null).cast("double").as("jaccard"), lit("sketch").as("path"))
