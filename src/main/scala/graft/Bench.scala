@@ -15,6 +15,19 @@ import org.apache.spark.sql.SparkSession
   * identifiable from the JSON alone (wall inflates while process CPU stays
   * flat → ambient load, not a code regression).
   *
+  * It is also SELF-NORMALIZING (r13 verdict order 1 — the r13 closing
+  * artifact was taken on a ~3-core-loaded host and could not say so about
+  * itself): the run loads the newest tracked per-query anchor
+  * (`PERF_anchor_r*.json`, override via SPARK_GRAFT_BENCH_ANCHOR), stamps
+  * its own `anchor_ratio` (median per-query ratio vs the anchor) and
+  * `movers` (queries past the 1.5×anchor+0.5s bar), and emits a
+  * quiet/hot `host_verdict`: hot when the pre-run 1-min loadavg exceeds
+  * [[Bench.HotLoad]] (after one 60s cooldown retry) or the anchor ratio
+  * exceeds [[Bench.HotAnchorRatio]] — the uniform-inflation signature of
+  * ambient load on an unchanged tree. Anchor comparison only applies when
+  * the run's sf dir matches the anchor's scale (sf0.1, the driver's
+  * per-round scale); other SFs record `anchor:"skipped_sf"`.
+  *
   * Each query is forced through a `noop`-format write — unlike `count()`,
   * that materializes every output column (no Catalyst shortcut where the
   * count skips projections), so timings reflect real execution.
@@ -34,9 +47,74 @@ object Bench {
   private def jArr(xs: Seq[Double]): String =
     xs.map(x => f"$x%.2f").mkString("[", ",", "]")
 
+  /** 5-MIN loadavg above this before the run starts ⇒ ambient load is
+    * already eating cores this process doesn't own (the bench itself has
+    * burned nothing yet). ~1.5 is this host's measured quiet floor — the
+    * r12/r13 quiet anchors started at 0.3–1.4; the contaminated r13
+    * driver run's own markers read 1.7–3.9. The 5-min field, not the
+    * 1-min one: the sbt/JVM launch that starts the bench inflates the
+    * 1-min average by itself (measured: 1.59 at start on an idle host
+    * right after compiling), while a genuinely hot host — sustained
+    * background burn, the r13 case — shows in both.
+    */
+  private val HotLoad = 1.5
+  private def load5m(xs: Seq[Double]): Option[Double] = xs.drop(1).headOption
+  /** Median per-query ratio vs the anchor above this ⇒ hot even if the
+    * loadavg sample missed the contention window: a real code regression
+    * moves SPECIFIC queries (movers), ambient load moves ALL of them
+    * uniformly — r13's contaminated run read a uniform 1.18 median with
+    * every mover's min-rep at its anchor value.
+    */
+  private val HotAnchorRatio = 1.15
+
+  /** Newest tracked anchor in cwd (PERF_anchor_r<N>.json, highest N),
+    * unless SPARK_GRAFT_BENCH_ANCHOR names one explicitly.
+    */
+  private def anchorFile: Option[java.io.File] =
+    sys.env.get("SPARK_GRAFT_BENCH_ANCHOR").map(new java.io.File(_)).orElse {
+      val re = "PERF_anchor_r(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap(f => f.getName match {
+          case re(n) => Some((n.toInt, f))
+          case _ => None
+        })
+        .sortBy(-_._1).headOption.map(_._2)
+    }.filter(_.isFile)
+
+  /** The anchor's per-query median map. Jackson is on the Spark classpath;
+    * any parse surprise degrades to "no anchor", never a dead bench.
+    */
+  private def anchorMap(f: java.io.File): Map[String, Double] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(f)
+      val pq = root.get("per_query_sec")
+      val it = pq.fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+      b.result()
+    } catch { case _: Throwable => Map.empty }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val k = s.size
+    if (k == 0) -1.0
+    else if (k % 2 == 1) s(k / 2)
+    else (s(k / 2 - 1) + s(k / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // hot-at-start retry: a loaded host gets ONE 60s cooldown before the
+    // run commits (cheap vs re-running a 4-minute suite); still hot after
+    // the cooldown → proceed but the artifact self-flags below.
+    var cooldown = false
+    if (load5m(loadavg).exists(_ > HotLoad) &&
+        !sys.env.contains("SPARK_GRAFT_BENCH_NO_COOLDOWN")) {
+      cooldown = true
+      Thread.sleep(60000)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -150,11 +228,52 @@ object Bench {
       case i if errAt(i).isEmpty && cpu(i).nonEmpty => cpu(i).sorted.apply(cpu(i).size / 2)
     }.sum
     val cpuWall = if (total > 0) cpuTotal / total else -1.0
+    // ---- anchor normalization (r13 verdict order 1) ----
+    // anchors are measured at the driver's per-round scale; a subset run
+    // (SPARK_GRAFT_BENCH_ONLY) or another SF is not comparable per-suite,
+    // but per-QUERY ratios/movers still are — only the verdict weakens.
+    // a scoped subset (SPARK_GRAFT_BENCH_ONLY) has a different JIT/cache
+    // profile than the full interleaved suite the anchor was measured
+    // under (PERF.md's q89 note: scoped warm median 3.27s vs in-suite
+    // anchor 4.83s — NOT comparable in either direction), so only a full
+    // run earns anchor normalization.
+    val sfName = new java.io.File(sfDir).getName
+    val anchorF = if (sfName == "sf0.1" && only.isEmpty) anchorFile else None
+    val anchor = anchorF.map(anchorMap).getOrElse(Map.empty)
+    val ratios = results.collect {
+      case (name, secs, None) if secs > 0 && anchor.get(name).exists(_ > 0) =>
+        name -> secs / anchor(name)
+    }
+    val anchorRatio = median(ratios.map(_._2))
+    val movers = results.collect {
+      case (name, secs, None)
+        if secs > 0 && anchor.get(name).exists(a => a > 0 && secs > 1.5 * a + 0.5) =>
+        name -> secs / anchor(name)
+    }.sortBy(-_._2)
+    val hotByLoad = load5m(loadStart).exists(_ > HotLoad)
+    val hotByRatio = anchorRatio > 0 && anchorRatio > HotAnchorRatio
+    val hotHost = hotByLoad || hotByRatio
+    val hostVerdict =
+      if (hotHost) "hot"
+      else if (anchor.isEmpty) "quiet_no_anchor" // loadavg-only evidence
+      else "quiet"
+    val anchorName =
+      if (sfName != "sf0.1") "skipped_sf"
+      else if (only.nonEmpty) "skipped_subset"
+      else anchorF.map(_.getName).getOrElse("none")
+    val moversJson = movers
+      .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val anchorField =
+      s""","anchor":"$anchorName"""" +
+        f""","anchor_ratio":$anchorRatio%.3f,"n_movers":${movers.size}""" +
+        s""","hot_host":$hotHost,"host_verdict":"$hostVerdict","cooldown":$cooldown"""
     val loadField =
       s""","load_start":${jArr(loadStart)},"load_end":${jArr(loadEnd)}""" +
         s""","pass_loads":${passLoads.map(jArr).mkString("[", ",", "]")}""" +
-        f""","cpu_wall_ratio":$cpuWall%.2f,"reps":$reps,"interleaved":true"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$loadField,"sf":"$sfDir"}"""
+        f""","cpu_wall_ratio":$cpuWall%.2f,"reps":$reps,"interleaved":true""" +
+        anchorField
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"movers":$moversJson$loadField,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture truncates long output (BENCH_r07 lost 70
     // of 134 per-query numbers that way) — persist the complete line to a
