@@ -53,18 +53,18 @@ object Probe {
             else "")
           f
         }
-        val lines = qs.map { q =>
-          inMode(reliable = false, time(q)): Unit
-          inMode(reliable = true, time(q)): Unit
-          val samples = (1 to 3).map { _ =>
-            (inMode(reliable = false, time(q)), inMode(reliable = true, time(q)))
-          }
-          val l = samples.map(_._1).sorted.apply(1)
-          val r = samples.map(_._2).sorted.apply(1)
-          f"$q local=$l%.1fs reliable=$r%.1fs ratio=${r / l}%.2f"
-        }
-        spark.conf.set(Ckpt.ConfKey, "")
-        lines.mkString("\n[probe] ")
+        try {
+          qs.map { q =>
+            inMode(reliable = false, time(q)): Unit
+            inMode(reliable = true, time(q)): Unit
+            val samples = (1 to 3).map { _ =>
+              (inMode(reliable = false, time(q)), inMode(reliable = true, time(q)))
+            }
+            val l = samples.map(_._1).sorted.apply(1)
+            val r = samples.map(_._2).sorted.apply(1)
+            f"$q local=$l%.1fs reliable=$r%.1fs ratio=${r / l}%.2f"
+          }.mkString("\n[probe] ")
+        } finally spark.conf.set(Ckpt.ConfKey, "")
       case "graph-bucketed" =>
         // prices the bucketed edge TABLE against the checkpoint path for
         // the iterative graph family: table build cost reported once
@@ -84,27 +84,37 @@ object Probe {
           (System.nanoTime() - t0i) / 1e9
         }
         val whDir = new java.io.File("target/graph-edge-wh").getAbsolutePath
+        val orderingConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+        // bucketed mode sets BOTH deployment confs (the operator no longer
+        // mutates the session — r13 ADVICE); the try/finally guarantees a
+        // mid-probe query failure can't leave the JVM pinned to the
+        // bucketed table for whatever runs next (r13 ADVICE #3)
         def inMode(bucketed: Boolean, f: => Double): Double = {
           spark.conf.set(operators.GraphOps.EdgeTableConf,
             if (bucketed) whDir else "")
+          spark.conf.set(orderingConf, bucketed.toString)
           f
         }
-        val b0 = System.nanoTime()
-        val edgeRows = operators.GraphOps
-          .bucketedPurchaseEdges(spark, dir, whDir).count()
-        val buildSecs = (System.nanoTime() - b0) / 1e9
-        val lines = qs.map { q =>
-          val samples = (1 to reps).map { _ =>
-            (inMode(bucketed = false, timeQ(q)),
-              inMode(bucketed = true, timeQ(q)))
+        try {
+          val b0 = System.nanoTime()
+          val edgeRows = operators.GraphOps
+            .bucketedPurchaseEdges(spark, dir, whDir).count()
+          val buildSecs = (System.nanoTime() - b0) / 1e9
+          val lines = qs.map { q =>
+            val samples = (1 to reps).map { _ =>
+              (inMode(bucketed = false, timeQ(q)),
+                inMode(bucketed = true, timeQ(q)))
+            }
+            val c = samples.map(_._1).sorted.apply(samples.size / 2)
+            val b = samples.map(_._2).sorted.apply(samples.size / 2)
+            f"$q ckpt=$c%.1fs bucketed=$b%.1fs ratio=${b / c}%.2f"
           }
-          val c = samples.map(_._1).sorted.apply(samples.size / 2)
-          val b = samples.map(_._2).sorted.apply(samples.size / 2)
-          f"$q ckpt=$c%.1fs bucketed=$b%.1fs ratio=${b / c}%.2f"
+          (f"edge_table_build=$buildSecs%.1fs edge_rows=$edgeRows" +: lines)
+            .mkString("\n[probe] ")
+        } finally {
+          spark.conf.set(operators.GraphOps.EdgeTableConf, "")
+          spark.conf.unset(orderingConf)
         }
-        spark.conf.set(operators.GraphOps.EdgeTableConf, "")
-        (f"edge_table_build=$buildSecs%.1fs edge_rows=$edgeRows" +: lines)
-          .mkString("\n[probe] ")
       case other => sys.error(s"unknown probe: $other")
     }
     println(f"[probe] $line dir=$dir secs=${(System.nanoTime() - t0) / 1e9}%.1f")

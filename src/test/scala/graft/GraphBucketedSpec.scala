@@ -20,21 +20,22 @@ class GraphBucketedSpec extends AnyFunSuite {
     out.toString
   }
 
+  private val OrderingConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+
   private def withEdgeTable[A](f: => A): A = {
     val wh = TestSpark.scratch("graph-edge-wh")
-    val prevOrdering = spark.conf
-      .getOption("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    val prevOrdering = spark.conf.getOption(OrderingConf)
     spark.conf.set(GraphOps.EdgeTableConf, wh)
+    // BOTH deployment confs are the caller's to set (the operator no
+    // longer mutates the session — r13 ADVICE): the ordering conf is what
+    // lets the one-file-per-bucket scan serve the sort order too
+    spark.conf.set(OrderingConf, "true")
     try f
     finally {
       spark.conf.set(GraphOps.EdgeTableConf, "")
-      // bucketedPurchaseEdges turns the ordering conf on — restore, so
-      // the shared test session doesn't leak it into other suites
       prevOrdering match {
-        case Some(v) => spark.conf
-          .set("spark.sql.legacy.bucketedTableScan.outputOrdering", v)
-        case None => spark.conf
-          .unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        case Some(v) => spark.conf.set(OrderingConf, v)
+        case None => spark.conf.unset(OrderingConf)
       }
       spark.sql(s"SHOW TABLES").collect()
         .map(_.getAs[String]("tableName"))
@@ -66,6 +67,44 @@ class GraphBucketedSpec extends AnyFunSuite {
         assert(exchanges == 1, s"expected 1 frontier-side Exchange, got $exchanges:\n${p.take(4000)}")
         assert(sorts == 1, s"expected 1 frontier-side Sort, got $sorts:\n${p.take(4000)}")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("edge-table opt-in leaves no session state: ordering conf untouched, later bucketed scans plan unchanged") {
+    import spark.implicits._
+    // a non-graph bucketed table, scanned before and after the edge-table
+    // operator runs — its join plan must be byte-identical (the r13
+    // operator set the session-global ordering conf and never restored
+    // it, silently changing every later bucketed scan's planning)
+    val wh = graft.etl.Warehouse(spark, TestSpark.scratch("ordering-leak-wh"))
+    wh.writeBucketed(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "graft_leak_probe", Seq("k"), 4)
+    def probePlan(): String = {
+      val other = Seq((1L, 9L)).toDF("k", "w")
+      // strip auto-incrementing expression/plan ids: only the SHAPE must
+      // be stable across the two probes
+      plan(spark.table("graft_leak_probe").join(other, Seq("k")))
+        .replaceAll("#\\d+", "#")
+        .replaceAll("plan_id=\\d+", "plan_id=")
+    }
+    val preConf = spark.conf.getOption(OrderingConf)
+    val prePlan = probePlan()
+    try {
+      val whDir = TestSpark.scratch("graph-edge-wh-leak")
+      spark.conf.set(GraphOps.EdgeTableConf, whDir)
+      try
+        GraphOps.q167BfsReach(spark, TestSpark.sf).collect(): Unit
+      finally spark.conf.set(GraphOps.EdgeTableConf, "")
+      assert(spark.conf.getOption(OrderingConf) == preConf,
+        "edge-table operator mutated the session ordering conf")
+      assert(probePlan() == prePlan,
+        "a non-graph bucketed scan plans differently after edge-table use")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_leak_probe")
+      spark.sql(s"SHOW TABLES").collect()
+        .map(_.getAs[String]("tableName"))
+        .filter(_.startsWith("graft_purchase_edges_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
