@@ -115,6 +115,50 @@ object Probe {
           spark.conf.set(operators.GraphOps.EdgeTableConf, "")
           spark.conf.unset(orderingConf)
         }
+      case "cc-bucketed" =>
+        // prices the bucketed edge TABLE for the pointer-doubling CC
+        // family (r13 verdict order 2) against the default persist path.
+        // Same discipline as graph-bucketed: modes ALTERNATE per rep so
+        // neither inherits the other's JIT/page-cache warmup; unlike the
+        // graph table, the CC table is per-call (built + dropped inside
+        // each query), so its build cost is INSIDE each bucketed timing —
+        // the ratio reported is the honest end-to-end one.
+        val qs =
+          if (args.length > 2) args(2).split(",").toSeq
+          else Seq("q65_dup_clusters", "q68_cluster_reps",
+            "q140_entity_resolution")
+        val reps = if (args.length > 3) args(3).toInt else 3
+        def timeQ(name: String): Double = {
+          val t0i = System.nanoTime()
+          operators.Registry.byName(name).run(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0i) / 1e9
+        }
+        val whDir = new java.io.File("target/cc-edge-wh").getAbsolutePath
+        val orderingConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+        def inMode(bucketed: Boolean, f: => Double): Double = {
+          spark.conf.set(operators.GraphOps.EdgeTableConf,
+            if (bucketed) whDir else "")
+          spark.conf.set(orderingConf, bucketed.toString)
+          f
+        }
+        try {
+          val lines = qs.map { q =>
+            val samples = (1 to reps).map { _ =>
+              (inMode(bucketed = false, timeQ(q)),
+                inMode(bucketed = true, timeQ(q)))
+            }
+            val p = samples.map(_._1).sorted.apply(samples.size / 2)
+            val b = samples.map(_._2).sorted.apply(samples.size / 2)
+            val det = samples.map { case (x, y) => f"$x%.1f/$y%.1f" }
+              .mkString(",")
+            f"$q persist=$p%.1fs bucketed=$b%.1fs ratio=${b / p}%.2f reps[p/b]=$det"
+          }
+          lines.mkString("\n[probe] ")
+        } finally {
+          spark.conf.set(operators.GraphOps.EdgeTableConf, "")
+          spark.conf.unset(orderingConf)
+        }
       case other => sys.error(s"unknown probe: $other")
     }
     println(f"[probe] $line dir=$dir secs=${(System.nanoTime() - t0) / 1e9}%.1f")

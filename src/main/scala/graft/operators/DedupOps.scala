@@ -502,6 +502,18 @@ object DedupOps {
     jaccardFromSized(withSets, 0.5)
   }
 
+  /** md5-fold over an ALREADY-computed 32-hex-char column: first 8 hex
+    * digits to a long — the SQL twin of
+    * `conv(substring(<hex>, 1, 8), 16, 10)`. Same digit arithmetic as
+    * the base-hash fold inside [[lshBucketsCte]] (which inlines
+    * `md5(s)`; this variant folds a named column so the md5 is computed
+    * once per row).
+    */
+  private def md5FoldHexSql(hexCol: String): String = (1 to 8).map { j =>
+    val mult = 1L << (4 * (8 - j))
+    s"(strpos('0123456789abcdef', substr($hexCol, $j, 1)) - 1) * $mult"
+  }.mkString(" + ")
+
   /** Shared WITH-clause prefix of the portable-LSH oracles (q21, q64):
     * shingling → base-hash fold → 16 affine min-lanes → banded bucket
     * keys — the same construction minhashLsh/bandedDocs run natively.
@@ -932,17 +944,68 @@ object DedupOps {
     */
   @volatile private[graft] var lastCcRounds: Int = 0
 
+  /** Per-call sequence for CC edge-table names: CC edge sets are
+    * query-specific (each call's LSH/fuzzy pair output), so unlike the
+    * purchase-graph table there is nothing to cache across calls — a
+    * fresh name per call makes staleness structurally impossible.
+    */
+  private val ccEdgeSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Publish the symmetrized CC edge stream for the round loop (r13
+    * verdict order 2 — the same layout decision the iterative graph
+    * family got at r13, extended to pointer-doubling CC):
+    *
+    *   - default: executor-memory `persist()` — one materialization of
+    *     the expensive LSH upstream, but every round's src-keyed join
+    *     re-exchanges the |E| stream (an in-memory frame carries no
+    *     partitioning the planner trusts across the ckpt boundary);
+    *   - [[GraphOps.EdgeTableConf]] set: a TABLE bucketed+sorted on
+    *     `src` (`Warehouse.writeBucketed`, one file per bucket) — the
+    *     init groupBy(src) and every round's edges⋈labels join plan with
+    *     NO Exchange on the edge side (and no Sort either, under the
+    *     companion `bucketedTableScan.outputOrdering` deployment conf —
+    *     see [[GraphOps.bucketedPurchaseEdges]]); only the |V|-sized
+    *     label frame shuffles per round. On a real cluster the |E|
+    *     stream crosses the network once, at table-build time, instead
+    *     of once per doubling round.
+    *
+    * The table is PER-CALL and dropped — files included — by the
+    * returned release hook (the convergence loop's try/finally), because
+    * CC edge sets are call-specific; the dup-graph |E| is a tiny
+    * fraction of the corpus, so the extra disk write is small against
+    * the LSH upstream it materializes either way. CcBucketedSpec pins
+    * the plan shape and byte-identical results on both paths.
+    */
+  private[graft] def publishCcEdges(sym: DataFrame): (DataFrame, () => Unit) = {
+    val spark = sym.sparkSession
+    spark.conf.getOption(GraphOps.EdgeTableConf).filter(_.nonEmpty) match {
+      case Some(wh) =>
+        val table = s"graft_cc_edges_${ccEdgeSeq.incrementAndGet()}"
+        val warehouse = graft.etl.Warehouse(spark, wh)
+        warehouse.writeBucketed(sym, table, Seq("src"), 32)
+        (spark.table(table), () => {
+          spark.sql(s"DROP TABLE IF EXISTS $table")
+          val p = new org.apache.hadoop.fs.Path(warehouse.path(table))
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true): Unit
+        })
+      case None =>
+        val persisted = sym.persist()
+        (persisted, () => { persisted.unpersist(): Unit })
+    }
+  }
+
   private[graft] def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
     import vertices.sparkSession.implicits._
     // Symmetrize by a row-local explode, NOT a self-union: a union's two
     // branches each embed the (expensive — LSH candidate + verify) edge
-    // subplan, so materializing the persist would run it twice.
-    val sym = edges.select(explode(array(
-        struct($"doc_a".as("src"), $"doc_b".as("dst")),
-        struct($"doc_b".as("src"), $"doc_a".as("dst")))).as("e"))
-      .select($"e.src", $"e.dst")
-      .persist()
+    // subplan, so materializing the publish would run it twice.
+    val (sym, releaseSym) = publishCcEdges(
+      edges.select(explode(array(
+          struct($"doc_a".as("src"), $"doc_b".as("dst")),
+          struct($"doc_b".as("src"), $"doc_a".as("dst")))).as("e"))
+        .select($"e.src", $"e.dst"))
     // Init fuses propagation round 1: the vertex list needs a dedup
     // shuffle anyway, and groupBy-min costs the same as distinct — so
     // start every vertex at min(self, neighbours). Near-dup cliques are
@@ -995,7 +1058,7 @@ object DedupOps {
       vertices.join(labels, Seq("v"), "left")
         .select($"v", coalesce($"label", $"v").as("label"))
     } finally {
-      sym.unpersist()
+      releaseSym()
     }
   }
 
@@ -1682,26 +1745,67 @@ object DedupOps {
        |ORDER BY est16""".stripMargin
   }
 
-  /** The verify-skip bar q178 trusts, chosen FROM q174's calibration
-    * table (the downstream decision that table exists to feed): the
-    * smallest agreement bin whose measured micro-avg true Jaccard clears
-    * the 0.5 dedup threshold with margin across the fixture SFs.
+  /** FLOOR of the verify-skip bar q178 trusts — the offline-measured
+    * value from q174's calibration table, below which the runtime
+    * derivation may never move the bar (bar movement is one-directional:
+    * runtime evidence can only make the fast path MORE conservative).
     * Measured (q174, DuckDB, r13): sf0.1 bins 13/14/15/16 read
     * act_jaccard 0.981/0.956/0.976/0.984 with worst gap −0.169 (the
     * estimator UNDERSHOOTS — conservative direction); sf0.01 agrees
     * (0.941–0.982). A false fast-accept at bar 13 would need a −0.31
     * gap, ~2× beyond the worst measured bin. Bins below 13 straddle the
     * threshold (est 0.56–0.75, where a ±1-lane wobble crosses 0.5) —
-    * those verify exactly.
+    * those verify exactly, regardless of what the calibration says.
     */
-  private[graft] val FastAcceptLanes = 13
+  private[graft] val FastAcceptFloor = 13
+
+  /** Margin rule for the runtime bar (r13 verdict order 3): an agreement
+    * bin k ≥ [[FastAcceptFloor]] FAILS calibration when its measured
+    * micro-average true Jaccard (Σinter/Σunion over the calibration
+    * pairs, a single quotient of exact longs) reads below
+    * 0.6 = the 0.5 keep threshold + a 0.1 margin. The bar is then one
+    * past the highest failing bin — never below the floor. 0.6 is ONE
+    * shared literal (not `0.5 + 0.1`, whose binary sum is
+    * 0.6000000000000001): both engines compare the identical double.
+    */
+  private[graft] val CalBarMin = 0.6
+
+  /** Deterministic 1-in-N candidate sample the in-line calibration pays
+    * exact verification for: pairs whose md5(doc_a|doc_b) 32-bit fold is
+    * ≡ 0 (mod N). The sample bounds the calibration's exact-intersect
+    * leg to |candidates|/N at any corpus size; a production deployment
+    * with a STORED q174 table (previous batch / held-out sample) passes
+    * it via [[calibratedDedup]]'s calibration override and pays nothing.
+    */
+  private[graft] val CalSampleMod = 4L
+
+  /** The verify-skip bar from a calibration frame with columns
+    * (est16, sum_inter, sum_union) — q174's table shape. Returns a 1-row
+    * (bar: long) frame: `max(floor, 1 + max{k ≥ floor : bin k fails})`,
+    * with the fail rule of [[CalBarMin]]. Direction safety by
+    * construction: bins below the floor are ignored (they always verify
+    * exactly), so runtime evidence can RAISE the bar — shrink the fast
+    * path — but never lower it past the vetted floor; an empty or
+    * all-passing calibration leaves the bar at the floor. Pinned by
+    * CalibratedBarSpec on planted miscalibrated frames.
+    */
+  private[graft] def fastAcceptBar(calBins: DataFrame): DataFrame = {
+    import calBins.sparkSession.implicits._
+    calBins
+      .filter($"est16" >= FastAcceptFloor.toLong &&
+        $"sum_inter".cast("double") / $"sum_union" < CalBarMin)
+      .agg(coalesce(max($"est16") + 1L, lit(FastAcceptFloor.toLong)).as("bar"))
+  }
 
   /** q178: CALIBRATED verify-skip dedup — the production consumer of
     * q174's calibration table. q21 verifies EVERY LSH candidate with an
     * exact shingle intersection; at 100 TB that verify join is the
     * pipeline's widest leg (it carries full shingle arrays for every
     * candidate pair). This operator splits the candidate set by sketch
-    * agreement at [[FastAcceptLanes]]:
+    * agreement at a bar DERIVED AT RUNTIME from the calibration table
+    * (r13 verdict order 3 — the r13 version hard-coded 13, which
+    * silently stales on a new corpus; the calibration table exists
+    * precisely to set it):
     *
     *   - est16 ≥ bar → accepted on the 128-byte signatures ALONE
     *     (`path='sketch'`, jaccard NULL — the shingle sets are never
@@ -1710,6 +1814,16 @@ object DedupOps {
     *   - est16 < bar → the exact q21 verify, Jaccard ≥ 0.5 keeps
     *     (`path='verified'`).
     *
+    * The bar comes from [[fastAcceptBar]] — margin rule: a bin ≥ the
+    * [[FastAcceptFloor]] fails when its measured micro-avg true Jaccard
+    * reads below [[CalBarMin]] (the 0.5 keep threshold + 0.1 margin);
+    * bar = one past the highest failing bin, floored at 13, so runtime
+    * evidence can only shrink the fast path. The registered query
+    * self-calibrates on the deterministic 1-in-[[CalSampleMod]] pair
+    * sample (both engines compute the identical md5-fold sample, so the
+    * whole derivation hash-checks); production feeds a STORED q174 frame
+    * via the `calibration` override and pays no in-line verify at all.
+    *
     * The decision this feeds: the q64/q65/q117 keep-drop materializations
     * run on the union of both paths; the q174 table is the dial that
     * sets (and audits — its per-bin gap IS the fast path's error budget)
@@ -1717,16 +1831,20 @@ object DedupOps {
     *
     * Scale shape: identical candidate machinery to q21 (banded LSH — one
     * doc-keyed signature shuffle + the bucket join), then the exact
-    * intersection join runs ONLY for the ambiguous band — the widest
-    * join in the dedup pipeline now carries the mid-agreement sliver
-    * instead of every candidate. Doubles are quotients of exact longs
-    * (jaccardFromSized's no-round policy); est_jaccard is k/16 — both
-    * bit-identical cross-engine.
+    * intersection join runs ONLY for the ambiguous band plus the bounded
+    * calibration sample — the widest join in the dedup pipeline now
+    * carries the mid-agreement sliver instead of every candidate (the
+    * ~1/4 sample overlap with the sliver double-verifies a few pairs;
+    * accepted — sharing the two joins would couple the legs for a
+    * fraction of the sample's already-bounded cost). Doubles are
+    * quotients of exact longs (jaccardFromSized's no-round policy);
+    * est_jaccard is k/16 — both bit-identical cross-engine.
     */
   def q178CalibratedDedup(spark: SparkSession, dir: String): DataFrame =
     calibratedDedup(shingled(spark, dir))
 
-  private[graft] def calibratedDedup(sh: DataFrame): DataFrame = {
+  private[graft] def calibratedDedup(sh: DataFrame,
+      calibration: Option[DataFrame] = None): DataFrame = {
     import sh.sparkSession.implicits._
     val postH = sh.select($"doc_id", explode($"shingles").as("s"))
       .withColumn("h", conv(substring(md5($"s"), 1, 8), 16, 10).cast("long") % P31)
@@ -1767,10 +1885,32 @@ object DedupOps {
       .join(sigA, "doc_a").join(sigB, "doc_b")
       .select($"doc_a", $"doc_b", agree.as("est16"))
       .ckpt()
-    val fast = est.filter($"est16" >= FastAcceptLanes)
+    // in-line calibration on the deterministic 1-in-CalSampleMod pair
+    // sample (md5 fold of "doc_a|doc_b" — the same first-8-hex-digit fold
+    // as the shingle base hash, so DuckDB reproduces the sample exactly)
+    val calBins = calibration.getOrElse {
+      est
+        .filter(conv(substring(md5(concat_ws("|", $"doc_a", $"doc_b")), 1, 8),
+          16, 10).cast("long") % CalSampleMod === 0)
+        .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"),
+          size($"shingles").cast("long").as("n_a")), "doc_a")
+        .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"),
+          size($"shingles").cast("long").as("n_b")), "doc_b")
+        .select($"est16",
+          size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"),
+          $"n_a", $"n_b")
+        .groupBy($"est16")
+        .agg(sum($"inter").as("sum_inter"),
+          sum($"n_a" + $"n_b" - $"inter").as("sum_union"))
+    }
+    // 1-row bar frame, broadcast into both branch filters — the bar stays
+    // a PLAN value end to end (no driver collect between the calibration
+    // aggregate and the split)
+    val withBar = est.crossJoin(broadcast(fastAcceptBar(calBins)))
+    val fast = withBar.filter($"est16" >= $"bar")
       .select($"doc_a", $"doc_b", $"est16",
         lit(null).cast("double").as("jaccard"), lit("sketch").as("path"))
-    val verified = est.filter($"est16" < FastAcceptLanes)
+    val verified = withBar.filter($"est16" < $"bar")
       .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"),
         size($"shingles").cast("long").as("n_a")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"),
@@ -1789,9 +1929,11 @@ object DedupOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** DuckDB twin: the shared portable-LSH CTE, agreement fold, then the
-    * same bar split — NULL jaccard on the sketch path, exact intersect
-    * only below the bar.
+  /** DuckDB twin: the shared portable-LSH CTE, agreement fold, the SAME
+    * 1-in-[[CalSampleMod]] md5-fold calibration sample and bar
+    * derivation (so the runtime bar itself hash-checks), then the bar
+    * split — NULL jaccard on the sketch path, exact intersect only below
+    * the bar.
     */
   val q178Sql: String = {
     val agreeSql = (0 until NumHashes)
@@ -1802,26 +1944,53 @@ object DedupOps {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM buckets a JOIN buckets b
        |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
-       |est AS (
+       |est AS MATERIALIZED (
        |  SELECT doc_a, doc_b, CAST($agreeSql AS BIGINT) AS est16
        |  FROM cand
        |  JOIN sigs sa ON doc_a = sa.doc_id
        |  JOIN sigs sb ON doc_b = sb.doc_id),
+       |calsel AS (
+       |  SELECT doc_a, doc_b, est16,
+       |         md5(CAST(doc_a AS VARCHAR) || '|' || CAST(doc_b AS VARCHAR))
+       |           AS pm
+       |  FROM est),
+       |cals AS (
+       |  SELECT c.est16,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+       |      AS inter,
+       |    CAST(ca.n_sh AS BIGINT) AS n_a, CAST(cb.n_sh AS BIGINT) AS n_b
+       |  FROM calsel c
+       |  JOIN sh sa ON c.doc_a = sa.doc_id
+       |  JOIN sh sb ON c.doc_b = sb.doc_id
+       |  JOIN counts ca ON c.doc_a = ca.doc_id
+       |  JOIN counts cb ON c.doc_b = cb.doc_id
+       |  WHERE (${md5FoldHexSql("pm")}) % $CalSampleMod = 0),
+       |calbins AS (
+       |  SELECT est16, CAST(sum(inter) AS BIGINT) AS sum_inter,
+       |         CAST(sum(n_a + n_b - inter) AS BIGINT) AS sum_union
+       |  FROM cals GROUP BY est16),
+       |bar AS (
+       |  SELECT coalesce(max(est16) + 1, $FastAcceptFloor) AS bar
+       |  FROM calbins
+       |  WHERE est16 >= $FastAcceptFloor
+       |    AND CAST(sum_inter AS DOUBLE) / sum_union
+       |          < CAST('$CalBarMin' AS DOUBLE)),
        |fast AS (
        |  SELECT doc_a, doc_b, est16, CAST(NULL AS DOUBLE) AS jaccard,
        |         'sketch' AS path
-       |  FROM est WHERE est16 >= $FastAcceptLanes),
+       |  FROM est CROSS JOIN bar WHERE est16 >= bar),
        |ver AS (
        |  SELECT e.doc_a, e.doc_b, e.est16,
        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
        |      / (ca.n_sh + cb.n_sh
        |         - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
        |  FROM est e
+       |  CROSS JOIN bar
        |  JOIN sh sa ON e.doc_a = sa.doc_id
        |  JOIN sh sb ON e.doc_b = sb.doc_id
        |  JOIN counts ca ON e.doc_a = ca.doc_id
        |  JOIN counts cb ON e.doc_b = cb.doc_id
-       |  WHERE e.est16 < $FastAcceptLanes),
+       |  WHERE e.est16 < bar),
        |verf AS (
        |  SELECT doc_a, doc_b, est16, jaccard, 'verified' AS path
        |  FROM ver WHERE jaccard >= 0.5),

@@ -885,7 +885,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // path/bar/jaccard invariants hold row-by-row
     rows.foreach { r =>
       val sketch = r.getAs[String]("path") == "sketch"
-      assert(sketch == (r.getAs[Long]("est16") >= DedupOps.FastAcceptLanes))
+      // on this fixture the in-line calibration finds no failing bin ≥
+      // the floor, so the runtime bar sits exactly AT the floor
+      assert(sketch == (r.getAs[Long]("est16") >= DedupOps.FastAcceptFloor))
       assert(sketch == r.isNullAt(r.fieldIndex("jaccard")))
       if (!sketch) assert(r.getAs[Double]("jaccard") >= 0.5)
     }
