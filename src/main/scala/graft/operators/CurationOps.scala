@@ -952,7 +952,83 @@ object CurationOps {
       |ORDER BY anchor, positive, k""".stripMargin
   }
 
+  /** q179: TEMPERATURE-SAMPLED mixture weights DERIVED from measured
+    * token mass — the missing upstream of the mixing family: q69/q91
+    * consume GIVEN target weights; this computes them. Proportional
+    * (α=1) sampling lets the biggest crawl source drown the rest;
+    * uniform (α=0) starves it. The standard compromise is temperature
+    * sampling p_s ∝ (share_s)^α (Arivazhagan et al. 2019 for
+    * multilingual MT, the same rule LLM pretraining mixes use), pinned
+    * here at α = 0.5 — i.e. √share — because √ is the one power IEEE
+    * 754 requires CORRECTLY ROUNDED: both engines compute bit-identical
+    * doubles, where a libm pow(x, 0.3) would drift in the last ulp (the
+    * no-libm rule, PLANS.md).
+    *
+    * Normalization is deliberately RELATIVE-TO-THE-LARGEST source, not
+    * sum-to-one: a sum over per-source √share doubles would be a
+    * cross-row float sum (the q87/q156 rule — partial-merge order
+    * varies), while max() of exact longs is order-free. temp_weight =
+    * √(n_tokens/max_tokens) ∈ (0,1] and boost = √(max_tokens/n_tokens)
+    * (how many times its proportional rate a source is oversampled,
+    * relative to the head source) carry the same information — a
+    * consumer normalizes locally over its ≤|sources|-row ledger.
+    *
+    * Scale shape: one groupBy(source) over a row-local word count
+    * (length arithmetic, single-space contract — no split() array), with
+    * map-side partial aggregation; the 1-row (total, max) frame rides in
+    * as a broadcast. Output is |sources| rows at any corpus size.
+    * share_ppm's ×10⁶ stays inside int64 for corpora ≤ ~9·10¹² tokens
+    * (DuckDB would silently promote to HUGEINT while Spark overflows —
+    * an engine DIVERGENCE, not just a wrong number); beyond that,
+    * pre-shift the counts — the q169 pattern.
+    */
+  def q179MixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeightsOf(Tables(spark, dir).documents)
+
+  private[graft] def mixtureWeightsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val words = when(length($"text") === 0, 0L)
+      .otherwise((length($"text") - length(translate($"text", " ", "")) + 1)
+        .cast("long"))
+    val perSource = docs
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum(words).as("n_tokens"))
+    val totals = perSource.agg(
+      sum($"n_tokens").as("total_tokens"), max($"n_tokens").as("max_tokens"))
+    perSource.crossJoin(broadcast(totals))
+      .select($"source", $"n_docs", $"n_tokens",
+        expr("(n_tokens * 1000000) div total_tokens").as("share_ppm"),
+        // exact-long quotient → IEEE sqrt: bit-identical cross-engine
+        when($"max_tokens" > 0,
+          sqrt($"n_tokens".cast("double") / $"max_tokens")).as("temp_weight"),
+        when($"n_tokens" > 0,
+          sqrt($"max_tokens".cast("double") / $"n_tokens")).as("boost"))
+      .orderBy($"n_tokens".desc, $"source")
+  }
+
+  val q179Sql: String =
+    """WITH ps AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN length(text) = 0 THEN 0
+      |      ELSE length(text) - length(replace(text, ' ', '')) + 1 END)
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |             CAST(max(n_tokens) AS BIGINT) AS max_tokens FROM ps)
+      |SELECT source, n_docs, n_tokens,
+      |  (n_tokens * 1000000) // total_tokens AS share_ppm,
+      |  CASE WHEN max_tokens > 0
+      |       THEN sqrt(CAST(n_tokens AS DOUBLE) / max_tokens) END
+      |    AS temp_weight,
+      |  CASE WHEN n_tokens > 0
+      |       THEN sqrt(CAST(max_tokens AS DOUBLE) / n_tokens) END AS boost
+      |FROM ps CROSS JOIN t
+      |ORDER BY n_tokens DESC, source""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q179_mixture_weights", q179MixtureWeights, Some(q179Sql),
+      Seq("X-curation", "X-sample", "X-scale"),
+      "temperature (alpha=0.5) mixture weights from measured token mass: sqrt-tempered, max-relative"),
     Q("q158_triplet_mining", q158TripletMining, Some(q158Sql),
       Seq("X-curation", "X-sample", "X-scale"),
       "contrastive triplet mining: near-dup positives + deterministic hash-ring negatives"),

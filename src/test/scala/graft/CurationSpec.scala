@@ -19,6 +19,35 @@ class CurationSpec extends AnyFunSuite {
     dir
   }
 
+  test("mixture weights: sqrt temperature, max-relative, exact ppm shares") {
+    // head source 16 tokens, mid 4, tail 1 → shares 16/21, 4/21, 1/21;
+    // temp weights sqrt(16/16)=1, sqrt(4/16)=0.5, sqrt(1/16)=0.25 and
+    // boosts 1, 2, 4 — all dyadic, so equality is EXACT, no tolerance
+    val docs = Seq(
+      (1L, (1 to 16).map(i => s"t$i").mkString(" "), "en", "head", 0L),
+      (2L, "a b c d", "en", "mid", 0L),
+      (3L, "z", "en", "tail", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CurationOps.mixtureWeightsOf(docs).collect().toSeq
+    assert(out.map(_.getAs[String]("source")) == Seq("head", "mid", "tail"))
+    val byS = out.map(r => r.getAs[String]("source") ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("share_ppm"),
+        r.getAs[Double]("temp_weight"), r.getAs[Double]("boost"))).toMap
+    assert(byS("head") == ((16L, 16L * 1000000 / 21, 1.0, 1.0)))
+    assert(byS("mid") == ((4L, 4L * 1000000 / 21, 0.5, 2.0)))
+    assert(byS("tail") == ((1L, 1000000L / 21, 0.25, 4.0)))
+    // empty-text source: zero tokens, weight 0, boost NULL (settled
+    // before the division — the cross-engine x/0 divergence)
+    val withEmpty = docs.unionByName(
+      Seq((4L, "", "en", "void", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val v = CurationOps.mixtureWeightsOf(withEmpty).collect()
+      .find(_.getAs[String]("source") == "void").get
+    assert(v.getAs[Long]("n_tokens") == 0L)
+    assert(v.getAs[Double]("temp_weight") == 0.0)
+    assert(v.isNullAt(v.fieldIndex("boost")))
+  }
+
   test("PII redaction replaces emails, IPs and digit runs without double counting") {
     val dir = docsDir(Seq(
       (1L, "contact bob.smith+x@corp.example.org or call 5551234567 now", "en", "s", 0L),
