@@ -1905,8 +1905,13 @@ object DedupOps {
     }
     // 1-row bar frame, broadcast into both branch filters — the bar stays
     // a PLAN value end to end (no driver collect between the calibration
-    // aggregate and the split)
-    val withBar = est.crossJoin(broadcast(fastAcceptBar(calBins)))
+    // aggregate and the split). ckpt() because BOTH branches reference
+    // it: unpublished, each branch statically embeds its own copy of the
+    // calibration subplan (2 more corpus shingle scans) and only AQE's
+    // runtime ReusedExchange might rescue it — the same est lesson,
+    // caught again in the r14 plan dump (q178 read 6 parquet scans
+    // unpublished, 2 published).
+    val withBar = est.crossJoin(broadcast(fastAcceptBar(calBins).ckpt()))
     val fast = withBar.filter($"est16" >= $"bar")
       .select($"doc_a", $"doc_b", $"est16",
         lit(null).cast("double").as("jaccard"), lit("sketch").as("path"))
