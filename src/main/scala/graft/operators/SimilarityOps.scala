@@ -876,7 +876,7 @@ object SimilarityOps {
   val q135Sql: String =
     """WITH kk AS (
       |  SELECT LEAST(4096, GREATEST(4, count(*) // 128)) AS k FROM embeddings),
-      |u AS (
+      |u AS MATERIALIZED (
       |  SELECT vec_id,
       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v,
       |         generate_subscripts(embedding, 1) AS pos
@@ -886,7 +886,7 @@ object SimilarityOps {
       |d1 AS (SELECT u.vec_id, c0.cid,
       |              CAST(sum((u.v - c0.cq) * (u.v - c0.cq)) AS BIGINT) AS dist
       |       FROM u JOIN c0 USING (pos) GROUP BY u.vec_id, c0.cid),
-      |a1 AS (SELECT vec_id, cid FROM (
+      |a1 AS MATERIALIZED (SELECT vec_id, cid FROM (
       |         SELECT vec_id, cid,
       |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
       |         FROM d1) WHERE rn = 1),
@@ -898,7 +898,7 @@ object SimilarityOps {
       |d2 AS (SELECT u.vec_id, c1.cid,
       |              CAST(sum((u.v - c1.cq) * (u.v - c1.cq)) AS BIGINT) AS dist
       |       FROM u JOIN c1 USING (pos) GROUP BY u.vec_id, c1.cid),
-      |a2 AS (SELECT vec_id, cid FROM (
+      |a2 AS MATERIALIZED (SELECT vec_id, cid FROM (
       |         SELECT vec_id, cid,
       |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
       |         FROM d2) WHERE rn = 1),
@@ -910,11 +910,11 @@ object SimilarityOps {
       |d3 AS (SELECT u.vec_id, c2.cid,
       |              CAST(sum((u.v - c2.cq) * (u.v - c2.cq)) AS BIGINT) AS dist
       |       FROM u JOIN c2 USING (pos) GROUP BY u.vec_id, c2.cid),
-      |a3 AS (SELECT vec_id, cid FROM (
+      |a3 AS MATERIALIZED (SELECT vec_id, cid FROM (
       |         SELECT vec_id, cid,
       |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
       |         FROM d3) WHERE rn = 1),
-      |vn AS (SELECT u.vec_id, a3.cid,
+      |vn AS MATERIALIZED (SELECT u.vec_id, a3.cid,
       |              CAST(sum(u.v * u.v) AS BIGINT) AS n2
       |       FROM u JOIN a3 USING (vec_id) GROUP BY u.vec_id, a3.cid),
       |pr AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cid,

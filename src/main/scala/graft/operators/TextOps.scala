@@ -1001,7 +1001,7 @@ object TextOps {
     * clone/typo families stay small.
     */
   val q140Sql: String =
-    """WITH RECURSIVE pr AS (
+    """WITH RECURSIVE pr AS MATERIALIZED (
       |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
       |  FROM part a JOIN part b
       |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
@@ -1014,8 +1014,8 @@ object TextOps {
       |  SELECT p_partkey AS v, p_partkey AS reach FROM part
       |  UNION
       |  SELECT e.dst AS v, r.reach AS reach FROM r JOIN e ON r.v = e.src),
-      |cl AS (SELECT v AS p_partkey, min(reach) AS entity_id FROM r GROUP BY v),
-      |j AS (SELECT cl.entity_id, part.p_name
+      |cl AS MATERIALIZED (SELECT v AS p_partkey, min(reach) AS entity_id FROM r GROUP BY v),
+      |j AS MATERIALIZED (SELECT cl.entity_id, part.p_name
       |      FROM cl JOIN part USING (p_partkey)),
       |nc AS (SELECT entity_id, p_name, count(*) AS cnt FROM j GROUP BY 1, 2),
       |canon AS (
