@@ -252,7 +252,15 @@ object Bench {
     }.sortBy(-_._2)
     val hotByLoad = load5m(loadStart).exists(_ > HotLoad)
     val hotByRatio = anchorRatio > 0 && anchorRatio > HotAnchorRatio
-    val hotHost = hotByLoad || hotByRatio
+    // When the anchor comparison exists it DECIDES: the measured
+    // per-query ratio on an unchanged tree is ground truth, while the
+    // start loadavg cannot tell foreign ambient load from the residual
+    // 5-min average of this host's own just-finished work (measured:
+    // three back-to-back closing runs read load_start 1.86/2.72/2.62
+    // from each other's burn with ratios 1.13/1.04/1.06 and zero
+    // movers — demonstrably fine runs). loadavg decides only when no
+    // anchor is available; it is always recorded for corroboration.
+    val hotHost = if (anchor.nonEmpty) hotByRatio else hotByLoad
     val hostVerdict =
       if (hotHost) "hot"
       else if (anchor.isEmpty) "quiet_no_anchor" // loadavg-only evidence
@@ -267,7 +275,8 @@ object Bench {
     val anchorField =
       s""","anchor":"$anchorName"""" +
         f""","anchor_ratio":$anchorRatio%.3f,"n_movers":${movers.size}""" +
-        s""","hot_host":$hotHost,"host_verdict":"$hostVerdict","cooldown":$cooldown"""
+        s""","hot_host":$hotHost,"load_hot":$hotByLoad""" +
+        s""","host_verdict":"$hostVerdict","cooldown":$cooldown"""
     val loadField =
       s""","load_start":${jArr(loadStart)},"load_end":${jArr(loadEnd)}""" +
         s""","pass_loads":${passLoads.map(jArr).mkString("[", ",", "]")}""" +
