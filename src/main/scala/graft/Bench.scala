@@ -95,12 +95,32 @@ object Bench {
       b.result()
     } catch { case _: Throwable => Map.empty }
 
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val k = s.size
     if (k == 0) -1.0
     else if (k % 2 == 1) s(k / 2)
     else (s(k / 2 - 1) + s(k / 2)) / 2.0
+  }
+
+  /** Anchor normalization math, factored for BenchSpec: given this run's
+    * per-query medians (errored queries excluded by the caller) and the
+    * anchor map, returns (anchor_ratio = median per-query ratio over the
+    * intersection, movers = queries past the 1.5×anchor+0.5s bar with
+    * their ratios, slowest first). Queries absent from the anchor (new
+    * this round) or non-positive on either side contribute to neither.
+    */
+  private[graft] def anchorStats(secs: Seq[(String, Double)],
+      anchor: Map[String, Double]): (Double, Seq[(String, Double)]) = {
+    val joined = secs.collect {
+      case (name, s) if s > 0 && anchor.get(name).exists(_ > 0) =>
+        (name, s, anchor(name))
+    }
+    val ratio = median(joined.map { case (_, s, a) => s / a })
+    val movers = joined.collect {
+      case (name, s, a) if s > 1.5 * a + 0.5 => name -> s / a
+    }.sortBy(-_._2)
+    (ratio, movers)
   }
 
   def main(args: Array[String]): Unit = {
@@ -240,16 +260,8 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     val anchorF = if (sfName == "sf0.1" && only.isEmpty) anchorFile else None
     val anchor = anchorF.map(anchorMap).getOrElse(Map.empty)
-    val ratios = results.collect {
-      case (name, secs, None) if secs > 0 && anchor.get(name).exists(_ > 0) =>
-        name -> secs / anchor(name)
-    }
-    val anchorRatio = median(ratios.map(_._2))
-    val movers = results.collect {
-      case (name, secs, None)
-        if secs > 0 && anchor.get(name).exists(a => a > 0 && secs > 1.5 * a + 0.5) =>
-        name -> secs / anchor(name)
-    }.sortBy(-_._2)
+    val (anchorRatio, movers) = anchorStats(
+      results.collect { case (name, secs, None) => name -> secs }, anchor)
     val hotByLoad = load5m(loadStart).exists(_ > HotLoad)
     val hotByRatio = anchorRatio > 0 && anchorRatio > HotAnchorRatio
     // When the anchor comparison exists it DECIDES: the measured
