@@ -21,12 +21,15 @@ import org.apache.spark.sql.SparkSession
   * (`PERF_anchor_r*.json`, override via SPARK_GRAFT_BENCH_ANCHOR), stamps
   * its own `anchor_ratio` (median per-query ratio vs the anchor) and
   * `movers` (queries past the 1.5×anchor+0.5s bar), and emits a
-  * quiet/hot `host_verdict`: hot when the pre-run 1-min loadavg exceeds
-  * [[Bench.HotLoad]] (after one 60s cooldown retry) or the anchor ratio
-  * exceeds [[Bench.HotAnchorRatio]] — the uniform-inflation signature of
-  * ambient load on an unchanged tree. Anchor comparison only applies when
-  * the run's sf dir matches the anchor's scale (sf0.1, the driver's
-  * per-round scale); other SFs record `anchor:"skipped_sf"`.
+  * quiet/hot `host_verdict`. When the anchor comparison exists it
+  * DECIDES: hot iff anchor_ratio exceeds [[Bench.HotAnchorRatio]] — the
+  * uniform-inflation signature of ambient load on an unchanged tree.
+  * Without an anchor (non-sf0.1 run, scoped subset, missing file) the
+  * pre-run 5-MIN loadavg vs [[Bench.HotLoad]] decides instead (after
+  * one 60s cooldown retry); the load flag is always recorded as
+  * `load_hot` either way. Anchor comparison only applies to a FULL run
+  * at the anchor's scale (sf0.1, the driver's per-round scale); other
+  * runs record `anchor:"skipped_*"`.
   *
   * Each query is forced through a `noop`-format write — unlike `count()`,
   * that materializes every output column (no Catalyst shortcut where the
