@@ -89,6 +89,27 @@ class CcBucketedSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate inputs under the bucketed conf: empty edge set, all-singleton corpus") {
+    withEdgeTable {
+      import spark.implicits._
+      // empty sym → empty bucketed table: the scan must read back empty
+      // (32 empty buckets), not throw at write or plan time
+      val emptySym = Seq.empty[(Long, Long)].toDF("src", "dst")
+      val (edges, release) = DedupOps.publishCcEdges(emptySym)
+      try assert(edges.count() == 0)
+      finally release()
+      // CC over an empty PAIR frame: every vertex is a singleton labeled
+      // by itself — the loop must converge (round 1, zero changes)
+      // through the table path just like the persist path
+      val verts = Seq(10L, 20L, 30L).toDF("v")
+      val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+      val out = DedupOps.connectedComponents(verts, pairs)
+        .orderBy("v").collect().toSeq
+      assert(out.map(r => (r.getLong(0), r.getLong(1))) ==
+        Seq((10L, 10L), (20L, 20L), (30L, 30L)))
+    }
+  }
+
   test("q65/q68/q140 results identical on the persist path and the bucketed-table path") {
     val dir = TestSpark.sf
     val base65 = DedupOps.q65DupClusters(spark, dir).collect().toSeq
