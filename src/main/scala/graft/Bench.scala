@@ -21,15 +21,18 @@ import org.apache.spark.sql.SparkSession
   * (`PERF_anchor_r*.json`, override via SPARK_GRAFT_BENCH_ANCHOR), stamps
   * its own `anchor_ratio` (median per-query ratio vs the anchor) and
   * `movers` (queries past the 1.5×anchor+0.5s bar), and emits a
-  * quiet/hot `host_verdict`. When the anchor comparison exists it
-  * DECIDES: hot iff anchor_ratio exceeds [[Bench.HotAnchorRatio]] — the
-  * uniform-inflation signature of ambient load on an unchanged tree.
-  * Without an anchor (non-sf0.1 run, scoped subset, missing file) the
-  * pre-run 5-MIN loadavg vs [[Bench.HotLoad]] decides instead (after
-  * one 60s cooldown retry); the load flag is always recorded as
-  * `load_hot` either way. Anchor comparison only applies to a FULL run
-  * at the anchor's scale (sf0.1, the driver's per-round scale); other
-  * runs record `anchor:"skipped_*"`.
+  * quiet/hot `host_verdict`. When the anchor comparison actually
+  * PRODUCED a ratio (anchor_ratio > 0) it DECIDES: hot iff anchor_ratio
+  * exceeds [[Bench.HotAnchorRatio]] — the uniform-inflation signature
+  * of ambient load on an unchanged tree. Without a computed ratio
+  * (non-sf0.1 run, scoped subset, missing/unreadable file, or an anchor
+  * sharing no query names with the run) the pre-run 5-MIN loadavg vs
+  * [[Bench.HotLoad]] decides instead (after one 60s cooldown retry) and
+  * the verdict reads `quiet_no_anchor`; the load flag is always
+  * recorded as `load_hot` either way. Anchor comparison only applies to
+  * a FULL run at the anchor's scale (sf0.1, the driver's per-round
+  * scale); other runs record `anchor:"skipped_*"`, and a file that
+  * existed but contributed nothing records `unreadable:`/`no_overlap:`.
   *
   * Each query is forced through a `noop`-format write — unlike `count()`,
   * that materializes every output column (no Catalyst shortcut where the
@@ -124,6 +127,23 @@ object Bench {
       case (name, s, a) if s > 1.5 * a + 0.5 => name -> s / a
     }.sortBy(-_._2)
     (ratio, movers)
+  }
+
+  /** Verdict decision, factored for BenchSpec: (hot_host, host_verdict).
+    * A computed ratio (anchorRatio > 0) decides hot vs quiet; without
+    * one — no anchor file, unreadable file, or zero name overlap — the
+    * loadavg flag decides and the verdict is explicitly weaker
+    * ("quiet_no_anchor"), never a ratio-backed "quiet" (ADVICE r14).
+    */
+  private[graft] def hostVerdictOf(anchorRatio: Double,
+      hotByLoad: Boolean): (Boolean, String) = {
+    val hot =
+      if (anchorRatio > 0) anchorRatio > HotAnchorRatio else hotByLoad
+    val verdict =
+      if (hot) "hot"
+      else if (anchorRatio <= 0) "quiet_no_anchor"
+      else "quiet"
+    (hot, verdict)
   }
 
   def main(args: Array[String]): Unit = {
@@ -266,24 +286,30 @@ object Bench {
     val (anchorRatio, movers) = anchorStats(
       results.collect { case (name, secs, None) => name -> secs }, anchor)
     val hotByLoad = load5m(loadStart).exists(_ > HotLoad)
-    val hotByRatio = anchorRatio > 0 && anchorRatio > HotAnchorRatio
     // When the anchor comparison exists it DECIDES: the measured
     // per-query ratio on an unchanged tree is ground truth, while the
     // start loadavg cannot tell foreign ambient load from the residual
     // 5-min average of this host's own just-finished work (measured:
     // three back-to-back closing runs read load_start 1.86/2.72/2.62
     // from each other's burn with ratios 1.13/1.04/1.06 and zero
-    // movers — demonstrably fine runs). loadavg decides only when no
-    // anchor is available; it is always recorded for corroboration.
-    val hotHost = if (anchor.nonEmpty) hotByRatio else hotByLoad
-    val hostVerdict =
-      if (hotHost) "hot"
-      else if (anchor.isEmpty) "quiet_no_anchor" // loadavg-only evidence
-      else "quiet"
+    // movers — demonstrably fine runs). loadavg decides only when a
+    // ratio was actually COMPUTED (anchorRatio > 0) — an anchor file
+    // that parses but shares no query names with the run (stale anchor,
+    // renamed queries) yields ratio -1 and must not suppress the
+    // loadavg fallback (ADVICE r14). loadavg is always recorded.
+    val (hotHost, hostVerdict) = hostVerdictOf(anchorRatio, hotByLoad)
+    // the anchor field must name the comparison that actually HAPPENED:
+    // a file that existed but parsed to nothing (or overlapped nothing)
+    // is flagged, not silently credited (ADVICE r14)
     val anchorName =
       if (sfName != "sf0.1") "skipped_sf"
       else if (only.nonEmpty) "skipped_subset"
-      else anchorF.map(_.getName).getOrElse("none")
+      else anchorF match {
+        case None => "none"
+        case Some(f) if anchor.isEmpty => s"unreadable:${f.getName}"
+        case Some(f) if anchorRatio <= 0 => s"no_overlap:${f.getName}"
+        case Some(f) => f.getName
+      }
     val moversJson = movers
       .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")

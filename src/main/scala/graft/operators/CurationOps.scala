@@ -973,10 +973,13 @@ object CurationOps {
     * relative to the head source) carry the same information — a
     * consumer normalizes locally over its ≤|sources|-row ledger.
     *
-    * Scale shape: one groupBy(source) over a row-local word count
+    * Scale shape: ONE groupBy(source) over a row-local word count
     * (length arithmetic, single-space contract — no split() array), with
-    * map-side partial aggregation; the 1-row (total, max) frame rides in
-    * as a broadcast. Output is |sources| rows at any corpus size.
+    * map-side partial aggregation; the per-source ledger is published
+    * once so the totals leg reads the |sources|-row copy instead of
+    * re-embedding the corpus scan, and the 1-row (total, max) frame
+    * rides in as a broadcast. Output is |sources| rows at any corpus
+    * size.
     * share_ppm's ×10⁶ stays inside int64 for corpora ≤ ~9·10¹² tokens
     * (DuckDB would silently promote to HUGEINT while Spark overflows —
     * an engine DIVERGENCE, not just a wrong number); beyond that,
@@ -990,9 +993,15 @@ object CurationOps {
     val words = when(length($"text") === 0, 0L)
       .otherwise((length($"text") - length(translate($"text", " ", "")) + 1)
         .cast("long"))
+    // published ONCE: both the output rows and the totals frame derive
+    // from perSource, and without the publish the groupBy-over-documents
+    // subplan embeds twice — two corpus scans unless AQE reuse rescues
+    // it (the unpublished-shared-subplan lesson q178's comment records;
+    // flagged here by ADVICE r14). |sources| rows, so the ckpt is free.
     val perSource = docs
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum(words).as("n_tokens"))
+      .ckpt()
     val totals = perSource.agg(
       sum($"n_tokens").as("total_tokens"), max($"n_tokens").as("max_tokens"))
     perSource.crossJoin(broadcast(totals))

@@ -2091,7 +2091,176 @@ object DedupOps {
       |FROM toks t LEFT JOIN pd USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Kept fragments shorter than this are dropped rather than kept: a
+    * 1–2 token shard left between two excised boilerplate runs is not
+    * trainable text. 3 is deliberately BELOW SpanN so the policy is
+    * visible on the fixture's short docs; production tunes it with
+    * SpanN (Lee et al. excise ~50-token spans and keep remainders).
+    */
+  private[graft] val MinFragTokens = 3L
+
+  /** q180: duplicate-span EXCISION — the production remover that q172's
+    * audit exists to justify (r14 verdict order 1). q172 MEASURES what
+    * fraction of each doc lies inside cross-doc repeated SpanN-token
+    * windows; whole-doc dedup (q19–q65) then keeps or drops entire
+    * documents — so a doc that is 60% shared boilerplate either ships
+    * 60% duplicated or loses its 40% novel remainder. This operator cuts
+    * the middle path (Lee et al., ACL 2022: removing the repeated
+    * SUBSTRINGS beats document-level dedup): excise each span whose
+    * window set some OTHER doc owns, keep the novel remainder.
+    *
+    * Ownership is q175's first-owner attribution, per WINDOW: a window
+    * is excised from doc d iff min(doc_id) over the docs containing that
+    * window is < d — so exactly one copy of every shared span survives
+    * corpus-wide (the first), deterministically, and the corpus loses no
+    * content. first_doc < d already implies the window is cross-doc
+    * (two distinct docs contain it), so no separate n_docs≥2 gate is
+    * needed; intra-doc repeats whose windows d itself owns stay (q50
+    * measures those).
+    *
+    * Excised windows fold into disjoint ISLANDS by interval union
+    * (q172's gaps-and-islands core: a window merges into the current
+    * island iff pos ≤ prev_end+1 — overlapping or exactly adjacent).
+    * The remainder between/around islands splits into kept FRAGMENTS;
+    * fragments shorter than [[MinFragTokens]] are dropped (a 2-token
+    * shard between boilerplate runs is not trainable). Per doc:
+    * n_tokens = excised + kept + dropped, an exact-long invariant the
+    * spec pins. kept_ratio is one double quotient of exact longs —
+    * bit-identical cross-engine.
+    *
+    * Scale shape: same as q172 — windows hash row-locally (the shuffle
+    * carries 32-char digests and interval endpoints, never text
+    * bodies), one gram-keyed min for ownership, a semi-ish join back,
+    * then two per-doc analytic windows (running max for islands, lag
+    * for fragment gaps) whose partitions are bounded by doc length, and
+    * two partial-agg-combinable aggregates. No all-pairs stage, no
+    * driver-side state.
+    */
+  def q180SpanExcise(spark: SparkSession, dir: String): DataFrame =
+    spanExcise(Tables(spark, dir).documents)
+
+  private[graft] def spanExcise(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select($"doc_id", split($"text", " ").as("t"))
+    val win = toks
+      .filter(size($"t") >= SpanN)
+      .select($"doc_id", expr(
+        s"""explode(transform(sequence(1, size(t) - ${SpanN - 1}),
+           |  i -> named_struct('pos', CAST(i AS BIGINT),
+           |                    'g', md5(concat_ws(' ', slice(t, i, $SpanN))))))""".stripMargin).as("w"))
+      .select($"doc_id", $"w.pos".as("pos"), $"w.g".as("g"))
+    val own = win.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    val exc = win.join(own, Seq("g"))
+      .filter($"first_doc" < $"doc_id")
+      .select($"doc_id", $"pos")
+    val ord = Window.partitionBy($"doc_id").orderBy($"pos")
+    val islands = exc
+      .withColumn("prev_end", coalesce(
+        max($"pos" + lit(SpanN - 1L))
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("brk", when($"pos" > $"prev_end" + 1L, 1L).otherwise(0L))
+      .withColumn("isl", sum($"brk")
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"pos").as("s"), (max($"pos") + lit(SpanN - 1L)).as("e"))
+    val byStart = Window.partitionBy($"doc_id").orderBy($"s")
+    val perDoc = islands
+      .withColumn("headfrag",
+        $"s" - coalesce(lag($"e", 1).over(byStart), lit(0L)) - lit(1L))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"e" - $"s" + lit(1L)).as("excised_raw"),
+        sum(when($"headfrag" >= MinFragTokens, $"headfrag").otherwise(lit(0L)))
+          .as("kept_mid"),
+        sum(when($"headfrag" >= MinFragTokens, lit(1L)).otherwise(lit(0L)))
+          .as("frag_mid"),
+        max($"e").as("last_e"))
+    toks
+      .select($"doc_id", size($"t").cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("excised_tokens", coalesce($"excised_raw", lit(0L)))
+      .withColumn("tail", $"n_tokens" - coalesce($"last_e", lit(0L)))
+      .withColumn("kept_tokens", coalesce($"kept_mid", lit(0L)) +
+        when($"tail" >= MinFragTokens, $"tail").otherwise(lit(0L)))
+      .withColumn("n_fragments", coalesce($"frag_mid", lit(0L)) +
+        when($"tail" >= MinFragTokens, lit(1L)).otherwise(lit(0L)))
+      .select($"doc_id", $"n_tokens", $"excised_tokens", $"kept_tokens",
+        ($"n_tokens" - $"excised_tokens" - $"kept_tokens").as("dropped_tokens"),
+        $"n_fragments",
+        ($"kept_tokens".cast("double") / $"n_tokens").as("kept_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB twin: same md5 window keys (full-digest grouping in both
+    * engines), same first-owner rule, same island merge (pos ≤
+    * prev_end+1), same min-fragment policy — every count an exact long,
+    * one double quotient at the end.
+    */
+  val q180Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |win AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         md5(array_to_string(t[i:i+${SpanN - 1}], ' ')) AS g
+      |  FROM toks, unnest(range(1, len(t) - ${SpanN - 2})) AS u(i)
+      |  WHERE len(t) >= $SpanN),
+      |own AS (SELECT g, min(doc_id) AS first_doc FROM win GROUP BY g),
+      |exc AS (SELECT win.doc_id, pos FROM win JOIN own USING (g)
+      |        WHERE first_doc < win.doc_id),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |    coalesce(max(pos + ${SpanN - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+      |  FROM exc),
+      |i2 AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN pos > prev_end + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM m),
+      |isl AS (
+      |  SELECT doc_id, isl, min(pos) AS s, max(pos) + ${SpanN - 1} AS e
+      |  FROM i2 GROUP BY 1, 2),
+      |fr AS (
+      |  SELECT doc_id, s, e,
+      |    s - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) - 1
+      |      AS headfrag
+      |  FROM isl),
+      |pd AS (
+      |  SELECT doc_id,
+      |    CAST(sum(e - s + 1) AS BIGINT) AS excised_raw,
+      |    CAST(sum(CASE WHEN headfrag >= $MinFragTokens THEN headfrag ELSE 0 END)
+      |      AS BIGINT) AS kept_mid,
+      |    CAST(sum(CASE WHEN headfrag >= $MinFragTokens THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS frag_mid,
+      |    CAST(max(e) AS BIGINT) AS last_e
+      |  FROM fr GROUP BY 1),
+      |fin AS (
+      |  SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |    coalesce(excised_raw, CAST(0 AS BIGINT)) AS excised_tokens,
+      |    coalesce(kept_mid, CAST(0 AS BIGINT)) AS kept_mid,
+      |    coalesce(frag_mid, CAST(0 AS BIGINT)) AS frag_mid,
+      |    CAST(len(t.t) AS BIGINT) - coalesce(last_e, CAST(0 AS BIGINT)) AS tail
+      |  FROM toks t LEFT JOIN pd USING (doc_id))
+      |SELECT doc_id, n_tokens, excised_tokens,
+      |  kept_mid + CASE WHEN tail >= $MinFragTokens THEN tail
+      |                  ELSE CAST(0 AS BIGINT) END AS kept_tokens,
+      |  n_tokens - excised_tokens - kept_mid
+      |    - CASE WHEN tail >= $MinFragTokens THEN tail
+      |           ELSE CAST(0 AS BIGINT) END AS dropped_tokens,
+      |  frag_mid + CASE WHEN tail >= $MinFragTokens THEN CAST(1 AS BIGINT)
+      |                  ELSE CAST(0 AS BIGINT) END AS n_fragments,
+      |  CAST(kept_mid + CASE WHEN tail >= $MinFragTokens THEN tail
+      |                       ELSE CAST(0 AS BIGINT) END AS DOUBLE) / n_tokens
+      |    AS kept_ratio
+      |FROM fin
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q180_span_excise", q180SpanExcise, Some(q180Sql),
+      Seq("X-dedup", "X-scale"),
+      "dup-span excision: first owner keeps each shared span, others keep only novel fragments >= min length"),
     Q("q159_dup_evidence", q159DupEvidence, Some(q159Sql), Seq("X-dedup"),
       "explainable dedup: rarest shared shingles as per-pair merge evidence"),
     Q("q175_novelty_profile", q175NoveltyProfile, Some(q175Sql),

@@ -65,4 +65,21 @@ class BenchSpec extends AnyFunSuite {
     assert(ratio == -1.0)
     assert(movers.isEmpty)
   }
+
+  test("verdict: computed ratio decides, loadavg suppressed (quiet tree on a hot-looking host)") {
+    // ratio 1.05 on a host whose 5-min loadavg tripped the flag — the
+    // measured per-query evidence wins (the r14 back-to-back-runs case)
+    assert(Bench.hostVerdictOf(1.05, hotByLoad = true) == (false, "quiet"))
+    assert(Bench.hostVerdictOf(1.30, hotByLoad = false) == (true, "hot"))
+  }
+
+  test("verdict: NO computed ratio (stale/unreadable/zero-overlap anchor) falls back to loadavg (ADVICE r14)") {
+    // anchorStats yields -1 when the anchor shares no query names; that
+    // must NOT read as anchor-backed "quiet" on a hot host
+    assert(Bench.hostVerdictOf(-1.0, hotByLoad = true) == (true, "hot"))
+    assert(Bench.hostVerdictOf(-1.0, hotByLoad = false) ==
+      (false, "quiet_no_anchor"))
+    // ratio exactly 0 is not evidence either
+    assert(Bench.hostVerdictOf(0.0, hotByLoad = true) == (true, "hot"))
+  }
 }

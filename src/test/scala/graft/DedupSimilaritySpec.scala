@@ -787,6 +787,65 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(twin._4 == 1.0)
   }
 
+  test("q180 span excision: 50% boilerplate doc keeps exactly its novel half, first owner keeps all") {
+    // boiler = b1..b10 shared verbatim; doc0 = boiler+novelA (first
+    // owner — keeps everything), doc1 = boiler+novelB. doc1's windows
+    // fully inside the boilerplate (pos 1..6) are doc0-owned → one
+    // island [1,10]; the bridging windows (pos 7..10 contain a z-token)
+    // are doc1's own → the tail tokens 11..20 survive as ONE fragment.
+    val boiler = (1 to 10).map(i => s"b$i")
+    val novelA = (1 to 10).map(i => s"a$i")
+    val novelB = (1 to 10).map(i => s"z$i")
+    val docs = Seq(
+      (0L, (boiler ++ novelA).mkString(" "), "en", "src", 1L),
+      (1L, (boiler ++ novelB).mkString(" "), "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.DedupOps.spanExcise(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(out == List(
+      (0L, 20L, 0L, 20L, 0L, 1L, 1.0),
+      (1L, 20L, 10L, 10L, 0L, 1L, 0.5)))
+  }
+
+  test("q180 span excision: disjoint islands, sub-min fragment dropped, conservation invariant") {
+    // docX owns run1 c-pad run2; docY = run1 g1 g2 run2 tail5 →
+    // two islands [1,5],[8,12], the 2-token gap (g1 g2) is below
+    // MinFragTokens=3 and drops, the 5-token tail keeps.
+    val run1 = (1 to 5).map(i => s"r$i")
+    val run2 = (1 to 5).map(i => s"s$i")
+    val docs = Seq(
+      (0L, (run1 ++ (1 to 5).map(i => s"c$i") ++ run2).mkString(" "), "en", "src", 1L),
+      (1L, (run1 ++ Seq("g1", "g2") ++ run2 ++ (1 to 5).map(i => s"t$i"))
+        .mkString(" "), "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.DedupOps.spanExcise(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(out == List(
+      (0L, 15L, 0L, 15L, 0L, 1L, 1.0),
+      (1L, 17L, 10L, 5L, 2L, 1L, 5.0 / 17.0)))
+    // per-doc conservation: excised + kept + dropped = n_tokens
+    out.foreach { case (_, n, exc, kept, drop, _, _) =>
+      assert(exc + kept + drop == n)
+    }
+  }
+
+  test("q180 span excision: exact copy fully excised; window-less docs keep or drop whole by min length") {
+    val a = (1 to 20).map(i => s"a$i")
+    val docs = Seq(
+      (0L, a.mkString(" "), "en", "src", 1L),
+      (1L, a.mkString(" "), "en", "src", 1L), // verbatim re-ingest
+      (2L, "x1 x2 x3", "en", "src", 1L),      // no windows, >= MinFrag
+      (3L, "y1 y2", "en", "src", 1L))         // no windows, < MinFrag
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.DedupOps.spanExcise(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(out == List(
+      (0L, 20L, 0L, 20L, 0L, 1L, 1.0),
+      (1L, 20L, 20L, 0L, 0L, 0L, 0.0),
+      (2L, 3L, 0L, 3L, 0L, 1L, 1.0),
+      (3L, 2L, 0L, 0L, 2L, 0L, 0.0)))
+  }
+
   test("q172 dup-span coverage: planted shared run covered exactly, unique doc zero") {
     // docA = a1..a20; docB embeds a1..a10 at positions 6..15; docC unique.
     // Every 5-window fully inside the shared run is cross-doc duplicated:
