@@ -107,7 +107,13 @@ object Probe {
             }
             val c = samples.map(_._1).sorted.apply(samples.size / 2)
             val b = samples.map(_._2).sorted.apply(samples.size / 2)
-            f"$q ckpt=$c%.1fs bucketed=$b%.1fs ratio=${b / c}%.2f"
+            // rep walls quoted so the median's provenance is in the line
+            // itself (the r13 single-shot class problem — a median
+            // without its reps can't be told from a lucky single)
+            val detail = samples.map { case (cw, bw) =>
+              f"$cw%.1f/$bw%.1f"
+            }.mkString("[", ", ", "]")
+            f"$q ckpt=$c%.1fs bucketed=$b%.1fs ratio=${b / c}%.2f reps(c/b)=$detail"
           }
           (f"edge_table_build=$buildSecs%.1fs edge_rows=$edgeRows" +: lines)
             .mkString("\n[probe] ")

@@ -2139,10 +2139,15 @@ object DedupOps {
   def q180SpanExcise(spark: SparkSession, dir: String): DataFrame =
     spanExcise(Tables(spark, dir).documents)
 
-  private[graft] def spanExcise(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
+  /** Shared core of q180/q181: the per-doc excision ISLANDS — disjoint
+    * maximal token intervals [s, e] covered by windows some earlier doc
+    * owns (first-owner rule, interval union with adjacent-merge; see
+    * [[q180SpanExcise]]'s scaladoc for the full semantics). Input is the
+    * (doc_id, t) tokenized frame; output one row per island.
+    */
+  private[graft] def excisionIslands(toks: DataFrame): DataFrame = {
+    import toks.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select($"doc_id", split($"text", " ").as("t"))
     val win = toks
       .filter(size($"t") >= SpanN)
       .select($"doc_id", expr(
@@ -2155,7 +2160,7 @@ object DedupOps {
       .filter($"first_doc" < $"doc_id")
       .select($"doc_id", $"pos")
     val ord = Window.partitionBy($"doc_id").orderBy($"pos")
-    val islands = exc
+    exc
       .withColumn("prev_end", coalesce(
         max($"pos" + lit(SpanN - 1L))
           .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -2164,6 +2169,13 @@ object DedupOps {
         .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy($"doc_id", $"isl")
       .agg(min($"pos").as("s"), (max($"pos") + lit(SpanN - 1L)).as("e"))
+  }
+
+  private[graft] def spanExcise(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select($"doc_id", split($"text", " ").as("t"))
+    val islands = excisionIslands(toks)
     val byStart = Window.partitionBy($"doc_id").orderBy($"s")
     val perDoc = islands
       .withColumn("headfrag",
@@ -2257,10 +2269,125 @@ object DedupOps {
       |FROM fin
       |ORDER BY doc_id""".stripMargin
 
+  /** q181: the EXCISED CORPUS itself — q180's ledger prices the cut;
+    * this emits the post-cut training rows: every kept fragment as
+    * (doc_id, frag_id, start_pos, frag_tokens, frag_text), ready for
+    * chunking (q63) / packing (q66) / tokenization downstream. Same
+    * semantics as q180 (first-owner keeps, [[MinFragTokens]] floor), so
+    * per doc Σ frag_tokens = q180.kept_tokens — the spec pins that
+    * cross-operator invariant. A fully-excised doc emits no rows; an
+    * untouched doc emits itself as fragment 1.
+    *
+    * Text reconstruction is a slice of the whitespace token array
+    * re-joined with single spaces — exact under the fixture corpus's
+    * single-space contract (q179's rule), a documented normalization
+    * (not a loss) for multi-space text.
+    *
+    * Scale shape: the island machinery is q180's (digests and interval
+    * endpoints on every shuffle); text bodies move exactly ONCE, in the
+    * final doc_id-keyed join that slices fragments out of the token
+    * array — proportional to OUTPUT size, the floor for any operator
+    * that materializes a corpus. The fragment-interval side of that
+    * join is ≤ islands+1 rows per doc.
+    */
+  def q181ExciseFragments(spark: SparkSession, dir: String): DataFrame =
+    exciseFragments(Tables(spark, dir).documents)
+
+  private[graft] def exciseFragments(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select($"doc_id", split($"text", " ").as("t"))
+    val islands = excisionIslands(toks)
+    val byStart = Window.partitionBy($"doc_id").orderBy($"s")
+    // gap BEFORE each island (lag default 0 covers the head), plus the
+    // per-doc tail after the last island — which, via the left join's
+    // NULL→0, is the whole doc when no island exists
+    val mid = islands
+      .select($"doc_id",
+        (coalesce(lag($"e", 1).over(byStart), lit(0L)) + 1L).as("start_pos"),
+        ($"s" - coalesce(lag($"e", 1).over(byStart), lit(0L)) - 1L)
+          .as("frag_tokens"))
+    val tail = toks
+      .select($"doc_id", size($"t").cast("long").as("n_tokens"))
+      .join(islands.groupBy($"doc_id").agg(max($"e").as("last_e")),
+        Seq("doc_id"), "left")
+      .select($"doc_id",
+        (coalesce($"last_e", lit(0L)) + 1L).as("start_pos"),
+        ($"n_tokens" - coalesce($"last_e", lit(0L))).as("frag_tokens"))
+    val frags = mid.unionAll(tail).filter($"frag_tokens" >= MinFragTokens)
+    frags
+      .join(toks, Seq("doc_id"))
+      .select($"doc_id",
+        row_number().over(Window.partitionBy($"doc_id").orderBy($"start_pos"))
+          .cast("long").as("frag_id"),
+        $"start_pos", $"frag_tokens",
+        concat_ws(" ", slice($"t", $"start_pos".cast("int"),
+          $"frag_tokens".cast("int"))).as("frag_text"))
+      .orderBy($"doc_id", $"frag_id")
+  }
+
+  /** DuckDB twin: q180's island pipeline verbatim, then the same
+    * gap/tail fragment derivation and token-array slice.
+    */
+  val q181Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |win AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         md5(array_to_string(t[i:i+${SpanN - 1}], ' ')) AS g
+      |  FROM toks, unnest(range(1, len(t) - ${SpanN - 2})) AS u(i)
+      |  WHERE len(t) >= $SpanN),
+      |own AS (SELECT g, min(doc_id) AS first_doc FROM win GROUP BY g),
+      |exc AS (SELECT win.doc_id, pos FROM win JOIN own USING (g)
+      |        WHERE first_doc < win.doc_id),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |    coalesce(max(pos + ${SpanN - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+      |  FROM exc),
+      |i2 AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN pos > prev_end + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM m),
+      |isl AS (
+      |  SELECT doc_id, isl, min(pos) AS s, max(pos) + ${SpanN - 1} AS e
+      |  FROM i2 GROUP BY 1, 2),
+      |mid AS (
+      |  SELECT doc_id,
+      |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+      |      AS start_pos,
+      |    s - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) - 1
+      |      AS frag_tokens
+      |  FROM isl),
+      |tl AS (
+      |  SELECT t.doc_id, coalesce(last_e, 0) + 1 AS start_pos,
+      |         CAST(len(t.t) AS BIGINT) - coalesce(last_e, 0) AS frag_tokens
+      |  FROM toks t LEFT JOIN
+      |    (SELECT doc_id, max(e) AS last_e FROM isl GROUP BY 1) li
+      |    USING (doc_id)),
+      |fr AS (
+      |  SELECT * FROM mid WHERE frag_tokens >= $MinFragTokens
+      |  UNION ALL
+      |  SELECT * FROM tl WHERE frag_tokens >= $MinFragTokens)
+      |SELECT f.doc_id,
+      |  CAST(row_number() OVER (PARTITION BY f.doc_id ORDER BY f.start_pos)
+      |    AS BIGINT) AS frag_id,
+      |  CAST(f.start_pos AS BIGINT) AS start_pos,
+      |  CAST(f.frag_tokens AS BIGINT) AS frag_tokens,
+      |  array_to_string(t.t[f.start_pos:f.start_pos + f.frag_tokens - 1], ' ')
+      |    AS frag_text
+      |FROM fr f JOIN toks t USING (doc_id)
+      |ORDER BY doc_id, frag_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q180_span_excise", q180SpanExcise, Some(q180Sql),
       Seq("X-dedup", "X-scale"),
       "dup-span excision: first owner keeps each shared span, others keep only novel fragments >= min length"),
+    Q("q181_excise_fragments", q181ExciseFragments, Some(q181Sql),
+      Seq("X-dedup", "X-scale"),
+      "the excised corpus: kept fragment rows (start, length, text) — q180's ledger materialized"),
     Q("q159_dup_evidence", q159DupEvidence, Some(q159Sql), Seq("X-dedup"),
       "explainable dedup: rarest shared shingles as per-pair merge evidence"),
     Q("q175_novelty_profile", q175NoveltyProfile, Some(q175Sql),

@@ -846,6 +846,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, 2L, 0L, 0L, 2L, 0L, 0.0)))
   }
 
+  test("q181 excise fragments: emits exactly the novel text, fully-excised docs vanish") {
+    // doc0 owns everything (one whole-doc fragment); doc1 = boiler+novel
+    // keeps only its novel tail as text; doc2 = verbatim copy of doc0
+    // emits NO rows; doc3's 2-token gap between excised runs is sub-min
+    // and emits nothing while its 5-token tail does.
+    val boiler = (1 to 10).map(i => s"b$i")
+    val novelB = (1 to 10).map(i => s"z$i")
+    val docs = Seq(
+      (0L, (boiler ++ (1 to 10).map(i => s"a$i")).mkString(" "), "en", "src", 1L),
+      (1L, (boiler ++ novelB).mkString(" "), "en", "src", 1L),
+      (2L, (boiler ++ (1 to 10).map(i => s"a$i")).mkString(" "), "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.DedupOps.exciseFragments(docs)
+      .as[(Long, Long, Long, Long, String)].collect().toList
+    assert(out == List(
+      (0L, 1L, 1L, 20L, (boiler ++ (1 to 10).map(i => s"a$i")).mkString(" ")),
+      (1L, 1L, 11L, 10L, novelB.mkString(" "))))
+  }
+
+  test("q181 fragments reconcile with q180's ledger: per-doc sums and counts match") {
+    val run1 = (1 to 5).map(i => s"r$i")
+    val run2 = (1 to 5).map(i => s"s$i")
+    val docs = Seq(
+      (0L, (run1 ++ (1 to 5).map(i => s"c$i") ++ run2).mkString(" "), "en", "src", 1L),
+      (1L, (run1 ++ Seq("g1", "g2") ++ run2 ++ (1 to 5).map(i => s"t$i"))
+        .mkString(" "), "en", "src", 1L),
+      (2L, "x1 x2 x3", "en", "src", 1L),
+      (3L, "y1 y2", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frags = operators.DedupOps.exciseFragments(docs)
+      .as[(Long, Long, Long, Long, String)].collect().toList
+    // doc1's sub-min g1 g2 gap is absent; only the 5-token tail survives
+    assert(frags.filter(_._1 == 1L) == List((1L, 1L, 13L, 5L, "t1 t2 t3 t4 t5")))
+    // sub-min whole doc (doc3) emits nothing
+    assert(!frags.exists(_._1 == 3L))
+    val ledger = operators.DedupOps.spanExcise(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList
+    ledger.foreach { case (id, _, _, kept, _, nFrag, _) =>
+      val f = frags.filter(_._1 == id)
+      assert(f.map(_._4).sum == kept, s"doc $id kept_tokens mismatch")
+      assert(f.size.toLong == nFrag, s"doc $id n_fragments mismatch")
+      // fragment text length reconciles token count under the
+      // single-space contract
+      f.foreach { case (_, _, _, n, text) =>
+        assert(text.split(" ").length.toLong == n)
+      }
+    }
+  }
+
   test("q172 dup-span coverage: planted shared run covered exactly, unique doc zero") {
     // docA = a1..a20; docB embeds a1..a10 at positions 6..15; docC unique.
     // Every 5-window fully inside the shared run is cross-doc duplicated:
