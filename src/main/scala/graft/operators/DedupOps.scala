@@ -2139,6 +2139,44 @@ object DedupOps {
   def q180SpanExcise(spark: SparkSession, dir: String): DataFrame =
     spanExcise(Tables(spark, dir).documents)
 
+  /** (doc_id, pos, g): every n-token window of every doc as a row-local
+    * md5 digest keyed by its 1-based start position — the shared window
+    * derivation of the span family (q172/q175/q180/q181 at [[SpanN]],
+    * q182 at [[DecontamN]]). Text bodies never leave the scan; every
+    * downstream shuffle carries 32-char digests and positions.
+    */
+  private[graft] def windowGrams(toks: DataFrame, n: Int): DataFrame = {
+    import toks.sparkSession.implicits._
+    toks
+      .filter(size($"t") >= n)
+      .select($"doc_id", expr(
+        s"""explode(transform(sequence(1, size(t) - ${n - 1}),
+           |  i -> named_struct('pos', CAST(i AS BIGINT),
+           |                    'g', md5(concat_ws(' ', slice(t, i, $n))))))""".stripMargin).as("w"))
+      .select($"doc_id", $"w.pos".as("pos"), $"w.g".as("g"))
+  }
+
+  /** Interval union of excised n-token window STARTS into disjoint
+    * maximal islands [s, e] (a window merges into the current island iff
+    * pos ≤ prev_end + 1 — overlapping or exactly adjacent), one row per
+    * island. The two analytic windows partition by doc, so partition
+    * size is bounded by doc length — no global state.
+    */
+  private[graft] def islandsOf(exc: DataFrame, n: Int): DataFrame = {
+    import exc.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy($"doc_id").orderBy($"pos")
+    exc
+      .withColumn("prev_end", coalesce(
+        max($"pos" + lit(n - 1L))
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("brk", when($"pos" > $"prev_end" + 1L, 1L).otherwise(0L))
+      .withColumn("isl", sum($"brk")
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"pos").as("s"), (max($"pos") + lit(n - 1L)).as("e"))
+  }
+
   /** Shared core of q180/q181: the per-doc excision ISLANDS — disjoint
     * maximal token intervals [s, e] covered by windows some earlier doc
     * owns (first-owner rule, interval union with adjacent-merge; see
@@ -2147,35 +2185,31 @@ object DedupOps {
     */
   private[graft] def excisionIslands(toks: DataFrame): DataFrame = {
     import toks.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val win = toks
-      .filter(size($"t") >= SpanN)
-      .select($"doc_id", expr(
-        s"""explode(transform(sequence(1, size(t) - ${SpanN - 1}),
-           |  i -> named_struct('pos', CAST(i AS BIGINT),
-           |                    'g', md5(concat_ws(' ', slice(t, i, $SpanN))))))""".stripMargin).as("w"))
-      .select($"doc_id", $"w.pos".as("pos"), $"w.g".as("g"))
+    val win = windowGrams(toks, SpanN)
     val own = win.groupBy($"g").agg(min($"doc_id").as("first_doc"))
     val exc = win.join(own, Seq("g"))
       .filter($"first_doc" < $"doc_id")
       .select($"doc_id", $"pos")
-    val ord = Window.partitionBy($"doc_id").orderBy($"pos")
-    exc
-      .withColumn("prev_end", coalesce(
-        max($"pos" + lit(SpanN - 1L))
-          .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("brk", when($"pos" > $"prev_end" + 1L, 1L).otherwise(0L))
-      .withColumn("isl", sum($"brk")
-        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy($"doc_id", $"isl")
-      .agg(min($"pos").as("s"), (max($"pos") + lit(SpanN - 1L)).as("e"))
+    islandsOf(exc, SpanN)
   }
 
   private[graft] def spanExcise(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select($"doc_id", split($"text", " ").as("t"))
-    val islands = excisionIslands(toks)
+    excisionLedger(toks, excisionIslands(toks))
+  }
+
+  /** Per-doc excision accounting over an island frame: excised tokens
+    * (island mass), kept tokens (inter-island fragments ≥
+    * [[MinFragTokens]]), dropped tokens (sub-floor shards), fragment
+    * count, kept ratio. n_tokens = excised + kept + dropped is an
+    * exact-long invariant; untouched docs ledger as one whole-doc
+    * fragment via the left join's NULL→0. Shared by q180 (first-owner
+    * dup spans) and q182 (benchmark-overlap spans).
+    */
+  private[graft] def excisionLedger(toks: DataFrame, islands: DataFrame): DataFrame = {
+    import toks.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
     val byStart = Window.partitionBy($"doc_id").orderBy($"s")
     val perDoc = islands
       .withColumn("headfrag",
@@ -2381,7 +2415,135 @@ object DedupOps {
       |FROM fr f JOIN toks t USING (doc_id)
       |ORDER BY doc_id, frag_id""".stripMargin
 
+  /** Benchmark panel for decontamination: fixture docs below this id are
+    * the "eval suite" side. q49 draws the line at 5; widened to 10 here
+    * so the sf0.01 gate sees a non-trivial excision surface (582
+    * contaminated trigram windows across 290 corpus docs, measured, vs
+    * 197 windows at a 5-doc panel).
+    */
+  private[graft] val BenchPanel = 10L
+
+  /** Decontamination window width: word TRIGRAMS — q49's shingle width,
+    * the aggressive end of the public n-gram-overlap decontam range
+    * (verbatim-leakage rules run 8–13 grams; the aggressive end costs
+    * recall of clean text, never leaks eval text). Deliberately narrower
+    * than the dup-span family's [[SpanN]]: eval hygiene and boilerplate
+    * removal sit at different precision/recall operating points.
+    */
+  private[graft] val DecontamN = 3
+
+  /** q182: benchmark DECONTAMINATION as span excision — the remover
+    * behind q49's audit, exactly the way q180 is the remover behind
+    * q172's. q49 flags whole docs sharing ≥3 trigrams with the
+    * benchmark set; dropping flagged docs whole loses their clean
+    * remainder, keeping them ships eval text. This cuts the middle
+    * path: excise every [[DecontamN]]-token window the benchmark panel
+    * (doc_id < [[BenchPanel]]) contains from every corpus doc
+    * (doc_id ≥ [[BenchPanel]]) and account the remainder under q180's
+    * fragment rules (interval union with adjacent merge,
+    * [[MinFragTokens]] floor). Unlike q180 there is NO first-owner
+    * exemption: benchmark text must survive nowhere in the training
+    * corpus, so every matching window is cut from every doc. Benchmark
+    * docs themselves are not training data and emit no rows.
+    *
+    * Scale shape: eval suites are KBs–MBs against a 100 TB corpus, so
+    * the benchmark window set BROADCASTS (q49's join shape) and corpus
+    * windows are filtered map-side — no corpus-sized ownership shuffle
+    * at all (structurally cheaper than q180, whose first-owner rule
+    * must shuffle every window digest). The island/fragment analytics
+    * partition by doc; shuffles carry digests and interval endpoints,
+    * never text bodies.
+    */
+  def q182DecontamExcise(spark: SparkSession, dir: String): DataFrame =
+    decontamExcise(Tables(spark, dir).documents)
+
+  private[graft] def decontamExcise(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ctoks = docs.filter($"doc_id" >= BenchPanel)
+      .select($"doc_id", split($"text", " ").as("t"))
+    val btoks = docs.filter($"doc_id" < BenchPanel)
+      .select($"doc_id", split($"text", " ").as("t"))
+    val bwin = windowGrams(btoks, DecontamN).select($"g").distinct()
+    val exc = windowGrams(ctoks, DecontamN)
+      .join(broadcast(bwin), Seq("g"))
+      .select($"doc_id", $"pos")
+    excisionLedger(ctoks, islandsOf(exc, DecontamN))
+  }
+
+  /** DuckDB twin: q180's island/fragment pipeline with the benchmark
+    * window set as the excision source (no first-owner CTE) over the
+    * corpus side only.
+    */
+  val q182Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id >= $BenchPanel),
+      |btoks AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id < $BenchPanel),
+      |bwin AS (
+      |  SELECT DISTINCT md5(array_to_string(t[i:i+${DecontamN - 1}], ' ')) AS g
+      |  FROM btoks, unnest(range(1, len(t) - ${DecontamN - 2})) AS u(i)
+      |  WHERE len(t) >= $DecontamN),
+      |win AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         md5(array_to_string(t[i:i+${DecontamN - 1}], ' ')) AS g
+      |  FROM toks, unnest(range(1, len(t) - ${DecontamN - 2})) AS u(i)
+      |  WHERE len(t) >= $DecontamN),
+      |exc AS (SELECT win.doc_id, pos FROM win JOIN bwin USING (g)),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |    coalesce(max(pos + ${DecontamN - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+      |  FROM exc),
+      |i2 AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN pos > prev_end + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM m),
+      |isl AS (
+      |  SELECT doc_id, isl, min(pos) AS s, max(pos) + ${DecontamN - 1} AS e
+      |  FROM i2 GROUP BY 1, 2),
+      |fr AS (
+      |  SELECT doc_id, s, e,
+      |    s - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) - 1
+      |      AS headfrag
+      |  FROM isl),
+      |pd AS (
+      |  SELECT doc_id,
+      |    CAST(sum(e - s + 1) AS BIGINT) AS excised_raw,
+      |    CAST(sum(CASE WHEN headfrag >= $MinFragTokens THEN headfrag ELSE 0 END)
+      |      AS BIGINT) AS kept_mid,
+      |    CAST(sum(CASE WHEN headfrag >= $MinFragTokens THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS frag_mid,
+      |    CAST(max(e) AS BIGINT) AS last_e
+      |  FROM fr GROUP BY 1),
+      |fin AS (
+      |  SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |    coalesce(excised_raw, CAST(0 AS BIGINT)) AS excised_tokens,
+      |    coalesce(kept_mid, CAST(0 AS BIGINT)) AS kept_mid,
+      |    coalesce(frag_mid, CAST(0 AS BIGINT)) AS frag_mid,
+      |    CAST(len(t.t) AS BIGINT) - coalesce(last_e, CAST(0 AS BIGINT)) AS tail
+      |  FROM toks t LEFT JOIN pd USING (doc_id))
+      |SELECT doc_id, n_tokens, excised_tokens,
+      |  kept_mid + CASE WHEN tail >= $MinFragTokens THEN tail
+      |                  ELSE CAST(0 AS BIGINT) END AS kept_tokens,
+      |  n_tokens - excised_tokens - kept_mid
+      |    - CASE WHEN tail >= $MinFragTokens THEN tail
+      |           ELSE CAST(0 AS BIGINT) END AS dropped_tokens,
+      |  frag_mid + CASE WHEN tail >= $MinFragTokens THEN CAST(1 AS BIGINT)
+      |                  ELSE CAST(0 AS BIGINT) END AS n_fragments,
+      |  CAST(kept_mid + CASE WHEN tail >= $MinFragTokens THEN tail
+      |                       ELSE CAST(0 AS BIGINT) END AS DOUBLE) / n_tokens
+      |    AS kept_ratio
+      |FROM fin
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q182_decontam_excise", q182DecontamExcise, Some(q182Sql),
+      Seq("X-dedup", "X-scale"),
+      "benchmark decontamination as span excision: every eval-overlapping trigram span cut from every corpus doc"),
     Q("q180_span_excise", q180SpanExcise, Some(q180Sql),
       Seq("X-dedup", "X-scale"),
       "dup-span excision: first owner keeps each shared span, others keep only novel fragments >= min length"),

@@ -895,6 +895,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q182 decontam excision: benchmark trigrams cut, clean remainder keeps, bench docs emit nothing") {
+    // doc 0 is the benchmark panel side (doc_id < BenchPanel). doc 10
+    // embeds its head trigram → island [1,3], novel tail survives;
+    // doc 11 is clean → whole-doc fragment; doc 12 is a verbatim copy
+    // of the benchmark doc → fully excised, zero fragments.
+    val bench = (1 to 10).map(i => s"e$i")
+    val docs = Seq(
+      (0L, bench.mkString(" "), "en", "src", 1L),
+      (10L, (Seq("e3", "e4", "e5") ++ (1 to 10).map(i => s"n$i")).mkString(" "), "en", "src", 1L),
+      (11L, (1 to 5).map(i => s"w$i").mkString(" "), "en", "src", 1L),
+      (12L, bench.mkString(" "), "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.DedupOps.decontamExcise(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(out == List(
+      (10L, 13L, 3L, 10L, 0L, 1L, 10.0 / 13.0),
+      (11L, 5L, 0L, 5L, 0L, 1L, 1.0),
+      (12L, 10L, 10L, 0L, 0L, 0L, 0.0)))
+    assert(!out.exists(_._1 < 10L)) // the eval panel is not training data
+  }
+
+  test("q182 decontam excision: no first-owner exemption, corpus-only dups stay, sub-min gap drops") {
+    // Two benchmark runs land in doc 10 with a 2-token gap between them
+    // (sub-MinFragTokens → dropped); docs 11 and 12 BOTH contain the q
+    // run — both lose it (unlike q180, no first owner keeps a copy) —
+    // while their shared c run is corpus-internal duplication and is
+    // NOT decontamination's business (q180's job, not q182's).
+    val docs = Seq(
+      (0L, "q1 q2 q3", "en", "src", 1L),
+      (1L, "r1 r2 r3", "en", "src", 1L),
+      (10L, "q1 q2 q3 g1 g2 r1 r2 r3 t1 t2 t3", "en", "src", 1L),
+      (11L, ("q1 q2 q3 " + (1 to 5).map(i => s"c$i").mkString(" ")), "en", "src", 1L),
+      (12L, ((1 to 5).map(i => s"c$i").mkString(" ") + " q1 q2 q3"), "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.DedupOps.decontamExcise(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(out == List(
+      (10L, 11L, 6L, 3L, 2L, 1L, 3.0 / 11.0),
+      (11L, 8L, 3L, 5L, 0L, 1L, 5.0 / 8.0),
+      (12L, 8L, 3L, 5L, 0L, 1L, 5.0 / 8.0)))
+    out.foreach { case (_, n, exc, kept, drop, _, _) =>
+      assert(exc + kept + drop == n)
+    }
+  }
+
   test("q172 dup-span coverage: planted shared run covered exactly, unique doc zero") {
     // docA = a1..a20; docB embeds a1..a10 at positions 6..15; docC unique.
     // Every 5-window fully inside the shared run is cross-doc duplicated:
