@@ -1034,7 +1034,91 @@ object CurationOps {
       |FROM ps CROSS JOIN t
       |ORDER BY n_tokens DESC, source""".stripMargin
 
+  /** q183: token-budget data selection — the admission PLAN for "train
+    * on the best half of the corpus". Given the q18/q68 quality score
+    * and a token budget (half the corpus's token mass — SF-invariant,
+    * so every gate scale sees a live boundary), derive the quality
+    * threshold by consuming score VENTILES best-first: each of the 20
+    * buckets is fully admitted while it fits, exactly one straddles the
+    * budget (admitted pro-tanto), the rest are rejected. Output is the
+    * 20-row-bounded admission ledger (bucket, docs, tokens, cumulative,
+    * status, tokens_taken); Σ tokens_taken = budget exactly (integer
+    * arithmetic, spec-pinned).
+    *
+    * The histogram IS the scale story: ranking a 100 TB corpus by score
+    * is a full-corpus range-partitioned sort; a 20-bucket histogram is
+    * one partial-agg-combinable aggregate over a scan, and the
+    * threshold falls out of a 20-row frame. The doc-level cut inside
+    * the single straddling ventile (which docs fill the last
+    * `tokens_taken`) is the consumer's tie-break policy; this operator
+    * prices the plan — the same plan-not-rows contract as q101/q134.
+    * The bucketed totals publish once ([[Ckpt]]) so the budget leg
+    * derives from the 20-row frame, not a second corpus scan (the r14
+    * unpublished-shared-subplan lesson).
+    */
+  def q183BudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    budgetSelect(Tables(spark, dir).documents)
+
+  private[graft] def budgetSelect(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val b = docs
+      .select(
+        least(lit(19L), floor(TextOps.qualityCol * 20).cast("long")).as("bucket"),
+        TextOps.wordCount($"text").as("n_words"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("bucket_tokens"))
+      .ckpt()
+    val tot = b.agg(expr("sum(bucket_tokens) div 2").as("budget"))
+    val cumW = Window.orderBy($"bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    b.crossJoin(broadcast(tot))
+      .withColumn("cum_tokens", sum($"bucket_tokens").over(cumW))
+      .select(
+        $"bucket", $"n_docs", $"bucket_tokens", $"cum_tokens",
+        when($"cum_tokens" <= $"budget", "full")
+          .when($"cum_tokens" - $"bucket_tokens" < $"budget", "partial")
+          .otherwise("rejected").as("status"),
+        when($"cum_tokens" <= $"budget", $"bucket_tokens")
+          .when($"cum_tokens" - $"bucket_tokens" < $"budget",
+            $"budget" - ($"cum_tokens" - $"bucket_tokens"))
+          .otherwise(lit(0L)).as("tokens_taken"))
+      .orderBy($"bucket".desc)
+  }
+
+  /** DuckDB twin: same ventile bucketing, same integer budget, same
+    * best-first cumulative admission. The bucket CTE is MATERIALIZED —
+    * it feeds both the ledger and the budget leg.
+    */
+  val q183Sql: String =
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT least(19, CAST(floor(${TextOps.qualitySqlExpr} * 20) AS BIGINT))
+       |           AS bucket,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(${TextOps.wordCountSql}) AS BIGINT) AS bucket_tokens
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(sum(bucket_tokens) AS BIGINT) // 2 AS budget FROM b),
+       |c AS (
+       |  SELECT b.*, t.budget,
+       |    CAST(sum(bucket_tokens) OVER (ORDER BY bucket DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM b CROSS JOIN t)
+       |SELECT bucket, n_docs, bucket_tokens, cum_tokens,
+       |  CASE WHEN cum_tokens <= budget THEN 'full'
+       |       WHEN cum_tokens - bucket_tokens < budget THEN 'partial'
+       |       ELSE 'rejected' END AS status,
+       |  CASE WHEN cum_tokens <= budget THEN bucket_tokens
+       |       WHEN cum_tokens - bucket_tokens < budget
+       |         THEN budget - (cum_tokens - bucket_tokens)
+       |       ELSE CAST(0 AS BIGINT) END AS tokens_taken
+       |FROM c
+       |ORDER BY bucket DESC""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q183_budget_select", q183BudgetSelect, Some(q183Sql),
+      Seq("X-curation", "X-sample", "X-scale"),
+      "token-budget data selection: quality-ventile admission ledger — best buckets first until the budget fills"),
     Q("q179_mixture_weights", q179MixtureWeights, Some(q179Sql),
       Seq("X-curation", "X-sample", "X-scale"),
       "temperature (alpha=0.5) mixture weights from measured token mass: sqrt-tempered, max-relative"),

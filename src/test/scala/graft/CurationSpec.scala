@@ -19,6 +19,45 @@ class CurationSpec extends AnyFunSuite {
     dir
   }
 
+  test("budget select: best-first admission — full, exactly one partial, rejected; Σ taken = budget") {
+    // quality tiers by construction: 60 non-stop words → quality 1.0 →
+    // bucket 19 (60 tokens); 30 non-stop words → 0.5 → bucket 10 (two
+    // docs, 60 tokens); all-stopword 3-worder → bucket 0 (3 tokens).
+    // total 123 → budget 61: ventile 19 admits whole (cum 60 ≤ 61),
+    // ventile 10 straddles (takes exactly 1 token), ventile 0 rejects.
+    val docs = Seq(
+      (0L, (1 to 60).map(i => s"h$i").mkString(" "), "en", "src", 1L),
+      (1L, (1 to 30).map(i => s"m$i").mkString(" "), "en", "src", 1L),
+      (2L, (1 to 30).map(i => s"k$i").mkString(" "), "en", "src", 1L),
+      (3L, "the the the", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CurationOps.budgetSelect(docs)
+      .as[(Long, Long, Long, Long, String, Long)].collect().toList
+    assert(out == List(
+      (19L, 1L, 60L, 60L, "full", 60L),
+      (10L, 2L, 60L, 120L, "partial", 1L),
+      (0L, 1L, 3L, 123L, "rejected", 0L)))
+    assert(out.map(_._6).sum == 61L)
+    assert(out.count(_._5 == "partial") == 1)
+  }
+
+  test("budget select: exact boundary alignment — no partial bucket, Σ taken still = budget") {
+    // bucket 19 carries exactly half the mass: 60 + (30+27+3)=120 total,
+    // budget 60 → ventile 19 'full' at cum == budget, everything after
+    // rejected (cum_before == budget is NOT < budget).
+    val docs = Seq(
+      (0L, (1 to 60).map(i => s"h$i").mkString(" "), "en", "src", 1L),
+      (1L, (1 to 30).map(i => s"m$i").mkString(" "), "en", "src", 1L),
+      (2L, (1 to 27).map(i => s"k$i").mkString(" "), "en", "src", 1L),
+      (3L, "the the the", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CurationOps.budgetSelect(docs)
+      .as[(Long, Long, Long, Long, String, Long)].collect().toList
+    assert(out.head == (19L, 1L, 60L, 60L, "full", 60L))
+    assert(out.tail.forall(_._5 == "rejected"))
+    assert(out.map(_._6).sum == 60L)
+  }
+
   test("mixture weights: sqrt temperature, max-relative, exact ppm shares") {
     // head source 16 tokens, mid 4, tail 1 → shares 16/21, 4/21, 1/21;
     // temp weights sqrt(16/16)=1, sqrt(4/16)=0.5, sqrt(1/16)=0.25 and
