@@ -1959,7 +1959,123 @@ object SimilarityOps {
       |ORDER BY k""".stripMargin
   }
 
+  /** Truncation cut points for q184 — powers of two up to the fixture's
+    * full 64 dims; the full-dim row doubles as a recall=1.0 self-check.
+    */
+  private[graft] val TruncDims = Seq(8, 16, 32, 64)
+
+  /** q184: truncated-dimension retrieval eval (the matryoshka operating
+    * curve) — recall@10 of PREFIX-dimension cosine against the full-dim
+    * exact top-10, per cut point. The production question it answers:
+    * how many leading dimensions does the cheap first-pass scorer need
+    * before exact full-dim re-ranking, the same cost dial q59 prices
+    * for PQ codes (dim truncation is the simpler, re-train-free
+    * alternative).
+    *
+    * Scale shape: ONE corpus scan computes every cut's score (prefix
+    * dots via integer-grid slices in a single projection — a d-dim dot
+    * subsumes its prefixes, so the sweep is not |dims| passes); one
+    * q_id-keyed exchange feeds all four rank windows; everything after
+    * the rank filter is ≤ panel × k × |dims| rows. The 20-query panel
+    * is FIXED — corpus growth grows the candidate side only (q147's
+    * panel contract). Integer-grid (×1000) arithmetic end to end, so
+    * scores and tie-breaks are bit-identical cross-engine.
+    */
+  def q184DimTruncation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nQueries = 20
+    val topK = 10
+    val e = Tables(spark, dir).embeddings
+      .select($"vec_id",
+        transform($"embedding",
+          x => round(x.cast("double") * 1000).cast("long")).as("eq"))
+      .ckpt()
+    val qs = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"eq".as("q_eq"))
+    def cosAt(d: Int): Column =
+      (graft.plans.FloatVectorExpressions
+        .dotI64(slice($"eq", 1, d), slice($"q_eq", 1, d)).cast("double") /
+        (sqrt(graft.plans.FloatVectorExpressions
+          .normSqI64(slice($"eq", 1, d)).cast("double")) *
+          sqrt(graft.plans.FloatVectorExpressions
+            .normSqI64(slice($"q_eq", 1, d)).cast("double")))).as(s"cos$d")
+    val scored = e.crossJoin(broadcast(qs)).filter($"vec_id" =!= $"q_id")
+      .select(Seq($"q_id", $"vec_id") ++ TruncDims.map(cosAt): _*)
+    // one exchange on q_id, one sort per cut — the stack unpivot runs
+    // AFTER the rank filter, over ≤ panel × k × |dims| rows
+    val ranked = TruncDims.foldLeft(scored) { (df, d) =>
+      df.withColumn(s"rnk$d", row_number().over(
+        Window.partitionBy($"q_id").orderBy(col(s"cos$d").desc, $"vec_id")))
+    }
+      .filter(TruncDims.map(d => col(s"rnk$d") <= topK).reduce(_ || _))
+      .selectExpr("q_id", "vec_id",
+        s"stack(${TruncDims.size}, " +
+          TruncDims.map(d => s"CAST($d AS BIGINT), rnk$d").mkString(", ") +
+          ") AS (dim, rnk)")
+      .filter($"rnk" <= topK)
+      .ckpt() // ≤ 20 × 10 × 4 rows
+    val truth = ranked.filter($"dim" === TruncDims.last.toLong)
+      .select($"q_id", $"vec_id")
+    ranked.join(truth, Seq("q_id", "vec_id"))
+      .groupBy($"dim").agg(count(lit(1)).as("hits"))
+      .select($"dim", $"hits",
+        round($"hits".cast("double") / (nQueries.toLong * topK), 4)
+          .as("recall_at_10"))
+      .orderBy($"dim")
+  }
+
+  /** DuckDB twin: the same integer grid, prefix dots as conditional
+    * sums over one positional unnest, one rank window per cut over the
+    * shared (MATERIALIZED) score frame.
+    */
+  val q184Sql: String = {
+    val sums = TruncDims.map { d =>
+      s"""sum(CASE WHEN pos < $d THEN x * y ELSE 0 END) AS dot$d,
+         |       sum(CASE WHEN pos < $d THEN x * x ELSE 0 END) AS nx$d,
+         |       sum(CASE WHEN pos < $d THEN y * y ELSE 0 END) AS ny$d""".stripMargin
+    }.mkString(",\n       ")
+    val rnks = TruncDims.map { d =>
+      s"""row_number() OVER (PARTITION BY q_id
+         |           ORDER BY CAST(dot$d AS DOUBLE)
+         |             / (sqrt(CAST(nx$d AS DOUBLE)) * sqrt(CAST(ny$d AS DOUBLE)))
+         |             DESC, vec_id) AS rnk$d""".stripMargin
+    }.mkString(",\n         ")
+    val unpiv = TruncDims.map { d =>
+      s"SELECT CAST($d AS BIGINT) AS dim, q_id, vec_id FROM r WHERE rnk$d <= 10"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+      |  SELECT vec_id,
+      |         [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding]
+      |           AS eq
+      |  FROM embeddings),
+      |qs AS (SELECT vec_id AS q_id, eq AS q_eq FROM e WHERE vec_id < 20),
+      |u AS (
+      |  SELECT q.q_id, e.vec_id, unnest(range(len(e.eq))) AS pos,
+      |         unnest(e.eq) AS x, unnest(q.q_eq) AS y
+      |  FROM e CROSS JOIN qs q WHERE e.vec_id <> q.q_id),
+      |s AS MATERIALIZED (
+      |  SELECT q_id, vec_id,
+      |       $sums
+      |  FROM u GROUP BY 1, 2),
+      |r AS MATERIALIZED (
+      |  SELECT q_id, vec_id,
+      |         $rnks
+      |  FROM s),
+      |st AS (
+      |  $unpiv),
+      |truth AS (SELECT q_id, vec_id FROM st WHERE dim = ${TruncDims.last})
+      |SELECT st.dim, CAST(count(*) AS BIGINT) AS hits,
+      |  round(CAST(count(*) AS DOUBLE) / (20 * 10), 4) AS recall_at_10
+      |FROM st JOIN truth USING (q_id, vec_id)
+      |GROUP BY st.dim
+      |ORDER BY st.dim""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q184_dim_truncation", q184DimTruncation, Some(q184Sql),
+      Seq("X-sim", "X-eval", "X-scale"),
+      "matryoshka operating curve: recall@10 of prefix-dim cosine vs full-dim truth, one scan for all cuts"),
     Q("q145_embed_covariance", q145EmbedCovariance, Some(q145Sql),
       Seq("X-sim", "X-stats", "X-scale"),
       "embedding covariance/correlation matrix via one-pass exact-integer Gram aggregator"),

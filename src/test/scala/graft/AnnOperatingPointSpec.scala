@@ -40,6 +40,48 @@ class AnnOperatingPointSpec extends AnyFunSuite {
     dir
   }
 
+  test("q184 dim truncation: matches an independent Scala brute-force oracle, full dim is exact") {
+    // 40 seeded-random vectors (ids 0..19 = the fixed panel). Expected
+    // recall per cut is recomputed here from scratch on the same integer
+    // grid — independent of the DataFrame pipeline under test.
+    val dir = TestSpark.scratch("trunc-dims")
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, i % 10, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    vecs.toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val eq = vecs.map { case (id, _, e) =>
+      id -> e.map(x => math.round(x.toDouble * 1000))
+    }.toMap
+    def cos(a: Array[Long], b: Array[Long], d: Int): Double = {
+      val dot = (0 until d).map(i => a(i) * b(i)).sum.toDouble
+      dot / (math.sqrt((0 until d).map(i => a(i) * a(i)).sum.toDouble) *
+        math.sqrt((0 until d).map(i => b(i) * b(i)).sum.toDouble))
+    }
+    def top10(q: Long, d: Int): Set[Long] =
+      (0L until 40L).filter(_ != q)
+        .sortBy(v => (-cos(eq(q), eq(v), d), v)).take(10).toSet
+    val dims = Seq(8, 16, 32, 64)
+    val expected = dims.map { d =>
+      d.toLong -> (0L until 20L).map(q => (top10(q, d) & top10(q, 64)).size).sum.toLong
+    }.toMap
+
+    val out = SimilarityOps.q184DimTruncation(spark, dir)
+      .as[(Long, Long, Double)].collect().toList
+    assert(out.map(_._1) == dims.map(_.toLong))
+    out.foreach { case (d, hits, recall) =>
+      assert(hits == expected(d), s"dim $d: hits $hits vs oracle ${expected(d)}")
+      assert(recall == math.round(hits / 200.0 * 10000) / 10000.0)
+    }
+    // the full-dim cut is its own truth: exact by construction
+    assert(out.last == ((64L, 200L, 1.0)))
+    // random prefixes must actually degrade — otherwise the fixture
+    // proves nothing
+    assert(out.head._2 < 200L)
+  }
+
   test("planted clusters: registered nProbe=2 reaches recall@10 >= 0.9") {
     val rec = SimilarityOps.annRecallAt(spark, plantedDir, nProbe = 2).collect()
     val r10 = rec.find(_.getLong(0) == 10L).get.getDouble(2)
