@@ -1034,6 +1034,108 @@ object CurationOps {
       |FROM ps CROSS JOIN t
       |ORDER BY n_tokens DESC, source""".stripMargin
 
+  /** q186: token-BALANCED shard layout vs hash sharding — the layout
+    * question q72 leaves open: hash sharding equalizes DOC counts, but
+    * training steps are paced by TOKENS, so a token-skewed corpus gives
+    * hash shards unequal work (straggler shards). This derives the
+    * classic remedy — assign docs to shards round-robin in descending
+    * token order — and prices it against the q72 hash baseline in one
+    * output: per shard, docs and token mass under both layouts.
+    *
+    * The global sort-desc round-robin is computed WITHOUT a global
+    * window: docs with the SAME token count are interchangeable for
+    * balance, so ranking partitions by exact count (bounded by the
+    * per-length population) and each count-group's round-robin offset
+    * comes from the tiny distinct-lengths ledger (cumulative count of
+    * heavier groups, mod K). The two layout ledgers then roll up from
+    * ONE (bal_shard × hash_shard) aggregate — ≤ K² rows published once
+    * — so the corpus contributes one aggregation pass, not two.
+    */
+  def q186BalancedShards(spark: SparkSession, dir: String): DataFrame =
+    balancedShards(Tables(spark, dir).documents)
+
+  private[graft] def balancedShards(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select($"doc_id",
+      TextOps.wordCount($"text").as("n_words"),
+      (conv(substring(md5(concat(lit("gs|"), $"doc_id".cast("string"))), 1, 8),
+        16, 10).cast("long") % NumShards).as("hash_shard"))
+    val wCnt = Window.partitionBy($"n_words").orderBy($"doc_id")
+    val ranked = d.withColumn("rn", row_number().over(wCnt).cast("long"))
+    // distinct-lengths ledger: offset of each count-group in the global
+    // descending order (a narrow second scan; the ledger itself is tiny)
+    val offs = d.groupBy($"n_words").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum($"cnt").over(Window.orderBy($"n_words".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"n_words", $"off")
+    val assigned = ranked.join(broadcast(offs), Seq("n_words"))
+      .withColumn("bal_shard", ($"off" + $"rn" - 1L) % NumShards)
+    val cross = assigned
+      .groupBy($"bal_shard", $"hash_shard")
+      .agg(count(lit(1)).as("n"), sum($"n_words").as("tok"))
+      .ckpt() // ≤ K² rows; both layout ledgers derive from it
+    val bal = cross.groupBy($"bal_shard".as("shard"))
+      .agg(sum($"n").as("bal_docs"), sum($"tok").as("bal_tokens"))
+    val hsh = cross.groupBy($"hash_shard".as("shard"))
+      .agg(sum($"n").as("hash_docs"), sum($"tok").as("hash_tokens"))
+    bal.join(hsh, Seq("shard"), "full_outer")
+      .select($"shard",
+        coalesce($"bal_docs", lit(0L)).as("bal_docs"),
+        coalesce($"bal_tokens", lit(0L)).as("bal_tokens"),
+        coalesce($"hash_docs", lit(0L)).as("hash_docs"),
+        coalesce($"hash_tokens", lit(0L)).as("hash_tokens"))
+      .orderBy($"shard")
+  }
+
+  /** DuckDB twin: q72's hash fold for the baseline, the same
+    * count-partitioned rank + ledger offset for the balanced layout,
+    * ledgers rolled up from the MATERIALIZED K×K cross frame.
+    */
+  val q186Sql: String = {
+    val foldH = (1 to 8).map { j =>
+      val mult = 1L << (4 * (8 - j))
+      s"(strpos('0123456789abcdef', substr(pr, $j, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, ${TextOps.wordCountSql} AS n_words,
+       |         md5('gs|' || CAST(doc_id AS VARCHAR)) AS pr
+       |  FROM documents),
+       |d2 AS (SELECT doc_id, n_words,
+       |              CAST(($foldH) % $NumShards AS BIGINT) AS hash_shard
+       |       FROM d),
+       |r AS (SELECT doc_id, n_words, hash_shard,
+       |             row_number() OVER (PARTITION BY n_words ORDER BY doc_id)
+       |               AS rn
+       |      FROM d2),
+       |l AS (SELECT n_words, count(*) AS cnt FROM d2 GROUP BY 1),
+       |o AS (SELECT n_words,
+       |             coalesce(sum(cnt) OVER (ORDER BY n_words DESC
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |               AS off
+       |      FROM l),
+       |a AS (SELECT r.*, CAST((o.off + rn - 1) % $NumShards AS BIGINT)
+       |               AS bal_shard
+       |      FROM r JOIN o USING (n_words)),
+       |x AS MATERIALIZED (
+       |  SELECT bal_shard, hash_shard, count(*) AS n, sum(n_words) AS tok
+       |  FROM a GROUP BY 1, 2),
+       |b AS (SELECT bal_shard AS shard, CAST(sum(n) AS BIGINT) AS bal_docs,
+       |             CAST(sum(tok) AS BIGINT) AS bal_tokens
+       |      FROM x GROUP BY 1),
+       |h AS (SELECT hash_shard AS shard, CAST(sum(n) AS BIGINT) AS hash_docs,
+       |             CAST(sum(tok) AS BIGINT) AS hash_tokens
+       |      FROM x GROUP BY 1)
+       |SELECT coalesce(b.shard, h.shard) AS shard,
+       |  coalesce(bal_docs, CAST(0 AS BIGINT)) AS bal_docs,
+       |  coalesce(bal_tokens, CAST(0 AS BIGINT)) AS bal_tokens,
+       |  coalesce(hash_docs, CAST(0 AS BIGINT)) AS hash_docs,
+       |  coalesce(hash_tokens, CAST(0 AS BIGINT)) AS hash_tokens
+       |FROM b FULL OUTER JOIN h ON b.shard = h.shard
+       |ORDER BY shard""".stripMargin
+  }
+
   /** q183: token-budget data selection — the admission PLAN for "train
     * on the best half of the corpus". Given the q18/q68 quality score
     * and a token budget (half the corpus's token mass — SF-invariant,
@@ -1119,6 +1221,9 @@ object CurationOps {
     Q("q183_budget_select", q183BudgetSelect, Some(q183Sql),
       Seq("X-curation", "X-sample", "X-scale"),
       "token-budget data selection: quality-ventile admission ledger — best buckets first until the budget fills"),
+    Q("q186_balanced_shards", q186BalancedShards, Some(q186Sql),
+      Seq("X-curation", "X-scale"),
+      "token-balanced shard layout vs q72's hash baseline: descending round-robin without a global window"),
     Q("q179_mixture_weights", q179MixtureWeights, Some(q179Sql),
       Seq("X-curation", "X-sample", "X-scale"),
       "temperature (alpha=0.5) mixture weights from measured token mass: sqrt-tempered, max-relative"),

@@ -2164,17 +2164,30 @@ object DedupOps {
     */
   private[graft] def islandsOf(exc: DataFrame, n: Int): DataFrame = {
     import exc.sparkSession.implicits._
+    islandsOfSpans(exc.select($"doc_id", $"pos",
+      ($"pos" + lit(n - 1L)).as("e0")))
+  }
+
+  /** The same interval union over HETEROGENEOUS spans (doc_id, pos, e0)
+    * — q185 merges 5-token dup windows and 3-token benchmark windows in
+    * one pass, so island extents come from max(e0), not pos + n - 1.
+    * Tie order (same pos, different e0) cannot change the union — equal
+    * starts always merge — but the frame orders (pos, e0 desc) anyway
+    * so the running max is frame-deterministic in both engines.
+    */
+  private[graft] def islandsOfSpans(exc: DataFrame): DataFrame = {
+    import exc.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val ord = Window.partitionBy($"doc_id").orderBy($"pos")
+    val ord = Window.partitionBy($"doc_id").orderBy($"pos", $"e0".desc)
     exc
       .withColumn("prev_end", coalesce(
-        max($"pos" + lit(n - 1L))
+        max($"e0")
           .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("brk", when($"pos" > $"prev_end" + 1L, 1L).otherwise(0L))
       .withColumn("isl", sum($"brk")
         .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy($"doc_id", $"isl")
-      .agg(min($"pos").as("s"), (max($"pos") + lit(n - 1L)).as("e"))
+      .agg(min($"pos").as("s"), max($"e0").as("e"))
   }
 
   /** Shared core of q180/q181: the per-doc excision ISLANDS — disjoint
@@ -2540,7 +2553,133 @@ object DedupOps {
       |FROM fin
       |ORDER BY doc_id""".stripMargin
 
+  /** q185: UNIFIED excision — the one rewrite pass a production corpus
+    * actually runs: benchmark decontamination (q182's trigram spans, no
+    * exemption) and cross-doc dup-span removal (q180's first-owner
+    * 5-token spans) cut TOGETHER, the two span sources interval-unioned
+    * before fragment accounting. Running the removers serially instead
+    * double-pays the corpus scan AND miscounts the result: a fragment
+    * q180 keeps can straddle a benchmark span (and vice versa), and a
+    * remainder that clears [[MinFragTokens]] against one span source
+    * alone may not clear it against both — only the union ledger prices
+    * the final corpus (the spec plants exactly that straddle). Benchmark
+    * docs are not training data: they emit no rows and do not claim
+    * dup-span ownership (a span shared only with the panel is decontam's
+    * business — cut from every copy, no first-owner survivor).
+    *
+    * Scale shape: q180's single gram-keyed ownership shuffle plus
+    * q182's broadcast benchmark filter — both window derivations are
+    * row-local over the same tokenized scan, the union carries only
+    * (doc_id, pos, e0) triples, and islands/fragments partition by doc.
+    * One corpus rewrite pass regardless of how many span sources feed
+    * it — the production reason this operator exists.
+    */
+  def q185UnifiedExcise(spark: SparkSession, dir: String): DataFrame =
+    unifiedExcise(Tables(spark, dir).documents)
+
+  private[graft] def unifiedExcise(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ctoks = docs.filter($"doc_id" >= BenchPanel)
+      .select($"doc_id", split($"text", " ").as("t"))
+    val btoks = docs.filter($"doc_id" < BenchPanel)
+      .select($"doc_id", split($"text", " ").as("t"))
+    val bwin = windowGrams(btoks, DecontamN).select($"g").distinct()
+    val excB = windowGrams(ctoks, DecontamN)
+      .join(broadcast(bwin), Seq("g"))
+      .select($"doc_id", $"pos", ($"pos" + lit(DecontamN - 1L)).as("e0"))
+    val winD = windowGrams(ctoks, SpanN)
+    val own = winD.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    val excD = winD.join(own, Seq("g"))
+      .filter($"first_doc" < $"doc_id")
+      .select($"doc_id", $"pos", ($"pos" + lit(SpanN - 1L)).as("e0"))
+    excisionLedger(ctoks, islandsOfSpans(excB.unionAll(excD)))
+  }
+
+  /** DuckDB twin: both window CTEs over the corpus side, spans unioned
+    * with their own extents, then the max(e0) island pipeline and
+    * q180's fragment accounting.
+    */
+  val q185Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id >= $BenchPanel),
+      |btoks AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id < $BenchPanel),
+      |bwin AS (
+      |  SELECT DISTINCT md5(array_to_string(t[i:i+${DecontamN - 1}], ' ')) AS g
+      |  FROM btoks, unnest(range(1, len(t) - ${DecontamN - 2})) AS u(i)
+      |  WHERE len(t) >= $DecontamN),
+      |winb AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         md5(array_to_string(t[i:i+${DecontamN - 1}], ' ')) AS g
+      |  FROM toks, unnest(range(1, len(t) - ${DecontamN - 2})) AS u(i)
+      |  WHERE len(t) >= $DecontamN),
+      |wind AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         md5(array_to_string(t[i:i+${SpanN - 1}], ' ')) AS g
+      |  FROM toks, unnest(range(1, len(t) - ${SpanN - 2})) AS u(i)
+      |  WHERE len(t) >= $SpanN),
+      |own AS (SELECT g, min(doc_id) AS first_doc FROM wind GROUP BY g),
+      |exc AS (
+      |  SELECT winb.doc_id, pos, pos + ${DecontamN - 1} AS e0
+      |  FROM winb JOIN bwin USING (g)
+      |  UNION ALL
+      |  SELECT wind.doc_id, pos, pos + ${SpanN - 1} AS e0
+      |  FROM wind JOIN own USING (g) WHERE first_doc < wind.doc_id),
+      |m AS (
+      |  SELECT doc_id, pos, e0,
+      |    coalesce(max(e0) OVER (PARTITION BY doc_id ORDER BY pos, e0 DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+      |  FROM exc),
+      |i2 AS (
+      |  SELECT doc_id, pos, e0,
+      |    sum(CASE WHEN pos > prev_end + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos, e0 DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM m),
+      |isl AS (
+      |  SELECT doc_id, isl, min(pos) AS s, max(e0) AS e
+      |  FROM i2 GROUP BY 1, 2),
+      |fr AS (
+      |  SELECT doc_id, s, e,
+      |    s - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) - 1
+      |      AS headfrag
+      |  FROM isl),
+      |pd AS (
+      |  SELECT doc_id,
+      |    CAST(sum(e - s + 1) AS BIGINT) AS excised_raw,
+      |    CAST(sum(CASE WHEN headfrag >= $MinFragTokens THEN headfrag ELSE 0 END)
+      |      AS BIGINT) AS kept_mid,
+      |    CAST(sum(CASE WHEN headfrag >= $MinFragTokens THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS frag_mid,
+      |    CAST(max(e) AS BIGINT) AS last_e
+      |  FROM fr GROUP BY 1),
+      |fin AS (
+      |  SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |    coalesce(excised_raw, CAST(0 AS BIGINT)) AS excised_tokens,
+      |    coalesce(kept_mid, CAST(0 AS BIGINT)) AS kept_mid,
+      |    coalesce(frag_mid, CAST(0 AS BIGINT)) AS frag_mid,
+      |    CAST(len(t.t) AS BIGINT) - coalesce(last_e, CAST(0 AS BIGINT)) AS tail
+      |  FROM toks t LEFT JOIN pd USING (doc_id))
+      |SELECT doc_id, n_tokens, excised_tokens,
+      |  kept_mid + CASE WHEN tail >= $MinFragTokens THEN tail
+      |                  ELSE CAST(0 AS BIGINT) END AS kept_tokens,
+      |  n_tokens - excised_tokens - kept_mid
+      |    - CASE WHEN tail >= $MinFragTokens THEN tail
+      |           ELSE CAST(0 AS BIGINT) END AS dropped_tokens,
+      |  frag_mid + CASE WHEN tail >= $MinFragTokens THEN CAST(1 AS BIGINT)
+      |                  ELSE CAST(0 AS BIGINT) END AS n_fragments,
+      |  CAST(kept_mid + CASE WHEN tail >= $MinFragTokens THEN tail
+      |                       ELSE CAST(0 AS BIGINT) END AS DOUBLE) / n_tokens
+      |    AS kept_ratio
+      |FROM fin
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q185_unified_excise", q185UnifiedExcise, Some(q185Sql),
+      Seq("X-dedup", "X-scale"),
+      "unified excision: dup spans + benchmark spans cut in ONE rewrite pass, interval-unioned before fragment accounting"),
     Q("q182_decontam_excise", q182DecontamExcise, Some(q182Sql),
       Seq("X-dedup", "X-scale"),
       "benchmark decontamination as span excision: every eval-overlapping trigram span cut from every corpus doc"),

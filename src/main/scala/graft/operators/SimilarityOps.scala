@@ -1993,13 +1993,22 @@ object SimilarityOps {
       .ckpt()
     val qs = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"eq".as("q_eq"))
-    def cosAt(d: Int): Column =
-      (graft.plans.FloatVectorExpressions
-        .dotI64(slice($"eq", 1, d), slice($"q_eq", 1, d)).cast("double") /
-        (sqrt(graft.plans.FloatVectorExpressions
-          .normSqI64(slice($"eq", 1, d)).cast("double")) *
-          sqrt(graft.plans.FloatVectorExpressions
-            .normSqI64(slice($"q_eq", 1, d)).cast("double")))).as(s"cos$d")
+    // zero-norm prefix guard: a vector invisible at this cut (all-zero
+    // grid prefix — planted by the fuzz fixture's [0,…,0,1]) scores -2,
+    // strictly below any real cosine. Without it Spark's 0/0 is NaN
+    // (sorts FIRST desc) while DuckDB's is NULL (sorts LAST) — an
+    // engine-divergent ranking, not a math difference.
+    def cosAt(d: Int): Column = {
+      val nx = graft.plans.FloatVectorExpressions
+        .normSqI64(slice($"eq", 1, d))
+      val ny = graft.plans.FloatVectorExpressions
+        .normSqI64(slice($"q_eq", 1, d))
+      when(nx > 0 && ny > 0,
+        graft.plans.FloatVectorExpressions
+          .dotI64(slice($"eq", 1, d), slice($"q_eq", 1, d)).cast("double") /
+          (sqrt(nx.cast("double")) * sqrt(ny.cast("double"))))
+        .otherwise(lit(-2.0)).as(s"cos$d")
+    }
     val scored = e.crossJoin(broadcast(qs)).filter($"vec_id" =!= $"q_id")
       .select(Seq($"q_id", $"vec_id") ++ TruncDims.map(cosAt): _*)
     // one exchange on q_id, one sort per cut — the stack unpivot runs
@@ -2037,9 +2046,10 @@ object SimilarityOps {
     }.mkString(",\n       ")
     val rnks = TruncDims.map { d =>
       s"""row_number() OVER (PARTITION BY q_id
-         |           ORDER BY CAST(dot$d AS DOUBLE)
-         |             / (sqrt(CAST(nx$d AS DOUBLE)) * sqrt(CAST(ny$d AS DOUBLE)))
-         |             DESC, vec_id) AS rnk$d""".stripMargin
+         |           ORDER BY CASE WHEN nx$d > 0 AND ny$d > 0
+         |             THEN CAST(dot$d AS DOUBLE)
+         |               / (sqrt(CAST(nx$d AS DOUBLE)) * sqrt(CAST(ny$d AS DOUBLE)))
+         |             ELSE -2.0 END DESC, vec_id) AS rnk$d""".stripMargin
     }.mkString(",\n         ")
     val unpiv = TruncDims.map { d =>
       s"SELECT CAST($d AS BIGINT) AS dim, q_id, vec_id FROM r WHERE rnk$d <= 10"

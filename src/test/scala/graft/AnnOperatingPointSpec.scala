@@ -47,7 +47,10 @@ class AnnOperatingPointSpec extends AnyFunSuite {
     val dir = TestSpark.scratch("trunc-dims")
     val rnd = new scala.util.Random(7)
     val vecs = (0 until 40).map { i =>
-      (i.toLong, i % 10, Array.fill(64)(rnd.nextGaussian().toFloat))
+      val e =
+        if (i == 3) Array.tabulate(64)(j => if (j == 63) 1.0f else 0.0f)
+        else Array.fill(64)(rnd.nextGaussian().toFloat)
+      (i.toLong, i % 10, e)
     }
     vecs.toDF("vec_id", "label", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
@@ -56,9 +59,13 @@ class AnnOperatingPointSpec extends AnyFunSuite {
       id -> e.map(x => math.round(x.toDouble * 1000))
     }.toMap
     def cos(a: Array[Long], b: Array[Long], d: Int): Double = {
-      val dot = (0 until d).map(i => a(i) * b(i)).sum.toDouble
-      dot / (math.sqrt((0 until d).map(i => a(i) * a(i)).sum.toDouble) *
-        math.sqrt((0 until d).map(i => b(i) * b(i)).sum.toDouble))
+      val na = (0 until d).map(i => a(i) * a(i)).sum
+      val nb = (0 until d).map(i => b(i) * b(i)).sum
+      if (na == 0 || nb == 0) -2.0 // the operator's zero-norm-prefix rule
+      else {
+        val dot = (0 until d).map(i => a(i) * b(i)).sum.toDouble
+        dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      }
     }
     def top10(q: Long, d: Int): Set[Long] =
       (0L until 40L).filter(_ != q)

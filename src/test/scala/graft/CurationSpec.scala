@@ -58,6 +58,45 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(_._6).sum == 60L)
   }
 
+  test("balanced shards: equals global descending round-robin; beats hash on planted skew") {
+    // 1 giant doc + 15 small: hash sharding lands the giant wherever its
+    // digest says and paces that shard 20x the rest; descending
+    // round-robin spreads by construction. Expected ledgers recomputed
+    // here independently (sort desc, idx % K; md5 fold for the baseline).
+    val texts = ("g " * 79).trim +: (1 to 15).map(i => s"s$i a b c").toList
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "src", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val words = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t.split(" ").length.toLong)
+    }
+    val balExp = words.sortBy { case (id, w) => (-w, id) }.zipWithIndex
+      .map { case ((id, w), idx) => (idx % 8, id, w) }
+      .groupBy(_._1).map { case (s, rs) =>
+        s.toLong -> (rs.size.toLong, rs.map(_._3).sum)
+      }
+    def hashShard(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"gs|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 8
+    }
+    val hashExp = words.groupBy { case (id, _) => hashShard(id) }
+      .map { case (s, rs) => s -> (rs.size.toLong, rs.map(_._2).sum) }
+
+    val out = CurationOps.balancedShards(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    out.foreach { case (s, bd, bt, hd, ht) =>
+      assert((bd, bt) == balExp.getOrElse(s, (0L, 0L)), s"bal shard $s")
+      assert((hd, ht) == hashExp.getOrElse(s, (0L, 0L)), s"hash shard $s")
+    }
+    assert(out.map(_._3).sum == out.map(_._5).sum) // same corpus, both layouts
+    val balSpread = out.map(_._3).max - out.map(_._3).min
+    val hashSpread = out.map(_._5).max - out.map(_._5).min
+    assert(balSpread < hashSpread,
+      s"planted skew must separate the layouts: bal=$balSpread hash=$hashSpread")
+  }
+
   test("mixture weights: sqrt temperature, max-relative, exact ppm shares") {
     // head source 16 tokens, mid 4, tail 1 → shares 16/21, 4/21, 1/21;
     // temp weights sqrt(16/16)=1, sqrt(4/16)=0.5, sqrt(1/16)=0.25 and

@@ -940,6 +940,60 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q185 unified excision: a remainder that survives each remover alone dies against the union") {
+    // doc 11 = dup run (r1..r5, owned by doc 10) + 2-token gap + the
+    // benchmark trigram. Against q180 alone its 5-token tail
+    // "y1 y2 x1 x2 x3" clears MinFragTokens; against q182 alone its
+    // 7-token head clears it; against BOTH, the remainder collapses to
+    // the 2-token gap and drops — only the union ledger prices this.
+    val docs = Seq(
+      (0L, "x1 x2 x3", "en", "src", 1L),
+      (10L, "r1 r2 r3 r4 r5 x1 x2 x3 s1 s2 s3 s4 s5", "en", "src", 1L),
+      (11L, "r1 r2 r3 r4 r5 y1 y2 x1 x2 x3", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.DedupOps.unifiedExcise(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(out == List(
+      (10L, 13L, 3L, 10L, 0L, 2L, 10.0 / 13.0),
+      (11L, 10L, 8L, 0L, 2L, 0L, 0.0)))
+    // the single-source removers each keep a piece of doc 11
+    val dupOnly = operators.DedupOps
+      .spanExcise(docs.filter($"doc_id" >= 10L))
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .find(_._1 == 11L).get
+    assert(dupOnly._4 == 5L) // q180 alone keeps the 5-token tail
+    val decontamOnly = operators.DedupOps.decontamExcise(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .find(_._1 == 11L).get
+    assert(decontamOnly._4 == 7L) // q182 alone keeps the 7-token head
+  }
+
+  test("q185 unified excision: degenerates to q180 without a panel and to q182 without dups") {
+    // no benchmark docs → unified == spanExcise on the same corpus
+    val dupDocs = Seq(
+      (10L, ((1 to 10).map(i => s"b$i") ++ (1 to 10).map(i => s"a$i")).mkString(" "), "en", "src", 1L),
+      (11L, ((1 to 10).map(i => s"b$i") ++ (1 to 10).map(i => s"z$i")).mkString(" "), "en", "src", 1L),
+      (12L, "w1 w2 w3 w4", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val uniA = operators.DedupOps.unifiedExcise(dupDocs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList
+    val spanA = operators.DedupOps.spanExcise(dupDocs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(uniA == spanA)
+    // no cross-corpus dups → unified == decontamExcise
+    val benchDocs = Seq(
+      (0L, "e1 e2 e3 e4 e5", "en", "src", 1L),
+      (10L, (Seq("e2", "e3", "e4") ++ (1 to 8).map(i => s"n$i")).mkString(" "), "en", "src", 1L),
+      (11L, (1 to 6).map(i => s"v$i").mkString(" "), "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val uniB = operators.DedupOps.unifiedExcise(benchDocs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList
+    val deconB = operators.DedupOps.decontamExcise(benchDocs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(uniB == deconB)
+    assert(uniB.exists(r => r._1 == 10L && r._3 == 3L)) // the cut is live
+  }
+
   test("q172 dup-span coverage: planted shared run covered exactly, unique doc zero") {
     // docA = a1..a20; docB embeds a1..a10 at positions 6..15; docC unique.
     // Every 5-window fully inside the shared run is cross-doc duplicated:
