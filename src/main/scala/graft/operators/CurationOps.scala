@@ -1034,6 +1034,101 @@ object CurationOps {
       |FROM ps CROSS JOIN t
       |ORDER BY n_tokens DESC, source""".stripMargin
 
+  /** q187: pack the EXCISED corpus — the stage q181's fragments exist to
+    * feed, composed end to end: dup-span excision (q180/q181 semantics,
+    * first-owner keeps, min-fragment floor) followed by q66's
+    * concatenate-and-split packing into [[PackWindow]]-token training
+    * windows, per source in (doc_id, start_pos) order. Per fragment:
+    * its packed-stream offset and the window span it lands in. The
+    * composition is the point — whole-doc packing (q66) over-counts by
+    * exactly the excised mass, and this ledger prices the REAL
+    * post-dedup training stream (Σ per-source offsets+tokens = kept
+    * tokens, never raw tokens).
+    *
+    * Scale shape: the fragment-interval frame is q181's (digests and
+    * interval endpoints on every shuffle — text never moves here, not
+    * even once: packing needs only lengths); the offset window
+    * partitions by source exactly like q66.
+    */
+  def q187ExcisedPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val toks = docs.select($"doc_id", split($"text", " ").as("t"))
+    val frags = DedupOps.exciseFragIntervals(toks)
+    val w = Window.partitionBy($"source").orderBy($"doc_id", $"start_pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    frags.join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .withColumn("start_off", coalesce(sum($"frag_tokens").over(w), lit(0L)))
+      .select($"source", $"doc_id", $"start_pos", $"frag_tokens", $"start_off",
+        expr(s"start_off div $PackWindow").as("window_start"),
+        expr(s"(start_off + frag_tokens - 1) div $PackWindow").as("window_end"))
+      .orderBy($"source", $"doc_id", $"start_pos")
+  }
+
+  /** DuckDB twin: q181's fragment-interval pipeline (no text slice) +
+    * q66's offset/window arithmetic per source.
+    */
+  val q187Sql: String = {
+    val spanN = DedupOps.SpanN
+    val minFrag = DedupOps.MinFragTokens
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       |win AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |         md5(array_to_string(t[i:i+${spanN - 1}], ' ')) AS g
+       |  FROM toks, unnest(range(1, len(t) - ${spanN - 2})) AS u(i)
+       |  WHERE len(t) >= $spanN),
+       |own AS (SELECT g, min(doc_id) AS first_doc FROM win GROUP BY g),
+       |exc AS (SELECT win.doc_id, pos FROM win JOIN own USING (g)
+       |        WHERE first_doc < win.doc_id),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    coalesce(max(pos + ${spanN - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+       |  FROM exc),
+       |i2 AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN pos > prev_end + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM m),
+       |isl AS (
+       |  SELECT doc_id, isl, min(pos) AS s, max(pos) + ${spanN - 1} AS e
+       |  FROM i2 GROUP BY 1, 2),
+       |mid AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+       |      AS start_pos,
+       |    s - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) - 1
+       |      AS frag_tokens
+       |  FROM isl),
+       |tl AS (
+       |  SELECT t.doc_id, coalesce(last_e, 0) + 1 AS start_pos,
+       |         CAST(len(t.t) AS BIGINT) - coalesce(last_e, 0) AS frag_tokens
+       |  FROM toks t LEFT JOIN
+       |    (SELECT doc_id, max(e) AS last_e FROM isl GROUP BY 1) li
+       |    USING (doc_id)),
+       |fr AS (
+       |  SELECT * FROM mid WHERE frag_tokens >= $minFrag
+       |  UNION ALL
+       |  SELECT * FROM tl WHERE frag_tokens >= $minFrag),
+       |o AS (
+       |  SELECT d.source, f.doc_id, CAST(f.start_pos AS BIGINT) AS start_pos,
+       |         CAST(f.frag_tokens AS BIGINT) AS frag_tokens,
+       |         CAST(coalesce(sum(f.frag_tokens) OVER (
+       |           PARTITION BY d.source ORDER BY f.doc_id, f.start_pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS start_off
+       |  FROM fr f JOIN (SELECT doc_id, source FROM documents) d
+       |    USING (doc_id))
+       |SELECT source, doc_id, start_pos, frag_tokens, start_off,
+       |       start_off // $PackWindow AS window_start,
+       |       (start_off + frag_tokens - 1) // $PackWindow AS window_end
+       |FROM o
+       |ORDER BY source, doc_id, start_pos""".stripMargin
+  }
+
   /** q186: token-BALANCED shard layout vs hash sharding — the layout
     * question q72 leaves open: hash sharding equalizes DOC counts, but
     * training steps are paced by TOKENS, so a token-skewed corpus gives
@@ -1224,6 +1319,9 @@ object CurationOps {
     Q("q186_balanced_shards", q186BalancedShards, Some(q186Sql),
       Seq("X-curation", "X-scale"),
       "token-balanced shard layout vs q72's hash baseline: descending round-robin without a global window"),
+    Q("q187_excised_pack", q187ExcisedPack, Some(q187Sql),
+      Seq("X-curation", "X-dedup", "X-scale"),
+      "pack the excised corpus: q181's fragments through q66's window math — the real post-dedup training stream"),
     Q("q179_mixture_weights", q179MixtureWeights, Some(q179Sql),
       Seq("X-curation", "X-sample", "X-scale"),
       "temperature (alpha=0.5) mixture weights from measured token mass: sqrt-tempered, max-relative"),

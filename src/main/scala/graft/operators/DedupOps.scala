@@ -2340,10 +2340,14 @@ object DedupOps {
   def q181ExciseFragments(spark: SparkSession, dir: String): DataFrame =
     exciseFragments(Tables(spark, dir).documents)
 
-  private[graft] def exciseFragments(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
+  /** Fragment INTERVALS of the excised corpus (doc_id, start_pos,
+    * frag_tokens — q180/q181 semantics: first-owner dup spans,
+    * [[MinFragTokens]] floor). q181 slices text onto these; q187 packs
+    * them into training windows without ever moving text.
+    */
+  private[graft] def exciseFragIntervals(toks: DataFrame): DataFrame = {
+    import toks.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select($"doc_id", split($"text", " ").as("t"))
     val islands = excisionIslands(toks)
     val byStart = Window.partitionBy($"doc_id").orderBy($"s")
     // gap BEFORE each island (lag default 0 covers the head), plus the
@@ -2361,8 +2365,14 @@ object DedupOps {
       .select($"doc_id",
         (coalesce($"last_e", lit(0L)) + 1L).as("start_pos"),
         ($"n_tokens" - coalesce($"last_e", lit(0L))).as("frag_tokens"))
-    val frags = mid.unionAll(tail).filter($"frag_tokens" >= MinFragTokens)
-    frags
+    mid.unionAll(tail).filter($"frag_tokens" >= MinFragTokens)
+  }
+
+  private[graft] def exciseFragments(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select($"doc_id", split($"text", " ").as("t"))
+    exciseFragIntervals(toks)
       .join(toks, Seq("doc_id"))
       .select($"doc_id",
         row_number().over(Window.partitionBy($"doc_id").orderBy($"start_pos"))
@@ -2676,7 +2686,134 @@ object DedupOps {
       |FROM fin
       |ORDER BY doc_id""".stripMargin
 
+  /** The benchmark panel's OLD half for the incremental scenario: q49's
+    * original 5-doc line. q188 treats docs 5..[[BenchPanel]]-1 as the
+    * newly-landed benchmark suite.
+    */
+  private[graft] val OldBenchPanel = 5L
+
+  /** q188: INCREMENTAL decontamination — what happens when a NEW
+    * benchmark suite lands (panel grows [[OldBenchPanel]] →
+    * [[BenchPanel]]): re-excise only what can have changed, not the
+    * corpus. The pruning claim is structural: new_grams ⊆ old_grams ∪
+    * delta_grams, so a doc containing no DELTA gram keeps its exact old
+    * islands — only delta-touched docs are recomputed (delta gram set
+    * broadcasts; candidate set is contamination-sized, not
+    * corpus-sized). Output: the changed docs' old/new ledgers
+    * (excised/kept before and after, delta).
+    *
+    * The DuckDB twin deliberately takes the OTHER route — full
+    * old-vs-new ledger recompute over the whole corpus, diffed — so the
+    * oracle gate PROVES the pruned path misses nothing (same rows or
+    * hash-fail). A delta window landing inside an already-excised
+    * island changes neither ledger; such docs are computed and
+    * correctly emit no row on both paths.
+    */
+  def q188IncrementalDecontam(spark: SparkSession, dir: String): DataFrame =
+    incrementalDecontam(Tables(spark, dir).documents)
+
+  private[graft] def incrementalDecontam(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ctoks = docs.filter($"doc_id" >= BenchPanel)
+      .select($"doc_id", split($"text", " ").as("t"))
+    def panelGrams(lo: Long, hi: Long): DataFrame =
+      windowGrams(docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .select($"doc_id", split($"text", " ").as("t")), DecontamN)
+        .select($"g").distinct()
+    val gOld = panelGrams(0L, OldBenchPanel)
+    val gDelta = panelGrams(OldBenchPanel, BenchPanel)
+      .join(gOld, Seq("g"), "left_anti")
+    val cwin = windowGrams(ctoks, DecontamN)
+    val touched = cwin.join(broadcast(gDelta), Seq("g"))
+      .select($"doc_id").distinct()
+    val cand = ctoks.join(broadcast(touched), Seq("doc_id"), "left_semi")
+    def ledgerVs(bwin: DataFrame): DataFrame = {
+      val exc = windowGrams(cand, DecontamN)
+        .join(broadcast(bwin), Seq("g"))
+        .select($"doc_id", $"pos")
+      excisionLedger(cand, islandsOf(exc, DecontamN))
+    }
+    val old = ledgerVs(gOld).select($"doc_id",
+      $"excised_tokens".as("excised_old"), $"kept_tokens".as("kept_old"))
+    val nw = ledgerVs(gOld.unionAll(gDelta)).select($"doc_id",
+      $"excised_tokens".as("excised_new"), $"kept_tokens".as("kept_new"))
+    old.join(nw, Seq("doc_id"))
+      .filter($"excised_old" =!= $"excised_new" || $"kept_old" =!= $"kept_new")
+      .select($"doc_id", $"excised_old", $"excised_new",
+        ($"excised_new" - $"excised_old").as("delta_excised"),
+        $"kept_old", $"kept_new")
+      .orderBy($"doc_id")
+  }
+
+  /** One decontam-ledger CTE chain for the q188 twin, parameterized by
+    * prefix and panel bound — the FULL-corpus recompute (no pruning).
+    */
+  private def ledgerCtes(p: String, panel: Long): String =
+    s"""${p}bw AS (
+      |  SELECT DISTINCT md5(array_to_string(t[i:i+${DecontamN - 1}], ' ')) AS g
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents
+      |        WHERE doc_id < $panel) b,
+      |       unnest(range(1, len(t) - ${DecontamN - 2})) AS u(i)
+      |  WHERE len(t) >= $DecontamN),
+      |${p}exc AS (SELECT win.doc_id, pos FROM win JOIN ${p}bw USING (g)),
+      |${p}m AS (
+      |  SELECT doc_id, pos,
+      |    coalesce(max(pos + ${DecontamN - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+      |  FROM ${p}exc),
+      |${p}i2 AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN pos > prev_end + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM ${p}m),
+      |${p}isl AS (
+      |  SELECT doc_id, isl, min(pos) AS s, max(pos) + ${DecontamN - 1} AS e
+      |  FROM ${p}i2 GROUP BY 1, 2),
+      |${p}fr AS (
+      |  SELECT doc_id, s, e,
+      |    s - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) - 1
+      |      AS headfrag
+      |  FROM ${p}isl),
+      |${p}pd AS (
+      |  SELECT doc_id,
+      |    CAST(sum(e - s + 1) AS BIGINT) AS excised_raw,
+      |    CAST(sum(CASE WHEN headfrag >= $MinFragTokens THEN headfrag ELSE 0 END)
+      |      AS BIGINT) AS kept_mid,
+      |    CAST(max(e) AS BIGINT) AS last_e
+      |  FROM ${p}fr GROUP BY 1),
+      |${p}led AS (
+      |  SELECT t.doc_id,
+      |    coalesce(excised_raw, CAST(0 AS BIGINT)) AS excised,
+      |    coalesce(kept_mid, CAST(0 AS BIGINT))
+      |      + CASE WHEN CAST(len(t.t) AS BIGINT) - coalesce(last_e, CAST(0 AS BIGINT))
+      |               >= $MinFragTokens
+      |             THEN CAST(len(t.t) AS BIGINT) - coalesce(last_e, CAST(0 AS BIGINT))
+      |             ELSE CAST(0 AS BIGINT) END AS kept
+      |  FROM toks t LEFT JOIN ${p}pd USING (doc_id))""".stripMargin
+
+  val q188Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id >= $BenchPanel),
+      |win AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         md5(array_to_string(t[i:i+${DecontamN - 1}], ' ')) AS g
+      |  FROM toks, unnest(range(1, len(t) - ${DecontamN - 2})) AS u(i)
+      |  WHERE len(t) >= $DecontamN),
+      |${ledgerCtes("o_", OldBenchPanel)},
+      |${ledgerCtes("n_", BenchPanel)}
+      |SELECT o.doc_id, o.excised AS excised_old, n.excised AS excised_new,
+      |  n.excised - o.excised AS delta_excised,
+      |  o.kept AS kept_old, n.kept AS kept_new
+      |FROM o_led o JOIN n_led n USING (doc_id)
+      |WHERE o.excised <> n.excised OR o.kept <> n.kept
+      |ORDER BY o.doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q188_incremental_decontam", q188IncrementalDecontam, Some(q188Sql),
+      Seq("X-dedup", "X-scale"),
+      "incremental decontam: delta-gram-pruned re-excision when a new benchmark lands; twin is the full recompute"),
     Q("q185_unified_excise", q185UnifiedExcise, Some(q185Sql),
       Seq("X-dedup", "X-scale"),
       "unified excision: dup spans + benchmark spans cut in ONE rewrite pass, interval-unioned before fragment accounting"),

@@ -994,6 +994,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(uniB.exists(r => r._1 == 10L && r._3 == 3L)) // the cut is live
   }
 
+  test("q188 incremental decontam: only delta-touched changed docs emit; old-only and clean docs stay silent") {
+    // doc 0 = old benchmark, doc 5 = the newly-landed suite. doc 10 is
+    // newly contaminated (0→3 excised); doc 11 was already excised by
+    // the OLD panel and the delta doesn't touch it — no row; doc 12's
+    // old island EXTENDS (adjacent b-window merges in, [1,3]→[1,6]);
+    // doc 13 is clean.
+    val docs = Seq(
+      (0L, "a1 a2 a3", "en", "src", 1L),
+      (5L, "b1 b2 b3", "en", "src", 1L),
+      (10L, "b1 b2 b3 n1 n2 n3 n4", "en", "src", 1L),
+      (11L, "a1 a2 a3 m1 m2 m3", "en", "src", 1L),
+      (12L, "a1 a2 a3 b1 b2 b3 t1 t2 t3", "en", "src", 1L),
+      (13L, "u1 u2 u3 u4 u5", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.DedupOps.incrementalDecontam(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      (10L, 0L, 3L, 3L, 7L, 4L),
+      (12L, 3L, 6L, 3L, 6L, 3L)))
+  }
+
+  test("q187-adjacent: fragment intervals reconcile with the q180 ledger on the excised corpus") {
+    // exciseFragIntervals is q187's (and q181's) shared core: per doc,
+    // Σ frag_tokens must equal q180's kept_tokens on any fixture.
+    val boiler = (1 to 10).map(i => s"b$i")
+    val docs = Seq(
+      (0L, (boiler ++ (1 to 10).map(i => s"a$i")).mkString(" "), "en", "src", 1L),
+      (1L, (boiler ++ (1 to 4).map(i => s"z$i")).mkString(" "), "en", "src", 1L),
+      (2L, "y1 y2", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val toks = docs.select($"doc_id", split($"text", " ").as("t"))
+    val frags = operators.DedupOps.exciseFragIntervals(toks)
+      .as[(Long, Long, Long)].collect().toList
+    val ledger = operators.DedupOps.spanExcise(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList
+    ledger.foreach { case (id, _, _, kept, _, _, _) =>
+      assert(frags.filter(_._1 == id).map(_._3).sum == kept, s"doc $id")
+    }
+  }
+
   test("q172 dup-span coverage: planted shared run covered exactly, unique doc zero") {
     // docA = a1..a20; docB embeds a1..a10 at positions 6..15; docC unique.
     // Every 5-window fully inside the shared run is cross-doc duplicated:
