@@ -8,6 +8,11 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // Test-only JDBC engine for the PG-dialect round-trip leg of
+  // ExternalIoSpec (float4→float8 widening, TIMESTAMP/DATE round-trip —
+  // the reference warehouse is Postgres); resolves from the same
+  // pre-warmed offline cache as the test frameworks.
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0" % Test,
 )
 Test / fork := true
 run / fork := true

@@ -19,9 +19,14 @@ import org.apache.spark.sql.SparkSession
   * artifact was taken on a ~3-core-loaded host and could not say so about
   * itself): the run loads the newest tracked per-query anchor
   * (`PERF_anchor_r*.json`, override via SPARK_GRAFT_BENCH_ANCHOR), stamps
-  * its own `anchor_ratio` (median per-query ratio vs the anchor) and
-  * `movers` (queries past the 1.5×anchor+0.5s bar), and emits a
-  * quiet/hot `host_verdict`. When the anchor comparison actually
+  * its own `anchor_ratio` (median per-query ratio vs the anchor) and a
+  * spread-aware mover split (r15 verdict order 2): `movers` are queries
+  * whose MIN rep crosses the 1.5×anchor+0.5s bar (all reps slow — a code
+  * property), `suspects` those whose median crosses but whose best rep
+  * ran at anchor speed (pass-local contention). Both appear with raw rep
+  * walls in the final `adjudication` field, and every query's raw walls
+  * are emitted (`rep_walls` on the full line, `rep_detail` in
+  * target/bench_full.json). It also emits a quiet/hot `host_verdict`. When the anchor comparison actually
   * PRODUCED a ratio (anchor_ratio > 0) it DECIDES: hot iff anchor_ratio
   * exceeds [[Bench.HotAnchorRatio]] — the uniform-inflation signature
   * of ambient load on an unchanged tree. Without a computed ratio
@@ -50,7 +55,7 @@ object Bench {
     case _ => -1.0
   }
 
-  private def jArr(xs: Seq[Double]): String =
+  private[graft] def jArr(xs: Seq[Double]): String =
     xs.map(x => f"$x%.2f").mkString("[", ",", "]")
 
   /** 5-MIN loadavg above this before the run starts ⇒ ambient load is
@@ -127,6 +132,38 @@ object Bench {
       case (name, s, a) if s > 1.5 * a + 0.5 => name -> s / a
     }.sortBy(-_._2)
     (ratio, movers)
+  }
+
+  /** Spread-aware mover adjudication (r15 verdict order 2 — the r15
+    * driver/closing mover discrepancy was un-adjudicable from medians
+    * alone). Given each query's raw per-rep walls, a query whose MEDIAN
+    * crosses the 1.5×anchor+0.5s bar splits into:
+    *   - a **mover** (real regression) only when its MIN rep also crosses
+    *     the bar — all N interleaved reps slow is a plan/code property;
+    *     one-pass ambient contention cannot produce it;
+    *   - otherwise a **suspect** — ≥1 rep ran at anchor speed, so the
+    *     median was dragged by contention in specific passes (the r13 and
+    *     r15 shapes: every flagged query's min-rep sat at its anchor
+    *     value). Suspects are recorded with their full rep walls so the
+    *     artifact adjudicates itself.
+    * Queries absent from the anchor or with no successful reps contribute
+    * to neither. Both lists sort slowest-ratio (of medians) first.
+    */
+  private[graft] def moverSplitOf(repWalls: Seq[(String, Seq[Double])],
+      anchor: Map[String, Double])
+      : (Seq[(String, Double)], Seq[(String, Double)]) = {
+    def bar(a: Double) = 1.5 * a + 0.5
+    val joined = repWalls.collect {
+      case (name, ws) if ws.nonEmpty && anchor.get(name).exists(_ > 0) =>
+        (name, median(ws), ws.min, anchor(name))
+    }
+    val movers = joined.collect {
+      case (n, m, mn, a) if mn > bar(a) => n -> m / a
+    }.sortBy(-_._2)
+    val suspects = joined.collect {
+      case (n, m, mn, a) if m > bar(a) && mn <= bar(a) => n -> m / a
+    }.sortBy(-_._2)
+    (movers, suspects)
   }
 
   /** Verdict decision, factored for BenchSpec: (hot_host, host_verdict).
@@ -283,8 +320,14 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     val anchorF = if (sfName == "sf0.1" && only.isEmpty) anchorFile else None
     val anchor = anchorF.map(anchorMap).getOrElse(Map.empty)
-    val (anchorRatio, movers) = anchorStats(
+    val (anchorRatio, _) = anchorStats(
       results.collect { case (name, secs, None) => name -> secs }, anchor)
+    // mover/suspect split consults the raw rep spread, not just medians
+    // (r15 verdict order 2): only an all-reps-slow query is a mover.
+    val (movers, suspects) = moverSplitOf(
+      selected.zipWithIndex.collect {
+        case ((name, _), i) if errAt(i).isEmpty => name -> wall(i).toSeq
+      }, anchor)
     val hotByLoad = load5m(loadStart).exists(_ > HotLoad)
     // When the anchor comparison exists it DECIDES: the measured
     // per-query ratio on an unchanged tree is ground truth, while the
@@ -313,9 +356,24 @@ object Bench {
     val moversJson = movers
       .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
+    val suspectsJson = suspects
+      .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    // movers+suspects with their raw walls and anchor value — bounded
+    // (usually 0–2 entries), placed on the FINAL compact line so the
+    // adjudication evidence survives the driver's stdout tail window
+    // even when the full per-query maps are truncated away.
+    val idxOf = selected.zipWithIndex.map { case ((n, _), i) => n -> i }.toMap
+    val adjJson = (movers.map((_, "mover")) ++ suspects.map((_, "suspect")))
+      .map { case ((n, r), kind) =>
+        "\"" + n + "\":{\"kind\":\"" + kind + "\"" + f""","ratio":$r%.2f""" +
+          ",\"walls\":" + jArr(wall(idxOf(n)).toSeq) +
+          f""","anchor":${anchor.getOrElse(n, -1.0)}%.2f}"""
+      }.mkString("{", ",", "}")
     val anchorField =
       s""","anchor":"$anchorName"""" +
         f""","anchor_ratio":$anchorRatio%.3f,"n_movers":${movers.size}""" +
+        s""","n_suspects":${suspects.size}""" +
         s""","hot_host":$hotHost,"load_hot":$hotByLoad""" +
         s""","host_verdict":"$hostVerdict","cooldown":$cooldown"""
     val loadField =
@@ -323,7 +381,13 @@ object Bench {
         s""","pass_loads":${passLoads.map(jArr).mkString("[", ",", "]")}""" +
         f""","cpu_wall_ratio":$cpuWall%.2f,"reps":$reps,"interleaved":true""" +
         anchorField
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"movers":$moversJson$loadField,"sf":"$sfDir"}"""
+    // per-query raw rep walls, ascending by median like `queries`, so the
+    // slowest queries' spreads land inside the driver's stdout tail
+    // window (r15 verdict order 2: medians alone were un-adjudicable)
+    val repWallsJson = results.sortBy(_._2)
+      .map { case (k, _, _) => "\"" + k + "\":" + jArr(wall(idxOf(k)).toSeq) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_walls":$repWallsJson$errField,"movers":$moversJson,"suspects":$suspectsJson$loadField,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture truncates long output (BENCH_r07 lost 70
     // of 134 per-query numbers that way) — persist the complete line to a
@@ -354,7 +418,7 @@ object Bench {
     // window — r7/r9 both recorded parsed:null that way. A short last
     // line always survives a tail whole; the full per-query evidence
     // lives in the line above and in target/bench_full*.json.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$failedField$loadField,"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$failedField,"adjudication":$adjJson$loadField,"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
     if (errs.nonEmpty) sys.exit(1)
   }
 }

@@ -347,6 +347,14 @@ object CurationOps {
     */
   private val NumShards = 8L
 
+  /** Sub-bucket fan-out for q186's tie-rank window (ADVICE r15): bounds
+    * any one window partition at ~(largest same-length population)/64
+    * even when one word count dominates the corpus. Scale with cluster
+    * parallelism; the (lengths × buckets) offset ledger stays broadcast-
+    * tiny at any realistic setting.
+    */
+  private val RankBuckets = 64L
+
   def q72GlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val byShard = org.apache.spark.sql.expressions.Window
@@ -1139,12 +1147,23 @@ object CurationOps {
     *
     * The global sort-desc round-robin is computed WITHOUT a global
     * window: docs with the SAME token count are interchangeable for
-    * balance, so ranking partitions by exact count (bounded by the
-    * per-length population) and each count-group's round-robin offset
-    * comes from the tiny distinct-lengths ledger (cumulative count of
-    * heavier groups, mod K). The two layout ledgers then roll up from
-    * ONE (bal_shard × hash_shard) aggregate — ≤ K² rows published once
-    * — so the corpus contributes one aggregation pass, not two.
+    * balance, so ranking partitions by (exact count × a doc_id-hash
+    * sub-bucket of [[RankBuckets]]) and each cell's round-robin offset
+    * comes from the tiny (lengths × buckets) ledger (cumulative count of
+    * cells earlier in the global descending order, mod K). The
+    * sub-bucket matters under realistic skew (ADVICE r15): a
+    * length-clipped corpus concentrates most docs on ONE word count, and
+    * a plain partition-by-count window would funnel that entire
+    * population through a single straggler partition — bucketing bounds
+    * every window partition by ~group/[[RankBuckets]] regardless of the
+    * length distribution. The output is EXACTLY the unbucketed layout's:
+    * a cell's docs occupy the same global rank range either way, and
+    * both emitted ledgers are marginals that are invariant to which
+    * same-length doc takes which rank. The two layout ledgers then roll
+    * up from ONE (bal_shard × hash_shard) aggregate — ≤ K² rows
+    * published once — so the corpus contributes one aggregation pass,
+    * not two. At cluster scale, raise [[RankBuckets]] with parallelism;
+    * the ledger stays ≤ lengths×buckets rows, far under broadcast size.
     */
   def q186BalancedShards(spark: SparkSession, dir: String): DataFrame =
     balancedShards(Tables(spark, dir).documents)
@@ -1155,17 +1174,23 @@ object CurationOps {
     val d = docs.select($"doc_id",
       TextOps.wordCount($"text").as("n_words"),
       (conv(substring(md5(concat(lit("gs|"), $"doc_id".cast("string"))), 1, 8),
-        16, 10).cast("long") % NumShards).as("hash_shard"))
-    val wCnt = Window.partitionBy($"n_words").orderBy($"doc_id")
+        16, 10).cast("long") % NumShards).as("hash_shard"),
+      // skew guard: same-length docs are interchangeable, so the rank
+      // window sub-partitions by a salted doc_id hash — no single window
+      // partition absorbs a dominant word count (ADVICE r15)
+      (conv(substring(md5(concat(lit("gb|"), $"doc_id".cast("string"))), 1, 8),
+        16, 10).cast("long") % RankBuckets).as("bkt"))
+    val wCnt = Window.partitionBy($"n_words", $"bkt").orderBy($"doc_id")
     val ranked = d.withColumn("rn", row_number().over(wCnt).cast("long"))
-    // distinct-lengths ledger: offset of each count-group in the global
-    // descending order (a narrow second scan; the ledger itself is tiny)
-    val offs = d.groupBy($"n_words").agg(count(lit(1)).as("cnt"))
+    // (length × bucket) ledger: offset of each cell in the global
+    // descending-length order (a narrow second scan; the ledger itself is
+    // tiny — ≤ distinct-lengths × RankBuckets rows)
+    val offs = d.groupBy($"n_words", $"bkt").agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(
-        sum($"cnt").over(Window.orderBy($"n_words".desc)
+        sum($"cnt").over(Window.orderBy($"n_words".desc, $"bkt".asc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"n_words", $"off")
-    val assigned = ranked.join(broadcast(offs), Seq("n_words"))
+      .select($"n_words", $"bkt", $"off")
+    val assigned = ranked.join(broadcast(offs), Seq("n_words", "bkt"))
       .withColumn("bal_shard", ($"off" + $"rn" - 1L) % NumShards)
     val cross = assigned
       .groupBy($"bal_shard", $"hash_shard")

@@ -2145,15 +2145,17 @@ object DedupOps {
     * q182 at [[DecontamN]]). Text bodies never leave the scan; every
     * downstream shuffle carries 32-char digests and positions.
     */
-  private[graft] def windowGrams(toks: DataFrame, n: Int): DataFrame = {
+  private[graft] def windowGrams(toks: DataFrame, n: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     import toks.sparkSession.implicits._
+    val keep = $"doc_id" +: carry.map(col)
     toks
       .filter(size($"t") >= n)
-      .select($"doc_id", expr(
+      .select(keep :+ expr(
         s"""explode(transform(sequence(1, size(t) - ${n - 1}),
            |  i -> named_struct('pos', CAST(i AS BIGINT),
-           |                    'g', md5(concat_ws(' ', slice(t, i, $n))))))""".stripMargin).as("w"))
-      .select($"doc_id", $"w.pos".as("pos"), $"w.g".as("g"))
+           |                    'g', md5(concat_ws(' ', slice(t, i, $n))))))""".stripMargin).as("w"): _*)
+      .select(keep ++ Seq($"w.pos".as("pos"), $"w.g".as("g")): _*)
   }
 
   /** Interval union of excised n-token window STARTS into disjoint
@@ -2720,22 +2722,50 @@ object DedupOps {
       windowGrams(docs.filter($"doc_id" >= lo && $"doc_id" < hi)
         .select($"doc_id", split($"text", " ").as("t")), DecontamN)
         .select($"g").distinct()
-    val gOld = panelGrams(0L, OldBenchPanel)
+    // gOld feeds THREE consumers (the delta anti-join, the old-panel
+    // ledger, and the unioned new-panel ledger) — publish once instead of
+    // re-deriving the old panel's gram set per consumer (ADVICE r15)
+    val gOld = panelGrams(0L, OldBenchPanel).ckpt()
     val gDelta = panelGrams(OldBenchPanel, BenchPanel)
       .join(gOld, Seq("g"), "left_anti")
+    decontamStep(ctoks, gOld, gDelta)
+  }
+
+  /** One incremental-decontamination MAINTENANCE STEP, shared by batch
+    * q188 and the streaming twin
+    * ([[graft.streaming.EventsStreaming.runIncrementalDecontam]]): given
+    * the corpus's tokenized frame, the KNOWN benchmark gram set
+    * (everything already decontaminated against) and a freshly-landed
+    * DELTA gram set (already anti-joined against known), emit the
+    * changed docs' old/new excision ledgers. Both gram sets broadcast;
+    * the corpus contributes one window-derivation pass over the
+    * delta-TOUCHED docs only.
+    */
+  private[graft] def decontamStep(ctoks: DataFrame, gKnown: DataFrame,
+      gDelta: DataFrame): DataFrame = {
+    import ctoks.sparkSession.implicits._
     val cwin = windowGrams(ctoks, DecontamN)
     val touched = cwin.join(broadcast(gDelta), Seq("g"))
       .select($"doc_id").distinct()
+    // cand is contamination-sized (delta-touched docs only) and feeds the
+    // window derivation plus both ledgers' fragment accounting — publish
+    // so the corpus parquet scan + semi-join runs once, not three times
     val cand = ctoks.join(broadcast(touched), Seq("doc_id"), "left_semi")
+      .ckpt()
+    // the candidate WINDOW set is the shared subplan of BOTH panel
+    // ledgers — the exact unpublished-shared-subplan pattern q183's
+    // scaladoc records as the r14 lesson (ADVICE r15). Publish once;
+    // each ledgerVs call then only pays its own panel-join + island
+    // chain over the materialized windows.
+    val cwinCand = windowGrams(cand, DecontamN).ckpt()
     def ledgerVs(bwin: DataFrame): DataFrame = {
-      val exc = windowGrams(cand, DecontamN)
-        .join(broadcast(bwin), Seq("g"))
+      val exc = cwinCand.join(broadcast(bwin), Seq("g"))
         .select($"doc_id", $"pos")
       excisionLedger(cand, islandsOf(exc, DecontamN))
     }
-    val old = ledgerVs(gOld).select($"doc_id",
+    val old = ledgerVs(gKnown).select($"doc_id",
       $"excised_tokens".as("excised_old"), $"kept_tokens".as("kept_old"))
-    val nw = ledgerVs(gOld.unionAll(gDelta)).select($"doc_id",
+    val nw = ledgerVs(gKnown.unionAll(gDelta)).select($"doc_id",
       $"excised_tokens".as("excised_new"), $"kept_tokens".as("kept_new"))
     old.join(nw, Seq("doc_id"))
       .filter($"excised_old" =!= $"excised_new" || $"kept_old" =!= $"kept_new")

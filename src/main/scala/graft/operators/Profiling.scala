@@ -1388,13 +1388,18 @@ object Profiling {
     *     why the oracle below is plain exact SQL with no sketch mirror.
     *
     * Output: the pairs where the FD exactly holds, with exact
-    * n_det_values. Kept fully lazy — no plan-build-time action (the
-    * survivor list stays a broadcast frame; at 100 TB you'd collect its
-    * ≤|cols|² rows to prune the stage-2 explode column-wise too).
-    * The row-level shuffle carries only the ~4 surviving pairs' rows —
-    * a 5× shuffle-volume cut vs q160's all-pairs shuffle, the gap that
-    * matters where shuffle IO dominates; see PERF.md for measured sf10
-    * points of both and the crossover discussion.
+    * n_det_values. The ≤|cols|² survivor list is COLLECTED (bounded:
+    * |cols|²−|cols| rows of two short strings — 20 rows here, the
+    * bounded-literal contract) and stage 2's explode array is built
+    * over SURVIVING pairs only (r15 verdict order 3): refuted pairs
+    * never enter the exploded value stream at all, so the per-row
+    * explode multiplier drops from |pairs| to |survivors| (20 → 4 on
+    * this schema) — the map-side row inflation AND the row-level
+    * shuffle both shrink ~5× vs q160's all-pairs stream, and the
+    * broadcast semi-join disappears entirely. That beats the previous
+    * explode-all-then-semi-join form, which still paid the full
+    * |pairs|× explode before filtering. See PERF.md for measured
+    * sf0.1/sf10 points of both and the crossover discussion.
     */
   def q165FdDiscover(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1404,33 +1409,45 @@ object Profiling {
 
   private[graft] def fdDiscoverOf(df: DataFrame, cols: Seq[String]): DataFrame = {
     import df.sparkSession.implicits._
+    val spark = df.sparkSession
     val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
-    val exploded = df
-      .select(cols.map(c => col(c).cast("string").as(c)): _*)
-      .select(explode(array(pairs.map { case (a, b) =>
+    val strs = df.select(cols.map(c => col(c).cast("string").as(c)): _*)
+    def explodeOver(ps: Seq[(String, String)]): DataFrame = strs
+      .select(explode(array(ps.map { case (a, b) =>
         struct(lit(a).as("det"), lit(b).as("dep"),
           col(a).as("det_val"), col(b).as("dep_val"))
       }: _*)).as("p"))
       .select($"p.det", $"p.dep", $"p.det_val", $"p.dep_val")
-    val sketch = exploded.groupBy($"det", $"dep")
+    val sketch = explodeOver(pairs).groupBy($"det", $"dep")
       .agg(approx_count_distinct($"det_val", 0.05).as("n_det"),
         approx_count_distinct(struct($"det_val", $"dep_val"), 0.05).as("n_pair"))
-    val survivors = sketch
+    // bounded collect (≤|cols|² tiny rows): the survivor list becomes
+    // plan STRUCTURE — stage 2 explodes surviving pairs only, so the
+    // refuted ~80% never inflate the value stream (r15 verdict order 3)
+    val surv = sketch
       .filter($"n_pair" <= $"n_det" * 1.3)
       .select($"det", $"dep")
-    // Same aggregate shape as q160 (stacked HASH aggregates via the
-    // single-countDistinct rewrite) — a string min/max fold is the same
-    // exact predicate but plans as SortAggregate and measured slower at
-    // every SF (see the q160 comment above).
-    exploded.join(broadcast(survivors), Seq("det", "dep"), "leftsemi")
-      .groupBy($"det", $"dep", $"det_val")
-      .agg(countDistinct($"dep_val").as("nd"))
-      .groupBy($"det", $"dep")
-      .agg(count(lit(1)).as("n_det_values"),
-        sum(when($"nd" > 1, 1L).otherwise(0L)).as("nv"))
-      .filter($"nv" === 0)
-      .select($"det", $"dep", $"n_det_values")
-      .orderBy($"det", $"dep")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      .sortBy(identity)
+    if (surv.isEmpty)
+      spark.range(0).select(
+        lit(null).cast("string").as("det"),
+        lit(null).cast("string").as("dep"),
+        lit(null).cast("long").as("n_det_values"))
+    else
+      // Same aggregate shape as q160 (stacked HASH aggregates via the
+      // single-countDistinct rewrite) — a string min/max fold is the same
+      // exact predicate but plans as SortAggregate and measured slower at
+      // every SF (see the q160 comment above).
+      explodeOver(surv)
+        .groupBy($"det", $"dep", $"det_val")
+        .agg(countDistinct($"dep_val").as("nd"))
+        .groupBy($"det", $"dep")
+        .agg(count(lit(1)).as("n_det_values"),
+          sum(when($"nd" > 1, 1L).otherwise(0L)).as("nv"))
+        .filter($"nv" === 0)
+        .select($"det", $"dep", $"n_det_values")
+        .orderBy($"det", $"dep")
   }
 
   /** Oracle: exact FD set — no sketch mirror needed (see q165 scaladoc:

@@ -2026,10 +2026,18 @@ object SimilarityOps {
       .ckpt() // ≤ 20 × 10 × 4 rows
     val truth = ranked.filter($"dim" === TruncDims.last.toLong)
       .select($"q_id", $"vec_id")
+    // recall denominator is the ACTUAL full-dim truth count, not the
+    // nominal panel×k constant (ADVICE r15): a corpus with fewer than
+    // k+1 non-query vectors yields < k truth rows per query, and a
+    // constant denominator would silently deflate every cut's recall
+    // while the full-dim self-check row masked it. One-row broadcast —
+    // constant-size BNLJ, the bounded-literal contract.
+    val denom = truth.agg(count(lit(1)).as("n_truth"))
     ranked.join(truth, Seq("q_id", "vec_id"))
       .groupBy($"dim").agg(count(lit(1)).as("hits"))
+      .crossJoin(broadcast(denom))
       .select($"dim", $"hits",
-        round($"hits".cast("double") / (nQueries.toLong * topK), 4)
+        round($"hits".cast("double") / $"n_truth", 4)
           .as("recall_at_10"))
       .orderBy($"dim")
   }
@@ -2076,7 +2084,8 @@ object SimilarityOps {
       |  $unpiv),
       |truth AS (SELECT q_id, vec_id FROM st WHERE dim = ${TruncDims.last})
       |SELECT st.dim, CAST(count(*) AS BIGINT) AS hits,
-      |  round(CAST(count(*) AS DOUBLE) / (20 * 10), 4) AS recall_at_10
+      |  round(CAST(count(*) AS DOUBLE)
+      |    / (SELECT count(*) FROM truth), 4) AS recall_at_10
       |FROM st JOIN truth USING (q_id, vec_id)
       |GROUP BY st.dim
       |ORDER BY st.dim""".stripMargin

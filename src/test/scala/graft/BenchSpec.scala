@@ -73,6 +73,47 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.hostVerdictOf(1.30, hotByLoad = false) == (true, "hot"))
   }
 
+  test("moverSplitOf: all-reps-slow is a mover; one-fast-rep is a suspect (r15 order 2)") {
+    val anchor = Map("reg" -> 1.0, "cont" -> 1.0, "ok" -> 1.0)
+    val reps = Seq(
+      "reg" -> Seq(3.0, 3.2, 3.1),   // min 3.0 > bar 2.0 → genuine mover
+      "cont" -> Seq(1.0, 3.0, 3.1),  // median 3.0 > bar, min 1.0 ≤ bar → suspect
+      "ok" -> Seq(1.0, 1.1, 0.9))    // median under bar → neither
+    val (movers, suspects) = Bench.moverSplitOf(reps, anchor)
+    assert(movers.map(_._1) == Seq("reg"))
+    assert(math.abs(movers.head._2 - 3.1) < 1e-9) // ratio of medians
+    assert(suspects.map(_._1) == Seq("cont"))
+    assert(math.abs(suspects.head._2 - 3.0) < 1e-9)
+  }
+
+  test("moverSplitOf: the r15 driver shape — median 2.8x with min at anchor is a SUSPECT, not a mover") {
+    // q161_bpe_merges in BENCH_r15: driver median 2.61s vs anchor 0.92s,
+    // while the repo's interleaved closing drives measured 0.92s — the
+    // contention explanation requires at least one driver rep at anchor
+    // speed; under the split rule that spread classifies as suspect.
+    val (movers, suspects) = Bench.moverSplitOf(
+      Seq("q161" -> Seq(0.93, 2.61, 2.70)), Map("q161" -> 0.92))
+    assert(movers.isEmpty)
+    assert(suspects.map(_._1) == Seq("q161"))
+  }
+
+  test("moverSplitOf: anchor-absent and empty-rep queries contribute to neither; sort is slowest-first") {
+    val anchor = Map("a" -> 1.0, "b" -> 1.0)
+    val (movers, suspects) = Bench.moverSplitOf(
+      Seq("a" -> Seq(4.0, 4.0, 4.0), "b" -> Seq(3.0, 3.0, 3.0),
+        "new" -> Seq(9.0, 9.0, 9.0), "empty" -> Nil),
+      anchor)
+    assert(movers.map(_._1) == Seq("a", "b"))
+    assert(suspects.isEmpty)
+  }
+
+  test("artifact format: jArr emits 2-decimal JSON arrays (rep_walls / adjudication walls)") {
+    // BENCH_r{N} carries [rep1,rep2,rep3] per query via jArr — pin the
+    // exact serialization the adjudication fields depend on.
+    assert(Bench.jArr(Seq(0.925, 2.614, 2.7)) == "[0.93,2.61,2.70]")
+    assert(Bench.jArr(Nil) == "[]")
+  }
+
   test("verdict: NO computed ratio (stale/unreadable/zero-overlap anchor) falls back to loadavg (ADVICE r14)") {
     // anchorStats yields -1 when the anchor shares no query names; that
     // must NOT read as anchor-backed "quiet" on a hot host

@@ -18,6 +18,15 @@ import graft.sources.WeatherExtract
   *    DDL generation, batch insert — without network). Mirrors the
   *    reference's live-Postgres CI job
   *    (/root/reference/.github/workflows/ci.yml:105-134).
+  *  - S5 PG-dialect contract (r15 verdict order 4): the reference
+  *    warehouse is Postgres whose DDL declares `FLOAT` = float8
+  *    (/root/reference/sql/create_weather_tables.sql:11-21) while the
+  *    Spark staging frame carries Float32 (SURVEY §1.2) — the INSERT…
+  *    SELECT load widens float4→float8 at the DDL boundary, and
+  *    DATE/TIMESTAMP must round-trip unchanged. Exercised against
+  *    DuckDB over JDBC (file-backed, PG-flavored types), comparing the
+  *    widened warehouse read-back against `overwriteJdbc`'s own staging
+  *    output.
   *  - S1 live HTTP: `WeatherExtract.httpFetcher` against an in-process JDK
   *    HttpServer serving the reference payload shape
   *    (/root/reference/dags/weather_etl_pipeline.py:62-78) — covers the
@@ -64,6 +73,80 @@ class ExternalIoSpec extends AnyFunSuite {
       jdbcUrl, jdbcProps)
     val back = spark.read.jdbc(jdbcUrl, "staging_weather_rerun", jdbcProps)
     assert(back.count() === 2L) // second run's rows only — same semantics as the reference's overwrite load
+  }
+
+  test("S5 JDBC PG dialect: float4 staging widens to float8 at the DDL boundary; DATE/TIMESTAMP round-trip (DuckDB)") {
+    val dbPath = TestSpark.scratch("duckwh") + "/wh.db"
+    val duckUrl = s"jdbc:duckdb:$dbPath"
+    val duckProps = new Properties()
+    duckProps.setProperty("driver", "org.duckdb.DuckDBDriver")
+    // staging exactly as SURVEY §1.2 types it: Float32 metrics, string
+    // date at the boundary, a processed_at timestamp
+    val stagingPg = Seq(
+      ("New York", "2024-01-15", 42.8f, 30.5f),
+      ("Chicago", "2024-01-15", 35.2f, 22.8f)
+    ).toDF("city_name", "date", "temp_max", "temp_min")
+      .select($"city_name", to_date($"date").as("date"),
+        $"temp_max", $"temp_min",
+        lit(java.sql.Timestamp.valueOf("2024-01-15 10:00:00"))
+          .as("processed_at"))
+      .coalesce(1)
+    // Pin one connection for the whole test: embedded DuckDB shuts the
+    // database instance down when its last connection closes and
+    // re-deserializes the file on the next open — Spark's JDBC paths
+    // open/close several short-lived connections (probe, DDL, insert
+    // task, read task), and the repeated checkpoint/reload cycles were
+    // flaky under suite-level GC pressure ("field id mismatch" at
+    // startup). A held connection keeps the instance live so every
+    // Spark connection attaches to it instead.
+    val pin = java.sql.DriverManager.getConnection(duckUrl)
+    try {
+      // DuckDB prepares eagerly (catalog-validates at prepareStatement),
+      // so Spark's tableExists probe on a MISSING table surfaces as an
+      // SQLException instead of a clean false — seed an empty table first;
+      // overwrite mode then drops and recreates it with Spark's own DDL,
+      // which is the path under test
+      pin.createStatement()
+        .execute("CREATE TABLE IF NOT EXISTS staging_pg (dummy INTEGER)")
+      // leg 1: overwriteJdbc's OWN output — Spark-generated DDL keeps the
+      // staging width (REAL/float4) and must round-trip values exactly
+      val wh = Warehouse(spark, TestSpark.scratch("jdbc-pgwh"))
+      wh.overwriteJdbc("staging_pg", stagingPg, duckUrl, duckProps)
+      val stagedBack = spark.read.jdbc(duckUrl, "staging_pg", duckProps)
+      assert(stagedBack.schema("date").dataType.typeName === "date")
+      assert(stagedBack.schema("processed_at").dataType.typeName === "timestamp")
+      val staged = stagedBack
+        .select($"city_name", $"date".cast("string"),
+          $"temp_max".cast("double"), $"processed_at".cast("string"))
+        .as[(String, String, Double, String)].collect().sortBy(_._1)
+      // leg 2: the reference's INSERT…SELECT into DDL-as-code float8
+      // columns (dags/weather_etl_pipeline.py:172-182 into
+      // sql/create_weather_tables.sql:90-105) — the widening boundary
+      val st = pin.createStatement()
+      st.execute("""CREATE OR REPLACE TABLE fact_pg (
+        city_name VARCHAR(100), date DATE,
+        temp_max DOUBLE, temp_min DOUBLE, processed_at TIMESTAMP)""")
+      st.execute("""INSERT INTO fact_pg
+        SELECT city_name, date, temp_max, temp_min, processed_at
+        FROM staging_pg""")
+      st.close()
+      val factBack = spark.read.jdbc(duckUrl, "fact_pg", duckProps)
+      // the contract: float4 staging → float8 warehouse columns
+      assert(factBack.schema("temp_max").dataType.typeName === "double")
+      assert(factBack.schema("temp_min").dataType.typeName === "double")
+      val fact = factBack
+        .select($"city_name", $"date".cast("string"),
+          $"temp_max", $"processed_at".cast("string"))
+        .as[(String, String, Double, String)].collect().sortBy(_._1)
+      // widened values are the EXACT float→double embeddings (42.8f →
+      // 42.79999923706055, not 42.8) — the same number overwriteJdbc's
+      // staging read-back yields, so the two paths agree bit-for-bit
+      assert(fact === staged)
+      assert(fact.map(_._3) === Array(35.2f.toDouble, 42.8f.toDouble))
+      // DATE and TIMESTAMP round-trip unchanged through both legs
+      assert(fact.map(_._2).distinct === Array("2024-01-15"))
+      assert(fact.map(_._4).distinct === Array("2024-01-15 10:00:00"))
+    } finally pin.close()
   }
 
   /** Minimal Open-Meteo-shaped daily payload (the fields the transform

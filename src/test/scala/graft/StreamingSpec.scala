@@ -391,4 +391,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin("a").best_day == "2024-02-04" && fin("a").alarm)
     assert(fin("b").cusum == 0L && !fin("b").alarm)
   }
+
+  // ---- q188 incremental decontamination streaming twins (r15 order 5) ----
+  // Shared fixture, q188's id convention: doc_id < 5 = old benchmark
+  // panel, 5..9 = newly-landing delta panel, >= 10 = corpus.
+  //  - delta doc 5 "foo bar baz qux"    touches corpus doc 10 only
+  //  - delta doc 6 is entirely KNOWN grams (must contribute nothing)
+  //  - delta doc 7 "red green blue cyan" touches corpus doc 13 only
+  //  - corpus doc 11 overlaps the OLD panel only (ledger unchanged → no row)
+  //  - corpus doc 12 overlaps nothing
+  private val oldPanelDocs = Seq(
+    0L -> "alpha beta gamma delta", 1L -> "p1", 2L -> "p2", 3L -> "p3",
+    4L -> "p4")
+  private val deltaPanelDocs = Seq(
+    5L -> "foo bar baz qux", 6L -> "alpha beta gamma",
+    7L -> "red green blue cyan", 8L -> "p8", 9L -> "p9")
+  private val corpusDocs = Seq(
+    10L -> "intro1 intro2 intro3 foo bar baz qux tail1 tail2 tail3",
+    11L -> "alpha beta gamma delta plus more words here fill1",
+    12L -> "completely neutral text sharing nothing with any panel",
+    13L -> "lead1 lead2 red green blue cyan end1 end2 end3")
+  // hand-derived expected ledgers (DecontamN=3, MinFragTokens=3):
+  //  doc 10: delta island [4,7] → excised 4; head frag 3 + tail 3 kept
+  //  doc 13: delta island [3,6] → excised 4; head frag 2 drops, tail 3 kept
+  private val expectedDiffs = Set(
+    (10L, 0L, 4L, 4L, 10L, 6L),
+    (13L, 0L, 4L, 4L, 9L, 3L))
+
+  test("streaming decontam candidate discovery emits exactly the delta-touched corpus docs per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def doc(id: Long, minute: Long, text: String) =
+      (id, new java.sql.Timestamp((SessBase + minute) * 60000), text)
+    source.addData(deltaPanelDocs.zipWithIndex.map { case ((id, t), i) =>
+      doc(id, i.toLong, t)
+    }: _*)
+    // far-future flush (unique words, touches nothing) closes the window
+    source.addData(doc(99, 60 * 24 * 20, "zq1 zq2 zq3 zq4"))
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val known = operators.DedupOps.windowGrams(
+      oldPanelDocs.toDF("doc_id", "text")
+        .select($"doc_id", split($"text", " ").as("t")),
+      operators.DedupOps.DecontamN).select($"g").distinct()
+    val got = EventsStreaming.runToMemory(
+      EventsStreaming.decontamTouched(
+        source.toDF().toDF("doc_id", "ts", "text"), corpus, known),
+      "decontam_touched")
+      .select($"doc_id", $"n_hits").as[(Long, Long)].collect().toSet
+    // doc 6's grams are all known (anti-joined away); docs 11/12 untouched
+    // by the delta; 2 novel grams hit each touched doc once
+    assert(got == Set((10L, 2L), (13L, 2L)))
+  }
+
+  test("streaming incremental decontam loop equals batch q188 on a single delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    source.addData(deltaPanelDocs: _*)
+    val allDocs = (oldPanelDocs ++ deltaPanelDocs ++ corpusDocs)
+      .toDF("doc_id", "text")
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val known = operators.DedupOps.windowGrams(
+      oldPanelDocs.toDF("doc_id", "text")
+        .select($"doc_id", split($"text", " ").as("t")),
+      operators.DedupOps.DecontamN).select($"g").distinct()
+    val got = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+    EventsStreaming.runIncrementalDecontam(
+      source.toDF().toDF("doc_id", "text"), corpus, known,
+      TestSpark.scratch("decontam-ckpt-1"),
+      (out, _) => got ++= out
+        .as[(Long, Long, Long, Long, Long, Long)].collect())
+    assert(got.toSet == expectedDiffs)
+    val batch = operators.DedupOps.incrementalDecontam(allDocs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got.toSet == batch)
+  }
+
+  test("streaming incremental decontam composes across deliveries (disjoint deltas)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    // two landings; each batch advances the known-gram ledger, so the
+    // concatenated outputs must equal the one-shot q188 answer (the
+    // deltas touch disjoint corpus docs)
+    source.addData(deltaPanelDocs.filter(_._1 <= 6): _*)
+    source.addData(deltaPanelDocs.filter(_._1 > 6): _*)
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val known = operators.DedupOps.windowGrams(
+      oldPanelDocs.toDF("doc_id", "text")
+        .select($"doc_id", split($"text", " ").as("t")),
+      operators.DedupOps.DecontamN).select($"g").distinct()
+    val got = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+    EventsStreaming.runIncrementalDecontam(
+      source.toDF().toDF("doc_id", "text"), corpus, known,
+      TestSpark.scratch("decontam-ckpt-2"),
+      (out, _) => got ++= out
+        .as[(Long, Long, Long, Long, Long, Long)].collect())
+    assert(got.toSet == expectedDiffs)
+  }
 }
