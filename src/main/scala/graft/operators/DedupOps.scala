@@ -2775,6 +2775,76 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** q189: the delta-touched candidate MONITOR — batch twin of the
+    * streaming surface
+    * [[graft.streaming.EventsStreaming.decontamTouched]] (r16): per
+    * corpus doc, how many times the newly-landed panel's NOVEL grams
+    * (delta panel windows minus the already-known old-panel gram set)
+    * hit it. This is the q188 candidate-discovery stage surfaced as its
+    * own observable: operations teams watch the hit counts to size an
+    * incremental re-excision before running it (a benchmark landing
+    * that touches 0.001% of the corpus is a no-op run; one that
+    * touches 20% means the "incremental" path should be abandoned for
+    * a full q182 pass).
+    *
+    * OCCURRENCE semantics, matching the stream exactly: the novel side
+    * keeps one row per delta-window occurrence (the stream cannot
+    * dedup across its history), so n_hits = |delta occurrences ×
+    * corpus occurrences| per doc. Both panel gram sets are
+    * panel-sized → broadcast; the corpus contributes one window
+    * derivation and the shuffle carries only the matched (doc_id)
+    * rows of the hit join — contamination-sized, never corpus-sized.
+    */
+  def q189DecontamTouched(spark: SparkSession, dir: String): DataFrame =
+    decontamTouchedBatch(Tables(spark, dir).documents)
+
+  private[graft] def decontamTouchedBatch(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    def toks(lo: Long, hi: Long): DataFrame =
+      docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .select($"doc_id", split($"text", " ").as("t"))
+    val gOld = windowGrams(toks(0L, OldBenchPanel), DecontamN)
+      .select($"g").distinct()
+    val novel = windowGrams(toks(OldBenchPanel, BenchPanel), DecontamN)
+      .select($"g")
+      .join(broadcast(gOld), Seq("g"), "left_anti")
+    val ctoks = docs.filter($"doc_id" >= BenchPanel)
+      .select($"doc_id", split($"text", " ").as("t"))
+    windowGrams(ctoks, DecontamN)
+      .join(broadcast(novel), Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB twin: same panels, same occurrence semantics (the delta
+    * side is NOT dedup'd; the old-panel known set is).
+    */
+  val q189Sql: String =
+    s"""WITH ow AS (
+      |  SELECT DISTINCT md5(array_to_string(t[i:i+${DecontamN - 1}], ' ')) AS g
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents
+      |        WHERE doc_id < $OldBenchPanel) b,
+      |       unnest(range(1, len(t) - ${DecontamN - 2})) AS u(i)
+      |  WHERE len(t) >= $DecontamN),
+      |dw AS (
+      |  SELECT md5(array_to_string(t[i:i+${DecontamN - 1}], ' ')) AS g
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents
+      |        WHERE doc_id >= $OldBenchPanel AND doc_id < $BenchPanel) b,
+      |       unnest(range(1, len(t) - ${DecontamN - 2})) AS u(i)
+      |  WHERE len(t) >= $DecontamN),
+      |nv AS (SELECT dw.g FROM dw ANTI JOIN ow USING (g)),
+      |cw AS (
+      |  SELECT doc_id, md5(array_to_string(t[i:i+${DecontamN - 1}], ' ')) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |        WHERE doc_id >= $BenchPanel) b,
+      |       unnest(range(1, len(t) - ${DecontamN - 2})) AS u(i)
+      |  WHERE len(t) >= $DecontamN)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |FROM cw JOIN nv USING (g)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** One decontam-ledger CTE chain for the q188 twin, parameterized by
     * prefix and panel bound — the FULL-corpus recompute (no pruning).
     */
@@ -2844,6 +2914,9 @@ object DedupOps {
     Q("q188_incremental_decontam", q188IncrementalDecontam, Some(q188Sql),
       Seq("X-dedup", "X-scale"),
       "incremental decontam: delta-gram-pruned re-excision when a new benchmark lands; twin is the full recompute"),
+    Q("q189_decontam_touched", q189DecontamTouched, Some(q189Sql),
+      Seq("X-dedup", "X-scale"),
+      "delta-touched candidate monitor: novel-gram hit counts per corpus doc, batch twin of the streaming surface"),
     Q("q185_unified_excise", q185UnifiedExcise, Some(q185Sql),
       Seq("X-dedup", "X-scale"),
       "unified excision: dup spans + benchmark spans cut in ONE rewrite pass, interval-unioned before fragment accounting"),

@@ -1531,7 +1531,124 @@ object TextOps {
       |FROM tc GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** q190: within-document repetition ratio (r16) — the Gopher-class
+    * repetitive-text quality gate (Rae et al. 2021, "duplicate n-gram
+    * fraction"): per doc, the share of word-trigram occurrences that
+    * belong to a trigram appearing MORE THAN ONCE in that same doc.
+    * Boilerplate/template/looping-generation text scores high; natural
+    * prose sits near zero. The standard companion to q18's surface
+    * quality score and q67's surprisal in a pre-training filter stack.
+    *
+    * Scale shape: ENTIRELY ROW-LOCAL — the trigram multiset of one doc
+    * never leaves its row. Each doc's digests are sorted in-row
+    * (array_sort) and singleton trigrams are counted by their sorted
+    * neighborhood (distinct from BOTH neighbors ⇒ count 1), so
+    * dup_grams = n_grams − singletons with zero shuffle and zero
+    * per-doc aggregation state: the plan is scan → project → sort,
+    * embarrassingly parallel at any corpus size. (The grouped
+    * (doc_id, gram) aggregate the DuckDB twin uses is the same math —
+    * exactly what this shape avoids shuffling.)
+    */
+  def q190RepetitionRatio(spark: SparkSession, dir: String): DataFrame =
+    repetitionRatioOf(Tables(spark, dir).documents)
+
+  private[graft] def repetitionRatioOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .withColumn("gs", expr(
+        "array_sort(transform(sequence(1, size(t) - 2), i -> md5(concat_ws(' ', slice(t, i, 3)))))"))
+      .select($"doc_id",
+        size($"gs").cast("long").as("n_grams"),
+        expr("""CAST(size(filter(sequence(0, size(gs) - 1), i ->
+            (i = 0 OR gs[i - 1] <> gs[i])
+            AND (i = size(gs) - 1 OR gs[i + 1] <> gs[i]))) AS BIGINT)""")
+          .as("singletons"))
+      .select($"doc_id", $"n_grams",
+        ($"n_grams" - $"singletons").as("dup_grams"),
+        (($"n_grams" - $"singletons").cast("double") / $"n_grams")
+          .as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB twin: the grouped form — count trigram occurrences per
+    * (doc, gram), sum the groups with count > 1. Same exact integers,
+    * and the final ratio is an exact-int division both engines round
+    * identically (no round(), per the oracle-parity rules).
+    */
+  val q190Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, md5(array_to_string(t[i:i+2], ' ')) AS g
+      |  FROM t, unnest(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_grams,
+      |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(c) AS BIGINT) AS dup_ratio
+      |FROM c GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** q191: PII pattern density (r16) — the redaction-triage scan every
+    * production curation stack runs before release (emails, phone-like,
+    * SSN-like, IPv4-like token counts per doc). Counts only — the
+    * redaction itself is a downstream rewrite; this surfaces WHERE the
+    * mass is. Patterns are deliberately dialect-portable (explicit
+    * character classes, no \d / \b shorthand) so the Java-regex engine
+    * (Spark codegen) and RE2 (DuckDB) count identically; both engines
+    * scan left-to-right non-overlapping. Row-local scan → project, no
+    * shuffle before the final ordering; at 100 TB this is a pure
+    * map-side pass.
+    */
+  def q191PiiDensity(spark: SparkSession, dir: String): DataFrame =
+    piiDensityOf(Tables(spark, dir).documents)
+
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    "n_emails" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+    "n_phones" -> "[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "n_ssns" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "n_ips" -> "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}")
+
+  private[graft] def piiDensityOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val counts = PiiPatterns.map { case (name, pat) =>
+      expr(s"CAST(size(regexp_extract_all(text, '$pat', 0)) AS BIGINT)")
+        .as(name)
+    }
+    docs
+      .select($"doc_id" +: counts: _*)
+      .withColumn("pii_total",
+        PiiPatterns.map(p => col(p._1)).reduce(_ + _))
+      .filter($"pii_total" > 0)
+      .orderBy($"doc_id")
+  }
+
+  val q191Sql: String = {
+    val cols = PiiPatterns.map { case (name, pat) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS $name"
+    }.mkString(",\n  ")
+    val total = PiiPatterns.map(_._1).mkString(" + ")
+    s"""WITH c AS (
+      |  SELECT doc_id,
+      |  $cols
+      |  FROM documents)
+      |SELECT doc_id, n_emails, n_phones, n_ssns, n_ips,
+      |  CAST($total AS BIGINT) AS pii_total
+      |FROM c
+      |WHERE $total > 0
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q190_repetition_ratio", q190RepetitionRatio, Some(q190Sql),
+      Seq("F-text", "X-scale"),
+      "Gopher-style within-doc duplicate-trigram ratio, computed row-locally (zero shuffle)"),
+    Q("q191_pii_density", q191PiiDensity, Some(q191Sql),
+      Seq("F-text"),
+      "PII pattern counts per doc (email/phone/SSN/IPv4), dialect-portable regexes"),
     Q("q162_langid_eval", q162LangIdEval, Some(q162Sql), Seq("F-text", "X-eval"),
       "language-ID confusion matrix: the q16 TextCat classifier vs labeled ground truth"),
     Q("q176_tokenizer_fertility", q176TokenizerFertility, Some(q176Sql),

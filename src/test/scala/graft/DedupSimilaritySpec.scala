@@ -1176,4 +1176,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!rows.exists(r =>
       r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 2L))
   }
+
+  test("q189 candidate monitor: occurrence-counted novel-gram hits; known-gram delta docs contribute nothing") {
+    import graft.operators.DedupOps
+    // q188's id convention: <5 old panel, 5..9 delta panel, >=10 corpus
+    val docs = Seq(
+      0L -> "alpha beta gamma delta",       // old panel
+      5L -> "foo bar baz qux",              // delta: 2 novel grams
+      6L -> "alpha beta gamma",             // delta: entirely KNOWN
+      7L -> "foo bar baz",                  // delta: repeats doc 5's gram
+      10L -> "pre foo bar baz qux mid foo bar baz post1 post2",
+      11L -> "alpha beta gamma delta only plus filler words here",
+      12L -> "nothing shared at all with any panel today"
+    ).toDF("doc_id", "text")
+    val got = DedupOps.decontamTouchedBatch(docs)
+      .as[(Long, Long)].collect().toMap
+    // doc 10 grams: (foo bar baz) at pos 2 and 7, (bar baz qux) at 3.
+    // novel occurrences: doc5 → {fbb, bbq}, doc7 → {fbb} (occurrence
+    // kept, no dedup). hits = fbb(2 novel occ × 2 corpus occ = 4)
+    //                       + bbq(1 × 1) = 5
+    assert(got == Map(10L -> 5L))
+  }
 }

@@ -947,4 +947,67 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-3, s"slope $got vs $want")
     assert(got < -1.0 && got > -2.5)
   }
+
+  test("q190 repetition ratio: hand-computed dup trigram shares; sub-3-token docs drop") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      1L -> "a b c d",                    // 2 trigrams, both unique
+      2L -> "x y x y x y x y x y",       // 8 trigrams, all in dup groups
+      3L -> "w1 w2 w3 w1 w2 w3 w9",      // 5 trigrams, [w1 w2 w3] ×2
+      4L -> "a b",                        // <3 tokens → no row
+      5L -> "s s s s s s s s"             // single-token repetition → 1.0
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionRatioOf(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L))
+    assert(got(1L) == (2L, 0L, 0.0))
+    assert(got(2L) == (8L, 8L, 1.0))
+    assert(got(3L) == (5L, 2L, 0.4))
+    assert(got(5L) == (6L, 6L, 1.0))
+  }
+
+  test("q190 row-local singleton counting equals the grouped (doc, gram) aggregate on random text") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions.{explode, expr, sum, when}
+    // independent oracle: the DuckDB twin's grouped math, in Spark
+    val rnd = new scala.util.Random(190)
+    val docs = (0L until 60L).map { id =>
+      id -> Seq.fill(rnd.nextInt(40) + 3)(
+        s"w${rnd.nextInt(6)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val rowLocal = TextOps.repetitionRatioOf(docs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val grouped = docs
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")).as("g"))
+      .groupBy($"doc_id", $"g").count()
+      .groupBy($"doc_id")
+      .agg(sum($"count").as("n_grams"),
+        sum(when($"count" > 1, $"count").otherwise(0L)).as("dup_grams"))
+      .select($"doc_id", $"n_grams", $"dup_grams",
+        ($"dup_grams".cast("double") / $"n_grams").as("dup_ratio"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(rowLocal == grouped)
+  }
+
+  test("q191 PII density: planted matches count, near-misses do not, clean docs drop") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      1L -> ("reach j.doe+spam@ex-ample.org or admin@site.io now " +
+        "call 555-123-4567 id 123-45-6789 host 10.0.0.255"),
+      2L -> "bad@nodot num 123-456-789 ver 1.2.3 plain words only",
+      3L -> "two mails a@b.co c@d.org and twin phones 555-000-1111 555-000-2222",
+      4L -> ""
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiDensityOf(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5, t._6)).toMap
+    // doc 2: TLD-less email, 3-3-3 number, 3-part version — all misses;
+    // doc 4 empty: both drop (pii_total = 0)
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == (2L, 1L, 1L, 1L, 5L))
+    assert(got(3L) == (2L, 2L, 0L, 0L, 4L))
+  }
 }

@@ -173,6 +173,11 @@ def main(out, seed=1337):
         "don't stop 42 now!! it's a fine day",
         "a a a a a a a a",                         # single-token repetition
         "numbers 123 456 789 0 mixed a1b2 c3d4",
+        # PII-shaped tokens (q191): email, phone, SSN-like, IPv4-like,
+        # plus near-misses (bad TLD-less email, 3-3-3 number) that must
+        # NOT count in either regex engine
+        "reach j.doe+spam@ex-ample.org or 555-123-4567 id 123-45-6789 "
+        "host 10.0.0.255 bad@nodot num 123-456-789",
     ]
     while len(docs) < 40:
         docs.append(" ".join(rng.choice(
