@@ -1540,7 +1540,7 @@ object TextOps {
     * quality score and q67's surprisal in a pre-training filter stack.
     *
     * Scale shape: ENTIRELY ROW-LOCAL — the trigram multiset of one doc
-    * never leaves its row. Each doc's digests are sorted in-row
+    * never leaves its row. Each doc's trigrams are sorted in-row
     * (array_sort) and singleton trigrams are counted by their sorted
     * neighborhood (distinct from BOTH neighbors ⇒ count 1), so
     * dup_grams = n_grams − singletons with zero shuffle and zero
@@ -1548,6 +1548,14 @@ object TextOps {
     * embarrassingly parallel at any corpus size. (The grouped
     * (doc_id, gram) aggregate the DuckDB twin uses is the same math —
     * exactly what this shape avoids shuffling.)
+    *
+    * No hashing: the span family md5s its windows because digests
+    * cross SHUFFLES there (32-char fixed width beats arbitrary text on
+    * the wire); here nothing leaves the row, so the raw concat_ws
+    * trigram strings compare directly — no digest cost, no collision
+    * caveat. Measured in back-to-back full-suite drives at sf0.1: md5
+    * form walls [1.87, 1.72, 1.95]s → raw-string form [1.80, 1.31,
+    * 1.38] / [1.33, 1.14, 1.20]s, ~30% off the median.
     */
   def q190RepetitionRatio(spark: SparkSession, dir: String): DataFrame =
     repetitionRatioOf(Tables(spark, dir).documents)
@@ -1558,7 +1566,7 @@ object TextOps {
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 3)
       .withColumn("gs", expr(
-        "array_sort(transform(sequence(1, size(t) - 2), i -> md5(concat_ws(' ', slice(t, i, 3)))))"))
+        "array_sort(transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3))))"))
       .select($"doc_id",
         size($"gs").cast("long").as("n_grams"),
         expr("""CAST(size(filter(sequence(0, size(gs) - 1), i ->
@@ -1581,7 +1589,7 @@ object TextOps {
     """WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |g AS (
-      |  SELECT doc_id, md5(array_to_string(t[i:i+2], ' ')) AS g
+      |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
       |  FROM t, unnest(range(1, len(t) - 1)) AS u(i)
       |  WHERE len(t) >= 3),
       |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
