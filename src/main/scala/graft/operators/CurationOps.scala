@@ -1337,7 +1337,106 @@ object CurationOps {
        |FROM c
        |ORDER BY bucket DESC""".stripMargin
 
+  /** q193: quality-gate FUNNEL report (r16) — per-stage attrition of a
+    * fixed filter pipeline, the table a curation run prints before
+    * anyone trusts its output corpus: each doc is charged to its FIRST
+    * failing gate, so the stages sum to the corpus exactly and the
+    * report answers "which gate is eating my data" at a glance.
+    *
+    * Gates in pipeline order, all with INTEGER-EXACT thresholds (no
+    * cross-engine double comparisons anywhere near the branch):
+    *   1. `1_too_short`   — n_words < 5
+    *   2. `2_repetitive`  — 2·dup_trigrams > n_trigrams (q190's
+    *      row-local sorted-neighborhood machinery, ratio > 1/2)
+    *   3. `3_digit_heavy` — 5·n_digits > n_chars (digit share > 1/5)
+    *   4. `4_kept`
+    * Stage labels carry their pipeline index so ORDER BY stage IS the
+    * funnel order.
+    *
+    * Scale shape: every gate input is row-local (word count, in-row
+    * trigram sort, two length() calls) — one corpus scan into a
+    * ≤4-group aggregate; nothing shuffles but the 4-row result.
+    */
+  def q193FilterFunnel(spark: SparkSession, dir: String): DataFrame =
+    filterFunnelOf(Tables(spark, dir).documents)
+
+  private[graft] def filterFunnelOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val d = docs
+      .select($"doc_id",
+        TextOps.wordCount($"text").as("nw"),
+        length($"text").cast("long").as("nc"),
+        length(regexp_replace($"text", "[^0-9]", "")).cast("long").as("nd"),
+        split($"text", " ").as("t"))
+      // guard the trigram derivation: sequence(1, size-2) DESCENDS for
+      // sub-3-token docs (Spark generates start-to-stop in either
+      // direction) and slice would see index 0 — short docs get an
+      // empty gram array instead (they fail gate 1 anyway)
+      .withColumn("gs", expr(
+        """IF(size(t) >= 3,
+          |  array_sort(transform(sequence(1, size(t) - 2),
+          |    i -> concat_ws(' ', slice(t, i, 3)))),
+          |  CAST(array() AS ARRAY<STRING>))""".stripMargin))
+      .withColumn("ngrams", size($"gs").cast("long"))
+      // the empty-gram guard matters twice under ANSI: sequence(0, -1)
+      // DESCENDS and the neighborhood lookups then index an empty
+      // array, which throws (not NULLs) in Spark 4 — caught by the
+      // fuzz fixture's sub-3-token docs
+      .withColumn("singles", expr(
+        """CAST(IF(size(gs) = 0, 0,
+          |  size(filter(sequence(0, size(gs) - 1), i ->
+          |    (i = 0 OR gs[i - 1] <> gs[i])
+          |    AND (i = size(gs) - 1 OR gs[i + 1] <> gs[i])))) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("stage",
+        when($"nw" < 5L, "1_too_short")
+          .when(($"ngrams" - $"singles") * 2L > $"ngrams", "2_repetitive")
+          .when($"nd" * 5L > $"nc", "3_digit_heavy")
+          .otherwise("4_kept"))
+    d.groupBy($"stage")
+      .agg(count(lit(1)).as("n_docs"), sum($"nw").as("tokens"))
+      .orderBy($"stage")
+  }
+
+  /** DuckDB twin: grouped trigram counts (q190's twin shape) left-joined
+    * back, identical integer gate arithmetic. `filter(sequence(0, -1))`
+    * has no DuckDB mirror, so the twin takes the aggregate route — same
+    * exact integers either way.
+    */
+  val q193Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |         ${TextOps.wordCountSql} AS nw,
+      |         CAST(length(text) AS BIGINT) AS nc,
+      |         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      |           AS nd
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      |  FROM t, unnest(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+      |r AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ngrams,
+      |             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+      |               AS dup
+      |      FROM c GROUP BY 1),
+      |v AS (
+      |  SELECT t.doc_id, nw,
+      |    CASE WHEN nw < 5 THEN '1_too_short'
+      |         WHEN coalesce(dup, 0) * 2 > coalesce(ngrams, 0)
+      |           THEN '2_repetitive'
+      |         WHEN nd * 5 > nc THEN '3_digit_heavy'
+      |         ELSE '4_kept' END AS stage
+      |  FROM t LEFT JOIN r USING (doc_id))
+      |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(nw) AS BIGINT) AS tokens
+      |FROM v GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q193_filter_funnel", q193FilterFunnel, Some(q193Sql),
+      Seq("X-curation", "X-scale"),
+      "quality-gate funnel: first-failing-gate attrition report, integer-exact thresholds, one corpus scan"),
     Q("q183_budget_select", q183BudgetSelect, Some(q183Sql),
       Seq("X-curation", "X-sample", "X-scale"),
       "token-budget data selection: quality-ventile admission ledger — best buckets first until the budget fills"),

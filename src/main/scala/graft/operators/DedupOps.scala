@@ -2845,6 +2845,58 @@ object DedupOps {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** q192: per-source dedup impact report (r16) — the ops-facing summary
+    * every dedup run ships with: for each source, how many docs are
+    * exact duplicates of an EARLIER doc (keep-first, q19/q64's rule)
+    * and how much token mass the pass removes. This is the report that
+    * decides where dedup effort goes — a source at 40% duplicate token
+    * mass gets a crawler fix, one at 0.1% doesn't justify a re-crawl.
+    *
+    * Scale shape: one digest-keyed partial+final aggregate (min doc_id
+    * per md5(text)) re-joined on digest, then a |sources|-group rollup —
+    * both shuffles carry 32-char digests + two longs, never text. The
+    * digest is grouping-internal (never output), so the engine lane can
+    * swap md5 → xxhash64 with no oracle consequence.
+    */
+  def q192DedupImpact(spark: SparkSession, dir: String): DataFrame =
+    dedupImpactOf(Tables(spark, dir).documents)
+
+  private[graft] def dedupImpactOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val d = docs.select($"doc_id", $"source", md5($"text").as("dg"),
+      TextOps.wordCount($"text").as("nw"))
+    val first = d.groupBy($"dg").agg(min($"doc_id").as("first_doc"))
+    d.join(first, Seq("dg"))
+      .withColumn("is_dup", $"doc_id" > $"first_doc")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"is_dup", 1L).otherwise(0L)).as("n_dup_docs"),
+        sum($"nw").as("tokens_total"),
+        sum(when($"is_dup", $"nw").otherwise(0L)).as("tokens_dup"))
+      .select($"source", $"n_docs", $"n_dup_docs",
+        ($"n_dup_docs".cast("double") / $"n_docs").as("dup_rate"),
+        $"tokens_total", $"tokens_dup")
+      .orderBy($"source")
+  }
+
+  val q192Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, source, md5(text) AS dg,
+      |         ${TextOps.wordCountSql} AS nw
+      |  FROM documents),
+      |f AS (SELECT dg, min(doc_id) AS first_doc FROM d GROUP BY 1)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id > first_doc THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_docs,
+      |  CAST(sum(CASE WHEN doc_id > first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS dup_rate,
+      |  CAST(sum(nw) AS BIGINT) AS tokens_total,
+      |  CAST(sum(CASE WHEN doc_id > first_doc THEN nw ELSE 0 END) AS BIGINT)
+      |    AS tokens_dup
+      |FROM d JOIN f USING (dg)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** One decontam-ledger CTE chain for the q188 twin, parameterized by
     * prefix and panel bound — the FULL-corpus recompute (no pruning).
     */
@@ -2917,6 +2969,9 @@ object DedupOps {
     Q("q189_decontam_touched", q189DecontamTouched, Some(q189Sql),
       Seq("X-dedup", "X-scale"),
       "delta-touched candidate monitor: novel-gram hit counts per corpus doc, batch twin of the streaming surface"),
+    Q("q192_dedup_impact", q192DedupImpact, Some(q192Sql),
+      Seq("X-dedup", "X-scale"),
+      "per-source dedup impact report: keep-first duplicate docs and token mass removed, by source"),
     Q("q185_unified_excise", q185UnifiedExcise, Some(q185Sql),
       Seq("X-dedup", "X-scale"),
       "unified excision: dup spans + benchmark spans cut in ONE rewrite pass, interval-unioned before fragment accounting"),

@@ -405,4 +405,34 @@ class CurationSpec extends AnyFunSuite {
     assert(out.drop(10).forall(r => r.getLong(3) < 0L),
       "non-target docs must weigh negative")
   }
+
+  test("q193 funnel: first failing gate owns the doc, stages sum to the corpus, integer thresholds") {
+    import graft.operators.CurationOps
+    val docs = Seq(
+      // gate 1: 4 words — even though it is ALSO 100% repetitive and
+      // digit-heavy, the first gate owns it
+      1L -> "7 7 7 7",
+      // gate 2: 8 words, trigrams all duplicated (ratio 1 > 1/2);
+      // also digit-free so gates 3 would keep it
+      2L -> "x y x y x y x y",
+      // gate 3: 6 distinct words but digits are 12 of 17 chars (>1/5)
+      3L -> "12345 67890 11 22 33 44",
+      // kept: long, varied, digit-light
+      4L -> "a quiet varied sentence with plenty of distinct words inside",
+      // kept: exactly at the repetition boundary is NOT repetitive —
+      // 6 grams, 2 duplicated occurrences... stays under 2*dup > n
+      5L -> "p q r p q r s t")
+      .toDF("doc_id", "text")
+    val got = CurationOps.filterFunnelOf(docs)
+      .as[(String, Long, Long)].collect().toList
+    // doc 5: 8 words → 6 trigrams: [p q r]×2 dup=2·2? grams are
+    // (p q r),(q r p),(r p q),(p q r),(q r s),(r s t) → dup group
+    // {p q r: 2} → dup=2, 2*2=4 ≤ 6 → kept
+    assert(got == List(
+      ("1_too_short", 1L, 4L),
+      ("2_repetitive", 1L, 8L),
+      ("3_digit_heavy", 1L, 6L),
+      ("4_kept", 2L, 18L)))
+    assert(got.map(_._2).sum == 5L) // every doc charged exactly once
+  }
 }

@@ -1197,4 +1197,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     //                       + bbq(1 × 1) = 5
     assert(got == Map(10L -> 5L))
   }
+
+  test("q192 dedup impact: keep-first charges dups to the LATER doc's source; rates and token mass exact") {
+    import graft.operators.DedupOps
+    val docs = Seq(
+      (1L, "srcA", "alpha beta gamma"),      // original (3 tokens)
+      (2L, "srcB", "alpha beta gamma"),      // dup of 1 → charged to srcB
+      (3L, "srcB", "unique text here now"),  // original (4 tokens)
+      (4L, "srcA", "alpha beta gamma"),      // dup of 1 → charged to srcA
+      (5L, "srcB", "unique text here now")   // dup of 3 → charged to srcB
+    ).toDF("doc_id", "source", "text")
+    val got = DedupOps.dedupImpactOf(docs)
+      .as[(String, Long, Long, Double, Long, Long)].collect().toList
+    assert(got == List(
+      ("srcA", 2L, 1L, 0.5, 6L, 3L),
+      ("srcB", 3L, 2L, 2.0 / 3.0, 11L, 7L)))
+  }
 }
