@@ -166,6 +166,52 @@ object Bench {
     (movers, suspects)
   }
 
+  /** Clustered-suspects escape hatch (r16 verdict order 1 — the
+    * q50_repetition adjudication). The min-rep-over-bar mover rule
+    * assumes interleaving decorrelates contention across reps, but the
+    * suite's passes run at a near-constant wall (~80 s at sf0.1), so a
+    * PERIODIC ambient burst whose period is close to the pass wall
+    * re-hits the same RUN-ORDER window in every pass — min rep over the
+    * bar with zero code change. The r16 driver bench is the measured
+    * instance: its 12 bar-crossers all sit inside one 18-position
+    * run-order window (q43..q64), 11 of them suspects (min rep at
+    * anchor — contention PROVEN for that window of the pass timeline),
+    * and the one "mover" (q50, walls [2.90,3.90,2.40] vs anchor 0.90,
+    * code path untouched since r15) re-measured at anchor speed on a
+    * quiet host.
+    *
+    * Rule: a mover with ≥ [[ClusterMinSuspects]] suspects within
+    * ±[[ClusterWindow]] run-order positions is downgraded to `cluster`
+    * kind — reported with full rep walls in the adjudication field but
+    * excluded from `n_movers` (counted as `n_cluster`). Suspects are the
+    * right witnesses because each one PROVES the window was contended in
+    * some pass yet the code still runs at anchor speed; a genuine
+    * regression has no mechanism to surround itself with them. A
+    * shared-helper regression moving several queries is NOT masked:
+    * its victims are all MOVERS (all reps slow) scattered by name
+    * (q50/q190/q193 share the trigram machinery yet sit 100+ run-order
+    * positions apart), and movers never downgrade movers.
+    */
+  private[graft] val ClusterWindow = 8
+  private[graft] val ClusterMinSuspects = 3
+
+  /** Splits `movers` into (real movers, cluster-downgraded movers) by
+    * the rule above; `runOrder` is the bench's execution order (the
+    * name-sorted query list). Both halves keep the slowest-first sort.
+    */
+  private[graft] def clusterSplitOf(movers: Seq[(String, Double)],
+      suspects: Seq[(String, Double)], runOrder: Seq[String])
+      : (Seq[(String, Double)], Seq[(String, Double)]) = {
+    val pos = runOrder.zipWithIndex.toMap
+    val suspectPos = suspects.flatMap(s => pos.get(s._1))
+    val (clustered, real) = movers.partition { case (n, _) =>
+      pos.get(n).exists(p =>
+        suspectPos.count(sp => math.abs(sp - p) <= ClusterWindow)
+          >= ClusterMinSuspects)
+    }
+    (real, clustered)
+  }
+
   /** Verdict decision, factored for BenchSpec: (hot_host, host_verdict).
     * A computed ratio (anchorRatio > 0) decides hot vs quiet; without
     * one — no anchor file, unreadable file, or zero name overlap — the
@@ -323,11 +369,15 @@ object Bench {
     val (anchorRatio, _) = anchorStats(
       results.collect { case (name, secs, None) => name -> secs }, anchor)
     // mover/suspect split consults the raw rep spread, not just medians
-    // (r15 verdict order 2): only an all-reps-slow query is a mover.
-    val (movers, suspects) = moverSplitOf(
+    // (r15 verdict order 2): only an all-reps-slow query is a mover —
+    // and a mover inside a suspect cluster (a contention-proven
+    // run-order window) downgrades to `cluster` (r16 verdict order 1).
+    val (allMovers, suspects) = moverSplitOf(
       selected.zipWithIndex.collect {
         case ((name, _), i) if errAt(i).isEmpty => name -> wall(i).toSeq
       }, anchor)
+    val (movers, clusterMovers) =
+      clusterSplitOf(allMovers, suspects, selected.map(_._1))
     val hotByLoad = load5m(loadStart).exists(_ > HotLoad)
     // When the anchor comparison exists it DECIDES: the measured
     // per-query ratio on an unchanged tree is ground truth, while the
@@ -359,12 +409,16 @@ object Bench {
     val suspectsJson = suspects
       .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
+    val clusterJson = clusterMovers
+      .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
     // movers+suspects with their raw walls and anchor value — bounded
     // (usually 0–2 entries), placed on the FINAL compact line so the
     // adjudication evidence survives the driver's stdout tail window
     // even when the full per-query maps are truncated away.
     val idxOf = selected.zipWithIndex.map { case ((n, _), i) => n -> i }.toMap
-    val adjJson = (movers.map((_, "mover")) ++ suspects.map((_, "suspect")))
+    val adjJson = (movers.map((_, "mover")) ++
+      clusterMovers.map((_, "cluster")) ++ suspects.map((_, "suspect")))
       .map { case ((n, r), kind) =>
         "\"" + n + "\":{\"kind\":\"" + kind + "\"" + f""","ratio":$r%.2f""" +
           ",\"walls\":" + jArr(wall(idxOf(n)).toSeq) +
@@ -373,7 +427,7 @@ object Bench {
     val anchorField =
       s""","anchor":"$anchorName"""" +
         f""","anchor_ratio":$anchorRatio%.3f,"n_movers":${movers.size}""" +
-        s""","n_suspects":${suspects.size}""" +
+        s""","n_cluster":${clusterMovers.size},"n_suspects":${suspects.size}""" +
         s""","hot_host":$hotHost,"load_hot":$hotByLoad""" +
         s""","host_verdict":"$hostVerdict","cooldown":$cooldown"""
     val loadField =
@@ -387,7 +441,7 @@ object Bench {
     val repWallsJson = results.sortBy(_._2)
       .map { case (k, _, _) => "\"" + k + "\":" + jArr(wall(idxOf(k)).toSeq) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_walls":$repWallsJson$errField,"movers":$moversJson,"suspects":$suspectsJson$loadField,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_walls":$repWallsJson$errField,"movers":$moversJson,"cluster":$clusterJson,"suspects":$suspectsJson$loadField,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture truncates long output (BENCH_r07 lost 70
     // of 134 per-query numbers that way) — persist the complete line to a

@@ -107,6 +107,61 @@ class BenchSpec extends AnyFunSuite {
     assert(suspects.isEmpty)
   }
 
+  test("clusterSplitOf: the r16 driver shape — q50 inside an 11-suspect run-order window downgrades to cluster") {
+    // BENCH_r16's adjudication verbatim: the lone mover q50_repetition
+    // (walls [2.90,3.90,2.40] vs anchor 0.90) plus 11 suspects, ALL
+    // inside the q43..q64 run-order window — the periodic-ambient-burst
+    // signature (pass wall ≈ burst period re-hits the same window every
+    // pass). Run order is the REAL registry order the bench executes.
+    val runOrder = SparkEntry.queries.toSeq.map(_._1).sorted
+    val movers = Seq("q50_repetition" -> 3.22)
+    val suspects = Seq(
+      "q51_bpe_tokens" -> 4.95, "q52_temporal_dedup" -> 4.77,
+      "q64_keepfirst_dedup" -> 4.62, "q53_skew_profile" -> 4.03,
+      "q43_weather_star" -> 3.47, "q45_heavy_hitters" -> 3.23,
+      "q47_salted_join" -> 3.02, "q48_approx_quantile" -> 2.92,
+      "q4_semi_join" -> 2.90, "q54_cube" -> 2.58, "q59_ann_pq" -> 2.25)
+    val (real, cluster) = Bench.clusterSplitOf(movers, suspects, runOrder)
+    assert(real.isEmpty)
+    assert(cluster.map(_._1) == Seq("q50_repetition"))
+  }
+
+  test("clusterSplitOf: an isolated mover stays a mover even with far-away suspects") {
+    val runOrder = SparkEntry.queries.toSeq.map(_._1).sorted
+    // q89_pagerank is 50+ run-order positions from the q43..q64 window
+    val movers = Seq("q89_pagerank" -> 3.0)
+    val suspects = Seq("q43_weather_star" -> 3.47,
+      "q45_heavy_hitters" -> 3.23, "q47_salted_join" -> 3.02)
+    val (real, cluster) = Bench.clusterSplitOf(movers, suspects, runOrder)
+    assert(real.map(_._1) == Seq("q89_pagerank"))
+    assert(cluster.isEmpty)
+  }
+
+  test("clusterSplitOf: a shared-helper regression (several MOVERS, zero suspects) is never downgraded") {
+    // the trigram machinery is shared by q50/q190/q193 — a real helper
+    // regression makes them all all-reps-slow MOVERS; movers never
+    // downgrade movers, and with no suspects nothing clusters even if
+    // the victims were adjacent
+    val runOrder = SparkEntry.queries.toSeq.map(_._1).sorted
+    val movers = Seq("q50_repetition" -> 3.0,
+      "q190_repetition_ratio" -> 2.8, "q193_filter_funnel" -> 2.5)
+    val (real, cluster) = Bench.clusterSplitOf(movers, Nil, runOrder)
+    assert(real.map(_._1).toSet ==
+      Set("q50_repetition", "q190_repetition_ratio", "q193_filter_funnel"))
+    assert(cluster.isEmpty)
+  }
+
+  test("clusterSplitOf: boundary — exactly ClusterMinSuspects inside ±ClusterWindow clusters, one fewer does not") {
+    val runOrder = (0 until 40).map(i => f"q$i%02d")
+    val mover = Seq("q20" -> 3.0)
+    // three suspects at distances 8, 5, 1 (all within the ±8 window)
+    val in = Seq("q12" -> 2.0, "q15" -> 2.0, "q21" -> 2.0)
+    assert(Bench.clusterSplitOf(mover, in, runOrder)._2.map(_._1) == Seq("q20"))
+    // one at distance 9 falls out → only 2 in-window → stays a mover
+    val out = Seq("q11" -> 2.0, "q15" -> 2.0, "q21" -> 2.0)
+    assert(Bench.clusterSplitOf(mover, out, runOrder)._1.map(_._1) == Seq("q20"))
+  }
+
   test("artifact format: jArr emits 2-decimal JSON arrays (rep_walls / adjudication walls)") {
     // BENCH_r{N} carries [rep1,rep2,rep3] per query via jArr — pin the
     // exact serialization the adjudication fields depend on.
