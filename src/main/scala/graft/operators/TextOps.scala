@@ -1610,9 +1610,89 @@ object TextOps {
     * scan left-to-right non-overlapping. Row-local scan → project, no
     * shuffle before the final ordering; at 100 TB this is a pure
     * map-side pass.
+    *
+    * The scanned corpus is `documents` UNION ALL a deterministic
+    * CONTACT-CARD leg derived from `customer` (r16 verdict order 3: the
+    * driver fixture's document text contains no PII-shaped tokens, so
+    * the per-round oracle row was a vacuous 0-vs-0 match and a regex
+    * regression was invisible to the gate). Every card carries one
+    * phone-shaped token plus modular email/IPv4/SSN-shaped tokens and
+    * two NEAR-MISSES (a 2-3-4 dash group and a 3-octet dotted run), all
+    * pure integer/concat arithmetic on c_custkey — identical in both
+    * lanes, non-vacuous at every SF, and the near-misses keep the
+    * no-match paths exercised in the same row the matches live in.
     */
-  def q191PiiDensity(spark: SparkSession, dir: String): DataFrame =
-    piiDensityOf(Tables(spark, dir).documents)
+  def q191PiiDensity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    piiDensityOf(t.documents.select(col("doc_id"), col("text"))
+      .unionAll(contactCards(t.customer)))
+  }
+
+  /** doc_id offset for the contact-card leg: far above any fixture's
+    * documents.doc_id range (sf10 tops out near 5·10^5).
+    */
+  private val CardIdBase = 100000000L
+
+  /** One PII-bearing card per customer, from c_custkey arithmetic only.
+    * Token spacing is load-bearing: each PII-shaped token is
+    * space-delimited so no pattern can extend into a neighbor, and the
+    * dash/dot groups are sized so the four patterns are mutually
+    * non-matching (a 3-3-4 phone contains no 3-2-4 SSN substring and
+    * vice versa — checked in ProfilingTextSpec).
+    */
+  private[graft] def contactCards(customer: DataFrame): DataFrame = {
+    import customer.sparkSession.implicits._
+    def s(c: Column): Column = c.cast("string")
+    customer.select(
+      (lit(CardIdBase) + $"c_custkey").as("doc_id"),
+      concat(
+        lit("Contact "), $"c_name", lit(" phone "),
+        s(lit(200L) + $"c_custkey" % 700L), lit("-"),
+        lpad(s($"c_custkey" % 1000L), 3, "0"), lit("-"),
+        lpad(s(($"c_custkey" * 7L) % 10000L), 4, "0"),
+        when($"c_custkey" % 3L === 0L, concat(
+          lit(" email user"), s($"c_custkey"), lit("@example.org")))
+          .otherwise(lit("")),
+        when($"c_custkey" % 5L === 0L, concat(
+          lit(" ip "), s(lit(10L) + $"c_custkey" % 200L), lit("."),
+          s($"c_custkey" % 256L), lit("."), s($"c_custkey" % 250L),
+          lit("."), s(lit(1L) + $"c_custkey" % 254L)))
+          .otherwise(lit("")),
+        when($"c_custkey" % 7L === 0L, concat(
+          lit(" ssn "), lpad(s($"c_custkey" % 1000L), 3, "0"), lit("-"),
+          lpad(s($"c_custkey" % 100L), 2, "0"), lit("-"),
+          lpad(s($"c_custkey" % 10000L), 4, "0")))
+          .otherwise(lit("")),
+        lit(" ref 12-345-6789 case 1.2.3")).as("text"))
+  }
+
+  /** The card leg as DuckDB SQL — same arithmetic, same concatenation.
+    * NOTE no line may START with `||`: this string is interpolated into
+    * q191Sql BEFORE that template's .stripMargin runs, which would eat
+    * the first pipe of a line-leading concat operator.
+    */
+  private[graft] val contactCardsSql: String =
+    """SELECT CAST(100000000 + c_custkey AS BIGINT) AS doc_id,
+      |  'Contact ' || c_name || ' phone ' ||
+      |  CAST(200 + c_custkey % 700 AS VARCHAR) || '-' ||
+      |  lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |  lpad(CAST(c_custkey * 7 % 10000 AS VARCHAR), 4, '0') ||
+      |  CASE WHEN c_custkey % 3 = 0
+      |       THEN ' email user' || CAST(c_custkey AS VARCHAR) || '@example.org'
+      |       ELSE '' END ||
+      |  CASE WHEN c_custkey % 5 = 0
+      |       THEN ' ip ' || CAST(10 + c_custkey % 200 AS VARCHAR) ||
+      |            '.' || CAST(c_custkey % 256 AS VARCHAR) ||
+      |            '.' || CAST(c_custkey % 250 AS VARCHAR) ||
+      |            '.' || CAST(1 + c_custkey % 254 AS VARCHAR)
+      |       ELSE '' END ||
+      |  CASE WHEN c_custkey % 7 = 0
+      |       THEN ' ssn ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') ||
+      |            '-' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') ||
+      |            '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+      |       ELSE '' END ||
+      |  ' ref 12-345-6789 case 1.2.3' AS text
+      |FROM customer""".stripMargin
 
   private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
     "n_emails" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
@@ -1639,10 +1719,14 @@ object TextOps {
       s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS $name"
     }.mkString(",\n  ")
     val total = PiiPatterns.map(_._1).mkString(" + ")
-    s"""WITH c AS (
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  $contactCardsSql),
+      |c AS (
       |  SELECT doc_id,
       |  $cols
-      |  FROM documents)
+      |  FROM corpus)
       |SELECT doc_id, n_emails, n_phones, n_ssns, n_ips,
       |  CAST($total AS BIGINT) AS pii_total
       |FROM c

@@ -1010,4 +1010,39 @@ class ProfilingTextSpec extends AnyFunSuite {
     assert(got(1L) == (2L, 1L, 1L, 1L, 5L))
     assert(got(3L) == (2L, 2L, 0L, 0L, 4L))
   }
+
+  test("q191 contact cards: every card phones once, modular email/ip/ssn legs, near-misses and c_name contribute zero") {
+    import graft.operators.TextOps
+    // keys picked to cover every residue combination incl. 105 ≡ 0
+    // mod 3, 5 AND 7 (all four patterns on one card)
+    val keys = Seq(0L, 1L, 3L, 5L, 7L, 15L, 21L, 35L, 105L)
+    val customers = keys.map(k => (k, f"Customer#$k%09d"))
+      .toDF("c_custkey", "c_name")
+    val cards = TextOps.contactCards(customers)
+    val got = TextOps.piiDensityOf(cards)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    // every card appears (phone ⇒ pii_total ≥ 1) at id base + key
+    assert(got.keySet == keys.map(_ + 100000000L).toSet)
+    keys.foreach { k =>
+      val (em, ph, ss, ip) = got(k + 100000000L)
+      // exactly one phone per card, and the 3-3-4 group never
+      // double-counts as an SSN (nor the ssn leg as a phone): the
+      // ssn count is purely the modular leg
+      assert(ph == 1L, s"key $k phones")
+      assert(em == (if (k % 3 == 0) 1L else 0L), s"key $k emails")
+      assert(ip == (if (k % 5 == 0) 1L else 0L), s"key $k ips")
+      assert(ss == (if (k % 7 == 0) 1L else 0L), s"key $k ssns")
+    }
+    // the engine-side and oracle-side card builders emit the same text:
+    // parity of the leg ITSELF, not just of the counts downstream
+    val sqlCards = {
+      customers.createOrReplaceTempView("customer")
+      try spark.sql(TextOps.contactCardsSql
+        .replace("VARCHAR", "STRING")) // Spark parser accepts STRING
+        .as[(Long, String)].collect().toSet
+      finally spark.catalog.dropTempView("customer")
+    }
+    assert(cards.as[(Long, String)].collect().toSet == sqlCards)
+  }
 }
