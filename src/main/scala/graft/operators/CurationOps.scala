@@ -397,14 +397,17 @@ object CurationOps {
     * ~log2(max_len) groups. Waste is an exact-integer ratio evaluated
     * in one double division per bucket row.
     */
-  def q90LengthBuckets(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def q90LengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    lengthBucketsOf(Tables(spark, dir).documents)
+
+  private[graft] def lengthBucketsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     // bucket cap = 2^ceil(log2(n)) = 2^bitlength(n-1); n=1 → cap 1
     // (SQL-level shiftleft: the Scala wrapper only takes literal bits)
     val cap = expr("""CASE WHEN n_words = 1 THEN CAST(1 AS BIGINT)
       ELSE shiftleft(CAST(1 AS BIGINT),
                      CAST(length(bin(n_words - 1)) AS INT)) END""")
-    Tables(spark, dir).documents
+    docs
       .select($"doc_id", TextOps.wordCount($"text").as("n_words"))
       .withColumn("bucket_cap", cap)
       .groupBy($"bucket_cap")
@@ -1212,6 +1215,14 @@ object CurationOps {
   /** DuckDB twin: q72's hash fold for the baseline, the same
     * count-partitioned rank + ledger offset for the balanced layout,
     * ledgers rolled up from the MATERIALIZED K×K cross frame.
+    *
+    * INTENTIONAL twin divergence (ADVICE r16): this twin ranks with the
+    * unbucketed window (PARTITION BY n_words only) while the Spark lane
+    * ranks by (n_words, bkt). Parity holds because the emitted output is
+    * the two MARGINAL ledgers, which are invariant to how rank
+    * permutes within one n_words class — if the per-doc assignment or
+    * the (bal_shard × hash_shard) cross frame is ever surfaced as
+    * output, this twin must grow the same sub-bucket.
     */
   val q186Sql: String = {
     val foldH = (1 to 8).map { j =>
@@ -1433,7 +1444,172 @@ object CurationOps {
       |FROM v GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** q194: FUSED corpus-profile report (r17, verdict order 4) — the
+    * one-pass scan a production curation stack actually runs. q15
+    * (token/length stats), q90 (padded-batching mass), q190 (duplicate
+    * trigram ratio), q191 (PII counts) and q193 (first-failing-gate
+    * funnel) each scan `documents` end-to-end for signals that are ALL
+    * row-local; at 100 TB five scans of the same corpus is four too
+    * many. This operator computes every signal in ONE pass — scan →
+    * project (all signals as columns) → a single |sources|-group
+    * partial+final aggregate — and reports the per-source profile:
+    * volume (docs/chars/words), repetition mass (trigram totals and the
+    * corpus dup ratio), PII incidence (docs and hits), the q193 gate
+    * attrition as first-failing-gate counts, and q90's padding waste at
+    * power-of-two caps.
+    *
+    * The single-signal queries stay registered as the per-signal oracle
+    * twins; this report is itself oracle-checked (the DuckDB twin takes
+    * the grouped-trigram route, q190's twin shape). Integer-exact
+    * everywhere except the two final ratio divisions, both zero-guarded
+    * the same way in both lanes (an all-short-docs source has zero
+    * trigrams; the fuzz fixtures exercise it).
+    *
+    * Scale notes measured at sf1 (PERF.md r17): the fused pass runs in
+    * ~the cost of its most expensive constituent (the in-row trigram
+    * sort) — the other four signals ride the same scan for free; the
+    * shuffle is a ≤|sources|-row aggregate either way.
+    */
+  def q194CorpusProfile(spark: SparkSession, dir: String): DataFrame =
+    corpusProfileOf(Tables(spark, dir).documents)
+
+  private[graft] def corpusProfileOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val piiCols = TextOps.PiiPatterns.map { case (name, pat) =>
+      expr(s"CAST(size(regexp_extract_all(text, '$pat', 0)) AS BIGINT)")
+        .as(name)
+    }
+    val cap = expr("""CASE WHEN nw = 1 THEN CAST(1 AS BIGINT)
+      ELSE shiftleft(CAST(1 AS BIGINT),
+                     CAST(length(bin(nw - 1)) AS INT)) END""")
+    val d = docs
+      .select(Seq($"source", $"text",
+        TextOps.wordCount($"text").as("nw"),
+        length($"text").cast("long").as("nc"),
+        length(regexp_replace($"text", "[^0-9]", "")).cast("long").as("nd"),
+        split($"text", " ").as("t")) ++ piiCols: _*)
+      // q193's guarded trigram derivation verbatim: sub-3-token docs get
+      // an empty gram array (sequence() descends below 3 tokens, and
+      // empty-array neighborhood indexing throws under ANSI)
+      .withColumn("gs", expr(
+        """IF(size(t) >= 3,
+          |  array_sort(transform(sequence(1, size(t) - 2),
+          |    i -> concat_ws(' ', slice(t, i, 3)))),
+          |  CAST(array() AS ARRAY<STRING>))""".stripMargin))
+      .withColumn("ngrams", size($"gs").cast("long"))
+      .withColumn("singles", expr(
+        """CAST(IF(size(gs) = 0, 0,
+          |  size(filter(sequence(0, size(gs) - 1), i ->
+          |    (i = 0 OR gs[i - 1] <> gs[i])
+          |    AND (i = size(gs) - 1 OR gs[i + 1] <> gs[i])))) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("dup", $"ngrams" - $"singles")
+      .withColumn("pii",
+        TextOps.PiiPatterns.map(p => col(p._1)).reduce(_ + _))
+      .withColumn("stage",
+        when($"nw" < 5L, "short")
+          .when($"dup" * 2L > $"ngrams", "repetitive")
+          .when($"nd" * 5L > $"nc", "digit_heavy")
+          .otherwise("kept"))
+      .withColumn("cap", cap)
+    d.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"nc").as("n_chars"),
+        sum($"nw").as("n_words"),
+        sum($"ngrams").as("n_grams"),
+        sum($"dup").as("dup_grams"),
+        sum(when($"pii" > 0L, 1L).otherwise(0L)).as("pii_docs"),
+        sum($"pii").as("pii_hits"),
+        sum(when($"stage" === "short", 1L).otherwise(0L)).as("short_docs"),
+        sum(when($"stage" === "repetitive", 1L).otherwise(0L))
+          .as("repetitive_docs"),
+        sum(when($"stage" === "digit_heavy", 1L).otherwise(0L))
+          .as("digit_heavy_docs"),
+        sum(when($"stage" === "kept", 1L).otherwise(0L)).as("kept_docs"),
+        sum($"cap").as("padded_tokens"))
+      .select($"source", $"n_docs", $"n_chars", $"n_words",
+        $"n_grams", $"dup_grams",
+        when($"n_grams" === 0L, lit(0.0))
+          .otherwise($"dup_grams".cast("double") / $"n_grams")
+          .as("dup_ratio"),
+        $"pii_docs", $"pii_hits",
+        $"short_docs", $"repetitive_docs", $"digit_heavy_docs",
+        $"kept_docs", $"padded_tokens",
+        (($"padded_tokens" - $"n_words").cast("double") / $"padded_tokens")
+          .as("pad_waste"))
+      .orderBy($"source")
+  }
+
+  /** DuckDB twin: per-doc row-local signals in one CTE, the grouped
+    * trigram counts (q190's twin shape) left-joined back, one GROUP BY
+    * source. Same integers, same two zero-guarded double divisions.
+    */
+  val q194Sql: String = {
+    val piiCols = TextOps.PiiPatterns.map { case (name, pat) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS $name"
+    }.mkString(",\n    ")
+    val piiTotal = TextOps.PiiPatterns.map(_._1).mkString(" + ")
+    s"""WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t,
+      |    ${TextOps.wordCountSql} AS nw,
+      |    CAST(length(text) AS BIGINT) AS nc,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      |      AS nd,
+      |    $piiCols
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      |  FROM t, unnest(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+      |r AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ngrams,
+      |             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+      |               AS dup
+      |      FROM c GROUP BY 1),
+      |v AS (
+      |  SELECT t.source, t.nw, t.nc, t.nd,
+      |    coalesce(r.ngrams, 0) AS ngrams, coalesce(r.dup, 0) AS dup,
+      |    $piiTotal AS pii,
+      |    CASE WHEN nw < 5 THEN 'short'
+      |         WHEN coalesce(dup, 0) * 2 > coalesce(ngrams, 0)
+      |           THEN 'repetitive'
+      |         WHEN nd * 5 > nc THEN 'digit_heavy'
+      |         ELSE 'kept' END AS stage,
+      |    CASE WHEN nw = 1 THEN CAST(1 AS BIGINT)
+      |         ELSE CAST(1 AS BIGINT) << CAST(length(bin(nw - 1)) AS INTEGER)
+      |         END AS cap
+      |  FROM t LEFT JOIN r USING (doc_id))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(nc) AS BIGINT) AS n_chars,
+      |  CAST(sum(nw) AS BIGINT) AS n_words,
+      |  CAST(sum(ngrams) AS BIGINT) AS n_grams,
+      |  CAST(sum(dup) AS BIGINT) AS dup_grams,
+      |  CASE WHEN sum(ngrams) = 0 THEN CAST(0 AS DOUBLE)
+      |       ELSE CAST(sum(dup) AS DOUBLE) / CAST(sum(ngrams) AS BIGINT)
+      |       END AS dup_ratio,
+      |  CAST(sum(CASE WHEN pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+      |  CAST(sum(pii) AS BIGINT) AS pii_hits,
+      |  CAST(sum(CASE WHEN stage = 'short' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS short_docs,
+      |  CAST(sum(CASE WHEN stage = 'repetitive' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS repetitive_docs,
+      |  CAST(sum(CASE WHEN stage = 'digit_heavy' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS digit_heavy_docs,
+      |  CAST(sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS kept_docs,
+      |  CAST(sum(cap) AS BIGINT) AS padded_tokens,
+      |  CAST(sum(cap) - sum(nw) AS DOUBLE) / CAST(sum(cap) AS BIGINT)
+      |    AS pad_waste
+      |FROM v
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q194_corpus_profile", q194CorpusProfile, Some(q194Sql),
+      Seq("X-curation", "X-scale"),
+      "fused one-pass corpus profile: q15/q90/q190/q191/q193's row-local signals in a single scan, per-source report"),
     Q("q193_filter_funnel", q193FilterFunnel, Some(q193Sql),
       Seq("X-curation", "X-scale"),
       "quality-gate funnel: first-failing-gate attrition report, integer-exact thresholds, one corpus scan"),

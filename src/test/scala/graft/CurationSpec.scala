@@ -435,4 +435,65 @@ class CurationSpec extends AnyFunSuite {
       ("4_kept", 2L, 18L)))
     assert(got.map(_._2).sum == 5L) // every doc charged exactly once
   }
+
+  test("q194 fused profile: every column equals its single-signal constituent recomputed on the same frame") {
+    import graft.operators.{CurationOps, TextOps}
+    // q193's funnel docs in srcA plus a PII-bearing and a sub-3-token
+    // doc in srcB (the zero-trigram guard path)
+    val docs = Seq(
+      (1L, "srcA", "7 7 7 7"),
+      (2L, "srcA", "x y x y x y x y"),
+      (3L, "srcA", "12345 67890 11 22 33 44"),
+      (4L, "srcA", "a quiet varied sentence with plenty of distinct words inside"),
+      (5L, "srcA", "p q r p q r s t"),
+      (6L, "srcB", "reach admin@site.io or call 555-123-4567 about the invoice today"),
+      (7L, "srcB", "tiny doc"))
+      .toDF("doc_id", "source", "text")
+    val got = CurationOps.corpusProfileOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("srcA", "srcB"))
+
+    // constituents, recomputed per source by the single-signal operators
+    def forSource(s: String) = docs.filter($"source" === s)
+    Seq("srcA", "srcB").foreach { s =>
+      val r = got(s)
+      val sub = forSource(s)
+      assert(r.getLong(1) == sub.count(), s"$s n_docs")
+      // q15's signals, totalled
+      val ncNw = sub.select(
+        sum(length($"text")).cast("long"),
+        sum(TextOps.wordCount($"text")).cast("long"))
+        .as[(Long, Long)].head()
+      assert(r.getLong(2) == ncNw._1, s"$s n_chars")
+      assert(r.getLong(3) == ncNw._2, s"$s n_words")
+      // q190 trigram totals (repetitionRatioOf filters <3-token docs —
+      // they contribute zero grams, exactly like q194's guard)
+      val rep = TextOps.repetitionRatioOf(sub)
+        .agg(sum($"n_grams"), sum($"dup_grams"))
+        .as[(Option[Long], Option[Long])].head()
+      assert(r.getLong(4) == rep._1.getOrElse(0L), s"$s n_grams")
+      assert(r.getLong(5) == rep._2.getOrElse(0L), s"$s dup_grams")
+      // q191 pii incidence
+      val pii = TextOps.piiDensityOf(sub)
+        .agg(count(lit(1)), sum($"pii_total"))
+        .as[(Long, Option[Long])].head()
+      assert(r.getLong(7) == pii._1, s"$s pii_docs")
+      assert(r.getLong(8) == pii._2.getOrElse(0L), s"$s pii_hits")
+      // q193 funnel counts (labels carry pipeline indexes there)
+      val funnel = CurationOps.filterFunnelOf(sub)
+        .as[(String, Long, Long)].collect()
+        .map(t => t._1.drop(2) -> t._2).toMap
+      assert(r.getLong(9) == funnel.getOrElse("too_short", 0L), s"$s short")
+      assert(r.getLong(10) == funnel.getOrElse("repetitive", 0L), s"$s rep")
+      assert(r.getLong(11) == funnel.getOrElse("digit_heavy", 0L), s"$s dig")
+      assert(r.getLong(12) == funnel.getOrElse("kept", 0L), s"$s kept")
+      // q90 padded mass at power-of-two caps
+      val padded = CurationOps.lengthBucketsOf(sub)
+        .agg(sum($"padded_tokens")).as[Long].head()
+      assert(r.getLong(13) == padded, s"$s padded_tokens")
+    }
+    // srcB's dup_ratio rides the zero-grams guard in BOTH lanes: doc 6
+    // has trigrams but no dups, doc 7 none at all
+    assert(got("srcB").getDouble(6) == 0.0)
+  }
 }
