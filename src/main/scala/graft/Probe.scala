@@ -165,6 +165,27 @@ object Probe {
           spark.conf.set(operators.GraphOps.EdgeTableConf, "")
           spark.conf.unset(orderingConf)
         }
+      case "q192-digest-price" =>
+        // prices q192's digest swap (r16 verdict order 8): md5 string
+        // key vs (xxhash64, length) compound key, same plan otherwise.
+        // Lanes ALTERNATE per rep (the durability-price discipline);
+        // one warmup of each is untimed.
+        val reps = if (args.length > 2) args(2).toInt else 3
+        val docs = Tables(spark, dir).documents
+        def lane(md5Lane: Boolean): Double = {
+          val t0i = System.nanoTime()
+          operators.DedupOps.dedupImpactOf(docs, md5Lane)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0i) / 1e9
+        }
+        lane(true): Unit
+        lane(false): Unit
+        val samples = (1 to reps).map(_ => (lane(true), lane(false)))
+        val m = samples.map(_._1).sorted.apply(samples.size / 2)
+        val x = samples.map(_._2).sorted.apply(samples.size / 2)
+        val det = samples.map { case (a, b) => f"$a%.2f/$b%.2f" }
+          .mkString(",")
+        f"q192 md5=$m%.2fs xxhash=$x%.2fs ratio=${x / m}%.2f reps[md5/xx]=$det"
       case other => sys.error(s"unknown probe: $other")
     }
     println(f"[probe] $line dir=$dir secs=${(System.nanoTime() - t0) / 1e9}%.1f")

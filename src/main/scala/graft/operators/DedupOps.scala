@@ -2853,20 +2853,34 @@ object DedupOps {
     * mass gets a crawler fix, one at 0.1% doesn't justify a re-crawl.
     *
     * Scale shape: one digest-keyed partial+final aggregate (min doc_id
-    * per md5(text)) re-joined on digest, then a |sources|-group rollup —
-    * both shuffles carry 32-char digests + two longs, never text. The
-    * digest is grouping-internal (never output), so the engine lane can
-    * swap md5 → xxhash64 with no oracle consequence.
+    * per digest) re-joined on digest, then a |sources|-group rollup —
+    * neither shuffle carries text. The digest is grouping-internal
+    * (never output), so the engine lane uses (xxhash64(text),
+    * length(text)) — 16 bytes on the wire vs md5's 32-char string and a
+    * much cheaper hash (r16 verdict order 8; the A/B is
+    * `Probe q192-digest-price`, PERF.md r17). Collision honesty: a
+    * false dup needs two distinct SAME-LENGTH texts sharing a 64-bit
+    * hash — ~N²/2^65 before the length split (≈3 doc-pairs at 10^10
+    * docs) — which perturbs an aggregate RATE report by ~1e-9 relative;
+    * the exact-dedup family (q19/q64), which deletes docs rather than
+    * reporting rates, keeps md5. The DuckDB twin stays md5 (DuckDB has
+    * no xxhash64) — the report's values are digest-invariant, and
+    * DedupSpec pins both lanes equal on the fixture.
     */
   def q192DedupImpact(spark: SparkSession, dir: String): DataFrame =
     dedupImpactOf(Tables(spark, dir).documents)
 
-  private[graft] def dedupImpactOf(docs: DataFrame): DataFrame = {
+  private[graft] def dedupImpactOf(docs: DataFrame,
+      md5Lane: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
-    val d = docs.select($"doc_id", $"source", md5($"text").as("dg"),
-      TextOps.wordCount($"text").as("nw"))
-    val first = d.groupBy($"dg").agg(min($"doc_id").as("first_doc"))
-    d.join(first, Seq("dg"))
+    val dg =
+      if (md5Lane) Seq(md5($"text").as("dg"))
+      else Seq(xxhash64($"text").as("dg"), length($"text").as("dl"))
+    val keys = if (md5Lane) Seq("dg") else Seq("dg", "dl")
+    val d = docs.select(Seq($"doc_id", $"source",
+      TextOps.wordCount($"text").as("nw")) ++ dg: _*)
+    val first = d.groupBy(keys.map(col): _*).agg(min($"doc_id").as("first_doc"))
+    d.join(first, keys)
       .withColumn("is_dup", $"doc_id" > $"first_doc")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),

@@ -1212,5 +1212,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == List(
       ("srcA", 2L, 1L, 0.5, 6L, 3L),
       ("srcB", 3L, 2L, 2.0 / 3.0, 11L, 7L)))
+    // the digest is grouping-internal: the default (xxhash64, length)
+    // engine lane and the md5 lane the DuckDB twin uses must agree
+    // row-for-row (r16 verdict order 8)
+    val md5Lane = DedupOps.dedupImpactOf(docs, md5Lane = true)
+      .as[(String, Long, Long, Double, Long, Long)].collect().toList
+    assert(md5Lane == got)
   }
 }
