@@ -1387,6 +1387,15 @@ object Profiling {
     *     (the sketch only ever PRUNES already-violating pairs), which is
     *     why the oracle below is plain exact SQL with no sketch mirror.
     *
+    * EAGER ACTION CAVEAT (ADVICE r16): because the survivor list is
+    * plan STRUCTURE, stage 1 (sketch aggregate + bounded collect) runs
+    * as a Spark job at DataFrame-CONSTRUCTION time — building the q165
+    * plan (explain, schema inspection) scans the input once, and an
+    * input-side failure surfaces at construction, not first action.
+    * This is the deliberate r15 perf tradeoff (survivors-only explode
+    * needs the survivors before the plan exists); callers that must
+    * stay lazy should use q160.
+    *
     * Output: the pairs where the FD exactly holds, with exact
     * n_det_values. The ≤|cols|² survivor list is COLLECTED (bounded:
     * |cols|²−|cols| rows of two short strings — 20 rows here, the

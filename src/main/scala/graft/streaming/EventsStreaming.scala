@@ -238,30 +238,90 @@ object EventsStreaming {
     * q188 N times with the panel growing in arrival order — StreamingSpec
     * pins the single-delivery case against q188 itself and the
     * split-delivery case against the two-step batch composition.
+    *
+    * RESTART/RETRY SAFETY (ADVICE r16): the known-gram ledger is NOT a
+    * driver-side var — it is persisted per applied batch id under
+    * `checkpointDir/graft-known/<batchId>` (the accumulated set AFTER
+    * that batch, `_SUCCESS`-marked). Each batch derives its base set
+    * from the LARGEST persisted id strictly below its own (falling back
+    * to `knownInit` for the first), so:
+    *   - a foreachBatch RETRY of batch `id` recomputes against the same
+    *     base (never the advanced set — the r16-flagged silent-drop
+    *     path) and overwrites `graft-known/<id>` with identical content;
+    *     the sink sees the same (frame, id) again — the standard
+    *     foreachBatch at-least-once contract, dedupable by id;
+    *   - a RESTART on the same checkpointLocation resumes where the
+    *     offsets log says: committed batches are not replayed, and the
+    *     next batch id reads the ledger its predecessor persisted rather
+    *     than resetting to `knownInit` (grams landed before the restart
+    *     stay known).
+    * The per-batch parquet round-trip is O(panel) — the decontam gram
+    * set, not the corpus or the stream history.
     */
   def runIncrementalDecontam(deltaDocs: DataFrame, corpus: DataFrame,
       knownInit: DataFrame, checkpointDir: String,
       sink: (DataFrame, Long) => Unit): Unit = {
-    import graft.Ckpt.GraftCheckpoint
-    import graft.operators.DedupOps
     val ctoks = corpus.select(col("doc_id"), split(col("text"), " ").as("t"))
-    var gKnown = knownInit.select(col("g")).ckpt()
     val q = deltaDocs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val dtoks = batch
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-        val gDelta = DedupOps.windowGrams(dtoks, DedupOps.DecontamN)
-          .select(col("g")).distinct()
-          .join(gKnown, Seq("g"), "left_anti")
-          .ckpt() // consumed by the step twice AND the ledger advance
-        sink(DedupOps.decontamStep(ctoks, gKnown, gDelta), id)
-        gKnown = gKnown.unionAll(gDelta).ckpt()
+        sink(decontamBatchStep(ctoks, knownInit, checkpointDir, batch, id), id)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Batch ids with a `_SUCCESS`-marked persisted ledger under
+    * `<checkpointDir>/graft-known`. Hadoop FS API, not java.io — the
+    * checkpoint lives on HDFS/object storage at scale.
+    */
+  private[graft] def appliedLedgers(spark: SparkSession,
+      checkpointDir: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(checkpointDir, "graft-known")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .filter(i => fs.exists(new Path(root, s"$i/_SUCCESS")))
+      .sorted
+  }
+
+  /** One ledger-maintenance step for micro-batch `id`: reads the base
+    * known-gram set (latest persisted ledger with id' < id, else
+    * `knownInit`), computes the batch's novel grams and the changed-doc
+    * excision-ledger diff, persists base ∪ delta as this batch's ledger,
+    * and returns the diff frame. Idempotent in `id`: re-running (a
+    * foreachBatch retry, or a crash after the ledger write but before
+    * the commit log advanced) derives the SAME base — `graft-known/<id>`
+    * itself is excluded by the strict `< id` — and overwrites the same
+    * content. Factored out of the stream so StreamingSpec can drive the
+    * retry path directly.
+    */
+  private[graft] def decontamBatchStep(ctoks: DataFrame, knownInit: DataFrame,
+      checkpointDir: String, batch: DataFrame, id: Long): DataFrame = {
+    import graft.Ckpt.GraftCheckpoint
+    import graft.operators.DedupOps
+    val spark = ctoks.sparkSession
+    val base = appliedLedgers(spark, checkpointDir).filter(_ < id)
+      .lastOption match {
+      case Some(prev) =>
+        spark.read.parquet(s"$checkpointDir/graft-known/$prev")
+      case None => knownInit.select(col("g"))
+    }
+    val gKnown = base.ckpt()
+    val dtoks = batch
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val gDelta = DedupOps.windowGrams(dtoks, DedupOps.DecontamN)
+      .select(col("g")).distinct()
+      .join(gKnown, Seq("g"), "left_anti")
+      .ckpt() // consumed by the step twice AND the ledger advance
+    val out = DedupOps.decontamStep(ctoks, gKnown, gDelta)
+    gKnown.unionAll(gDelta)
+      .write.mode("overwrite").parquet(s"$checkpointDir/graft-known/$id")
+    out
   }
 
   /** Stream-stream interval join: each click joined to same-user signups

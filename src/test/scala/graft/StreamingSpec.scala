@@ -466,6 +466,101 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == batch)
   }
 
+  test("decontamTouched state is watermark-bounded: closed windows leave the store (O(open-window), not O(stream)) (r16 order 6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def doc(id: Long, minute: Long, text: String) =
+      (id, new java.sql.Timestamp((SessBase + minute) * 60000), text)
+    source.addData(deltaPanelDocs.zipWithIndex.map { case ((id, t), i) =>
+      doc(id, i.toLong, t)
+    }: _*)
+    source.addData(doc(99, 60 * 24 * 20, "zq1 zq2 zq3 zq4"))
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val known = operators.DedupOps.windowGrams(
+      oldPanelDocs.toDF("doc_id", "text")
+        .select($"doc_id", split($"text", " ").as("t")),
+      operators.DedupOps.DecontamN).select($"g").distinct()
+    val q = EventsStreaming.decontamTouched(
+      source.toDF().toDF("doc_id", "ts", "text"), corpus, known)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("decontam_state")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateTotals = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.map(_.numRowsTotal))
+    // mid-stream the (window × touched-doc) aggregation really held the
+    // first window's two groups...
+    assert(stateTotals.max >= 2)
+    // ...and the far-future flush's watermark advance EVICTED them: the
+    // final snapshot holds at most the still-open flush window's group —
+    // state tracks open windows, not stream history
+    assert(stateTotals.last <= 1)
+    // eviction didn't eat the output
+    val got = spark.table("decontam_state")
+      .select($"doc_id", $"n_hits").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 2L), (13L, 2L)))
+  }
+
+  test("incremental decontam RESUMES the persisted ledger across a restart (ADVICE r16)") {
+    // run 1 lands delta docs {5, 6} on a file source; run 2 restarts on
+    // the SAME checkpoint with doc 15 REPEATING run 1's text plus the
+    // novel doc 7. Under the pre-r17 driver-side-var ledger, run 2 reset
+    // to knownInit and re-flagged doc 10 (a second (10, ...) diff row);
+    // the persisted ledger must treat doc 15's grams as already known.
+    val in = TestSpark.scratch("decontam-restart-in")
+    val ckpt = TestSpark.scratch("decontam-restart-ckpt")
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val known = operators.DedupOps.windowGrams(
+      oldPanelDocs.toDF("doc_id", "text")
+        .select($"doc_id", split($"text", " ").as("t")),
+      operators.DedupOps.DecontamN).select($"g").distinct()
+    def stream() = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(in)
+    def run(): Set[(Long, Long, Long, Long, Long, Long)] = {
+      val got = collection.mutable
+        .ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+      EventsStreaming.runIncrementalDecontam(stream(), corpus, known, ckpt,
+        (out, _) => got ++= out
+          .as[(Long, Long, Long, Long, Long, Long)].collect())
+      got.toSet
+    }
+    deltaPanelDocs.filter(_._1 <= 6).toDF("doc_id", "text")
+      .write.mode("append").parquet(in)
+    assert(run() == Set((10L, 0L, 4L, 4L, 10L, 6L)))
+    (Seq(15L -> "foo bar baz qux") ++ deltaPanelDocs.filter(_._1 == 7))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    assert(run() == Set((13L, 0L, 4L, 4L, 9L, 3L)))
+  }
+
+  test("decontamBatchStep is idempotent per batch id (foreachBatch retry / crash after ledger write)") {
+    val ckpt = TestSpark.scratch("decontam-retry-ckpt")
+    val ctoks = corpusDocs.toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("t"))
+    val known = operators.DedupOps.windowGrams(
+      oldPanelDocs.toDF("doc_id", "text")
+        .select($"doc_id", split($"text", " ").as("t")),
+      operators.DedupOps.DecontamN).select($"g").distinct()
+    val b0 = Seq(5L -> "foo bar baz qux").toDF("doc_id", "text")
+    def step(b: org.apache.spark.sql.DataFrame, id: Long) =
+      EventsStreaming.decontamBatchStep(ctoks, known, ckpt, b, id)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val first = step(b0, 0L)
+    assert(first == Set((10L, 0L, 4L, 4L, 10L, 6L)))
+    assert(EventsStreaming.appliedLedgers(spark, ckpt) == Seq(0L))
+    // a RETRY of batch 0 fires after its ledger already landed: the base
+    // derives from ids strictly BELOW 0 (i.e. knownInit, never the
+    // advanced set — the r16-flagged silent-drop path) → same output,
+    // ledger overwritten in place
+    assert(step(b0, 0L) == first)
+    assert(EventsStreaming.appliedLedgers(spark, ckpt) == Seq(0L))
+    // the next batch repeats batch 0's text: every gram is in the
+    // advanced ledger → empty diff, but the ledger still records id 1
+    val b1 = Seq(15L -> "foo bar baz qux").toDF("doc_id", "text")
+    assert(step(b1, 1L).isEmpty)
+    assert(EventsStreaming.appliedLedgers(spark, ckpt) == Seq(0L, 1L))
+  }
+
   test("streaming incremental decontam composes across deliveries (disjoint deltas)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, String)]
