@@ -2091,7 +2091,190 @@ object SimilarityOps {
       |ORDER BY st.dim""".stripMargin
   }
 
+  /** Shared upstream of q195/q196: per-label centroid statistics in
+    * EXACT integers — n and the per-dimension coordinate sums of the
+    * ×1000-quantized vectors (q157's quantization), assembled back into
+    * a dimension-ordered array so consumers compare vectors against
+    * centroids ROW-LOCALLY (zip_with) instead of exploding the corpus a
+    * second time. One corpus explode → (label, dim) partial+final
+    * aggregate → |labels| rows; broadcast-sized at any corpus scale
+    * (labels × dims × 8 B).
+    */
+  private[graft] def labelCentroidStats(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val q = emb.select($"vec_id", $"label",
+      transform($"embedding",
+        x => round(x.cast("double") * 1000).cast("long")).as("eq"))
+    val perDim = q.select($"label", posexplode($"eq").as(Seq("i", "x")))
+      .groupBy($"label", $"i").agg(sum($"x").as("sx"))
+    perDim.groupBy($"label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, sx))), s -> s.sx)")
+        .as("sums"))
+      .join(q.groupBy($"label").agg(count(lit(1)).as("n")), "label")
+  }
+
+  /** q195: per-label centroid-outlier screen (r17) — for every label,
+    * the 10 vectors farthest from their OWN label centroid: the
+    * triage list a curation run reads before trusting a labeled
+    * embedding slice (poisoned points, encoder glitches, gross
+    * mislabels all surface here first).
+    *
+    * Exactness: with q = round(1000·x) and per-label (n, sx), the
+    * scaled deviation n·q_i − sx_i is an exact int64, so dist2_num =
+    * Σ_i (n·q_i − sx_i)² ranks identically in both engines (≤2.3·10^17
+    * at sf10's n = 5·10^4 per label — int64-safe through the tested
+    * decades; a 100 TB run at n > ~10^6 per label swaps the exact rank
+    * key for the double msd, which an outlier RANKING tolerates). The
+    * reported msd = dist2_num / n² is Σ(q_i − q̄_i)² in milli-units² —
+    * one cast + one IEEE division from exact ints, bit-identical
+    * cross-engine. Ties break to the lower vec_id.
+    *
+    * Scale shape: the |labels|-row stats frame broadcasts; the distance
+    * is a row-local zip_with fold (no second explode, nothing quadratic);
+    * the only corpus-sized shuffle is the per-label rank, and the
+    * rank ≤ 10 filter plans as WindowGroupLimit (per-partition top-10
+    * heaps BEFORE the exchange, q8's bounded-state shape) — output is
+    * labels × 10 rows at any corpus size.
+    */
+  def q195EmbeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    embeddingOutliersOf(Tables(spark, dir).embeddings)
+
+  private[graft] def embeddingOutliersOf(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val stats = labelCentroidStats(emb).ckpt()
+    val scored = emb.select($"vec_id", $"label",
+      transform($"embedding",
+        x => round(x.cast("double") * 1000).cast("long")).as("eq"))
+      .join(broadcast(stats), "label")
+      .withColumn("dist2_num", expr(
+        """aggregate(zip_with(eq, sums, (x, s) -> (n * x - s) * (n * x - s)),
+          |CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"label").orderBy($"dist2_num".desc, $"vec_id".asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+      .select($"label".cast("long").as("label"), $"n",
+        $"rnk".cast("long").as("rnk"), $"vec_id", $"dist2_num",
+        ($"dist2_num".cast("double") / ($"n" * $"n")).as("msd"))
+      .orderBy($"label", $"rnk")
+  }
+
+  val q195Sql: String =
+    """WITH u AS (
+      |  SELECT vec_id, label, unnest(range(len(embedding))) AS i,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+      |  FROM embeddings),
+      |nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+      |       FROM embeddings GROUP BY 1),
+      |s AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS sx
+      |      FROM u GROUP BY 1, 2),
+      |d AS (
+      |  SELECT u.vec_id, u.label, max(nl.n) AS n,
+      |         CAST(sum((nl.n * u.x - s.sx) * (nl.n * u.x - s.sx)) AS BIGINT)
+      |           AS dist2_num
+      |  FROM u JOIN s ON u.label = s.label AND u.i = s.i
+      |         JOIN nl ON u.label = nl.label
+      |  GROUP BY 1, 2),
+      |r AS (SELECT label, n, vec_id, dist2_num,
+      |        row_number() OVER (PARTITION BY label
+      |          ORDER BY dist2_num DESC, vec_id) AS rnk
+      |      FROM d)
+      |SELECT CAST(label AS BIGINT) AS label, n, CAST(rnk AS BIGINT) AS rnk,
+      |  vec_id, dist2_num,
+      |  CAST(dist2_num AS DOUBLE) / (n * n) AS msd
+      |FROM r WHERE rnk <= 10
+      |ORDER BY label, rnk""".stripMargin
+
+  /** q196: nearest-centroid label-margin screen (r17) — the classic
+    * mislabel detector over the same centroid stats: a vector whose
+    * nearest OTHER-label centroid is strictly closer than its own
+    * label's centroid is a mislabel suspect; the per-label suspect
+    * share is the "is this slice's labeling trustworthy" number a
+    * mixture/eval pipeline gates on (high share ⇒ relabel or drop the
+    * slice, q162's confusion matrix tells you WHICH labels swap).
+    *
+    * Own-centroid bias disclosed: each vector is INSIDE its own
+    * label's mean (naive nearest-class-centroid), which shrinks own
+    * distance and under-counts suspects — the conservative direction
+    * for a drop-the-slice gate. Cross-label distances compare msd
+    * DOUBLES because the exact cross ratio (dist²_a·n_b² vs
+    * dist²_b·n_a²) overflows int64; each msd is one cast + one IEEE
+    * division from exact ints, so both engines compare IDENTICAL
+    * doubles and the strict-< branch is deterministic. Equal msd
+    * (e.g. a vector equidistant to two centroids) stays loyal to its
+    * own label.
+    *
+    * Scale shape: the |labels|-row centroid frame broadcasts and the
+    * vec × centroid grid is a constant-multiplier (|labels|×) row-local
+    * pass — the q16 TextCat score-grid shape; the only shuffles are the
+    * (vec, own-vs-other) fold and the ≤|labels|-row rollup.
+    */
+  def q196LabelMargin(spark: SparkSession, dir: String): DataFrame =
+    labelMarginOf(Tables(spark, dir).embeddings)
+
+  private[graft] def labelMarginOf(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val stats = labelCentroidStats(emb).ckpt()
+    val cents = stats.select($"label".as("clabel"), $"n".as("cn"),
+      $"sums".as("csums"))
+    val grid = emb.select($"vec_id", $"label",
+      transform($"embedding",
+        x => round(x.cast("double") * 1000).cast("long")).as("eq"))
+      .crossJoin(broadcast(cents))
+      .withColumn("msd", expr(
+        """CAST(aggregate(zip_with(eq, csums, (x, s) -> (cn * x - s) * (cn * x - s)),
+          |CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)""".stripMargin)
+        / ($"cn" * $"cn"))
+    val perVec = grid.groupBy($"vec_id", $"label")
+      .agg(
+        max(when($"clabel" === $"label", $"msd")).as("own_msd"),
+        min(when($"clabel" =!= $"label", $"msd")).as("other_msd"))
+    perVec
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"other_msd" < $"own_msd", 1L).otherwise(0L))
+          .as("n_suspect"))
+      .select($"label".cast("long").as("label"), $"n", $"n_suspect",
+        ($"n_suspect".cast("double") / $"n").as("suspect_share"))
+      .orderBy($"label")
+  }
+
+  val q196Sql: String =
+    """WITH u AS (
+      |  SELECT vec_id, label, unnest(range(len(embedding))) AS i,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+      |  FROM embeddings),
+      |nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+      |       FROM embeddings GROUP BY 1),
+      |s AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS sx
+      |      FROM u GROUP BY 1, 2),
+      |g AS (
+      |  SELECT u.vec_id, u.label, s.label AS clabel,
+      |         CAST(sum((nl.n * u.x - s.sx) * (nl.n * u.x - s.sx)) AS DOUBLE)
+      |           / (max(nl.n) * max(nl.n)) AS msd
+      |  FROM u JOIN s ON u.i = s.i
+      |         JOIN nl ON s.label = nl.label
+      |  GROUP BY 1, 2, 3),
+      |p AS (
+      |  SELECT vec_id, label,
+      |         max(CASE WHEN clabel = label THEN msd END) AS own_msd,
+      |         min(CASE WHEN clabel <> label THEN msd END) AS other_msd
+      |  FROM g GROUP BY 1, 2)
+      |SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN other_msd < own_msd THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_suspect,
+      |  CAST(sum(CASE WHEN other_msd < own_msd THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS suspect_share
+      |FROM p GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q195_embedding_outliers", q195EmbeddingOutliers, Some(q195Sql),
+      Seq("X-sim", "X-stats", "X-scale"),
+      "per-label centroid-outlier triage: exact-integer distances, top-10 per label via WindowGroupLimit"),
+    Q("q196_label_margin", q196LabelMargin, Some(q196Sql),
+      Seq("X-sim", "X-eval", "X-scale"),
+      "nearest-centroid mislabel screen: per-label suspect share from the broadcast centroid grid"),
     Q("q184_dim_truncation", q184DimTruncation, Some(q184Sql),
       Seq("X-sim", "X-eval", "X-scale"),
       "matryoshka operating curve: recall@10 of prefix-dim cosine vs full-dim truth, one scan for all cuts"),

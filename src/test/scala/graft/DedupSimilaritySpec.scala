@@ -691,6 +691,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows(1L).getAs[Long]("top_var_num") == 64000000L)
   }
 
+  test("q195 centroid outliers: planted far vector ranks first with the exact integer distance") {
+    // label 0: three copies of (1, 0) + one far (0, 1); label 1: two
+    // identical (0, 1) (zero distance, tie broken by vec_id)
+    val emb = Seq(
+      (0L, 0, Seq(1f, 0f)), (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(1f, 0f)),
+      (3L, 0, Seq(0f, 1f)),
+      (10L, 1, Seq(0f, 1f)), (11L, 1, Seq(0f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val rows = SimilarityOps.embeddingOutliersOf(emb).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("rnk")) -> r).toMap
+    // label 0 on the millis grid: n=4, sx=(3000, 1000);
+    // outlier dev = (4*0-3000, 4*1000-1000) -> dist2 = 9e6 + 9e6 = 18e6;
+    // each copy dev = (1000, -1000) -> dist2 = 2e6; msd = dist2 / 16
+    val top = rows((0L, 1L))
+    assert(top.getAs[Long]("vec_id") == 3L)
+    assert(top.getAs[Long]("dist2_num") == 18000000L)
+    assert(top.getAs[Double]("msd") == 18000000.0 / 16)
+    assert(rows((0L, 2L)).getAs[Long]("vec_id") == 0L) // tie -> lowest id
+    assert(rows((0L, 2L)).getAs[Long]("dist2_num") == 2000000L)
+    // label 1: both identical -> zero distance, ranks by vec_id
+    assert(rows((1L, 1L)).getAs[Long]("vec_id") == 10L)
+    assert(rows((1L, 1L)).getAs[Long]("dist2_num") == 0L)
+    // top-10 cap: 4 + 2 vectors -> 6 rows total, none dropped
+    assert(rows.size == 6)
+  }
+
+  test("q196 label margin: the planted cross-label vector is the only suspect") {
+    // label 0's vec 3 sits exactly ON label 1's centroid (own msd
+    // 1.125e6, other msd 0 -> suspect); every other vector is closer to
+    // its own centroid; label 1's members lie on their centroid (own 0)
+    val emb = Seq(
+      (0L, 0, Seq(1f, 0f)), (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(1f, 0f)),
+      (3L, 0, Seq(0f, 1f)),
+      (10L, 1, Seq(0f, 1f)), (11L, 1, Seq(0f, 1f)), (12L, 1, Seq(0f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val rows = SimilarityOps.labelMarginOf(emb).collect()
+      .map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_suspect"),
+          r.getAs[Double]("suspect_share"))).toMap
+    assert(rows(0L) == ((4L, 1L, 0.25)))
+    assert(rows(1L) == ((3L, 0L, 0.0)))
+  }
+
+  test("q196 label margin: a single-label corpus has no other centroid and no suspects") {
+    val emb = Seq((0L, 0, Seq(1f, 0f)), (1L, 0, Seq(0f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val rows = SimilarityOps.labelMarginOf(emb).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_suspect") == 0L)
+  }
+
   test("q147 ann recall: rows well-formed, hits bounded by panel size") {
     val rows = SimilarityOps.q147AnnRecall(spark, TestSpark.sf).collect()
     assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 5L, 10L))
