@@ -2142,9 +2142,17 @@ object SimilarityOps {
   private[graft] def embeddingOutliersOf(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
     val stats = labelCentroidStats(emb).ckpt()
+    // repartition BEFORE the per-vec fold: the embeddings parquet is a
+    // handful of MB per million rows, so the scan yields ~1 input split
+    // and everything downstream of a broadcast join would run on ONE
+    // core (measured at sf1: cpu_wall 1.13 on a 32-core host, 26 s for
+    // q196's grid). The corpus shuffle this buys is tiny (quantized
+    // arrays), and on a real cluster the same line spreads a
+    // small-but-hot slice across executors.
     val scored = emb.select($"vec_id", $"label",
       transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .join(broadcast(stats), "label")
       .withColumn("dist2_num", expr(
         """aggregate(zip_with(eq, sums, (x, s) -> (n * x - s) * (n * x - s)),
@@ -2217,9 +2225,12 @@ object SimilarityOps {
     val stats = labelCentroidStats(emb).ckpt()
     val cents = stats.select($"label".as("clabel"), $"n".as("cn"),
       $"sums".as("csums"))
+    // same single-input-split hazard as q195 (see the comment there);
+    // without this the |labels|× grid fold runs on one core
     val grid = emb.select($"vec_id", $"label",
       transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .crossJoin(broadcast(cents))
       .withColumn("msd", expr(
         """CAST(aggregate(zip_with(eq, csums, (x, s) -> (cn * x - s) * (cn * x - s)),
