@@ -219,13 +219,22 @@ object Relational {
 
   /** J4 — left-anti join (NOT EXISTS / insert-if-absent seed semantics,
     * /root/reference/sql/create_weather_tables.sql:82): customers that have
-    * never placed an order.
+    * never placed an URGENT order. The probe side is restricted to
+    * `o_orderpriority = '1-URGENT'` because the synthetic fixtures give
+    * every customer at least one order of SOME priority — the
+    * unrestricted anti-join returned the empty set at every SF, making
+    * the oracle row a vacuous 0-rows-vs-0-rows match (r17 verdict). The
+    * urgent restriction keeps genuine left-anti semantics (absent-from-
+    * the-probe-set) while yielding 18 / 203 / 1986 rows at
+    * sf0.001/0.01/0.1, so the per-round hash check proves something.
     */
   def q5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
+    val urgent = t.orders
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
     t.customer
-      .join(t.orders.select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
       .select($"c_custkey", $"c_name", round($"c_acctbal", 2).as("acctbal"))
       .orderBy($"c_custkey")
   }
@@ -233,7 +242,9 @@ object Relational {
   val q5Sql: String =
     """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
       |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
   /** S7/J3 — MERGE/upsert semantics (ON CONFLICT DO UPDATE,

@@ -577,14 +577,32 @@ object SimilarityOps {
     * ≈ 0.51): SRP banding's recall contract is calibrated to that
     * regime ((1 − θ/π)^bandBits collision probability collapses at
     * loose thresholds), so chasing a fixture-calibrated τ would be
-    * dishonest about what the operator recalls. On this corpus the
-    * registered query is therefore the NEGATIVE control — both engines
-    * must agree the dup set is exactly empty through the same
-    * bucketing — and the planted DedupSimilaritySpec fixture pins the
-    * positive recall (finds exactly the planted ~0.99-cosine copies).
+    * dishonest about what the operator recalls.
+    *
+    * Planted positive-control leg (r18, ordered by the r17 verdict —
+    * the bare corpus made this a vacuous 0-rows-vs-0-rows oracle
+    * match): every vec_id ≡ 0 (mod 100) contributes a scaled twin at
+    * vec_id + 10⁷ with each component ×1.001 (double-multiply, cast
+    * back to float — bit-identical in both engines). Scaling preserves
+    * every projection sign up to float rounding, so the twin collides
+    * with its original in all four bands and verifies at cosine ≈ 1;
+    * twin-vs-OTHER pairs inherit the base corpus's ≤0.51 cosines and
+    * fail the τ = 0.99 verify. Output: one (orig, twin) row per planted
+    * id — 5 / 5 / 20 rows at sf0.001/0.01/0.1 — plus whatever true
+    * dups the corpus itself ever grows. The planted
+    * DedupSimilaritySpec fixture still pins recall on near-copies that
+    * are NOT exact scalings (component-wise 1.002x noise).
     */
-  def q60SrpDedup(spark: SparkSession, dir: String): DataFrame =
-    srpDedup(Tables(spark, dir).embeddings, threshold = 0.99)
+  def q60SrpDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir).embeddings
+    val base = emb.select($"vec_id", $"embedding")
+    val planted = base.filter($"vec_id" % 100 === 0)
+      .select(($"vec_id" + 10000000L).as("vec_id"),
+        transform($"embedding",
+          x => (x.cast("double") * 1.001).cast("float")).as("embedding"))
+    srpDedup(base.unionByName(planted), threshold = 0.99)
+  }
 
   /** DuckDB twin of q60: same md5-derived hyperplanes, same d-ordered
     * projection sums (parallel unnest zip — no join reordering), same
@@ -596,7 +614,14 @@ object SimilarityOps {
       s"(strpos('0123456789abcdef', substr(md5(CAST(h AS VARCHAR) || '|' || CAST(d AS VARCHAR)), $j, 1)) - 1) * $mult"
     }.mkString(" + ")
     val p31 = DedupOps.P31
-    s"""WITH hp AS (
+    s"""WITH embu AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000 AS vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT)) AS embedding
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |hp AS (
        |  SELECT h, d,
        |         CAST(CAST(($foldH) % $p31 AS DOUBLE) / $p31 - 0.5 AS FLOAT) AS r
        |  FROM (SELECT unnest(range($SrpH)) AS h)
@@ -604,7 +629,7 @@ object SimilarityOps {
        |hpl AS (SELECT h, list(r ORDER BY d) AS rl FROM hp GROUP BY h),
        |pu AS (SELECT vec_id, h, CAST(unnest(embedding) AS DOUBLE) AS x,
        |              CAST(unnest(rl) AS DOUBLE) AS r
-       |       FROM embeddings CROSS JOIN hpl),
+       |       FROM embu CROSS JOIN hpl),
        |dots AS (SELECT vec_id, h, sum(x * r) AS dot FROM pu GROUP BY vec_id, h),
        |bits AS (SELECT vec_id, h, CASE WHEN dot >= 0 THEN 1 ELSE 0 END AS bit FROM dots),
        |bk AS (SELECT vec_id, h // $SrpBandBits AS band,
@@ -616,8 +641,8 @@ object SimilarityOps {
        |vu AS (SELECT vec_a, vec_b, CAST(unnest(ea.embedding) AS DOUBLE) AS x,
        |              CAST(unnest(eb.embedding) AS DOUBLE) AS y
        |       FROM cand
-       |       JOIN embeddings ea ON vec_a = ea.vec_id
-       |       JOIN embeddings eb ON vec_b = eb.vec_id),
+       |       JOIN embu ea ON vec_a = ea.vec_id
+       |       JOIN embu eb ON vec_b = eb.vec_id),
        |s AS (SELECT vec_a, vec_b, sum(x * y) AS dot,
        |             sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb
        |      FROM vu GROUP BY vec_a, vec_b)
@@ -2325,5 +2350,5 @@ object SimilarityOps {
     Q("q59_ann_pq", q59AnnPq, Some(q59Sql), Seq("X-sim"),
       "product-quantization ANN: PQ codes + ADC scoring + exact re-rank"),
     Q("q60_srp_dedup", q60SrpDedup, Some(q60Sql), Seq("X-dedup", "X-sim"),
-      "global embedding dup detection: SRP-LSH banded signatures + exact verify"))
+      "global embedding dup detection: SRP-LSH banded signatures + exact verify, planted scaled-twin positive control"))
 }

@@ -63,11 +63,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(n == custs)
   }
 
-  test("q5 anti-join + orders customers partition the customer table") {
-    val without = Relational.q5AntiJoin(spark, sf).count()
+  test("q5 anti-join + urgent-order customers partition the customer table") {
+    val without = Relational.q5AntiJoin(spark, sf)
     val t = Tables(spark, sf)
-    val withOrders = t.customer.join(t.orders, $"c_custkey" === $"o_custkey", "left_semi").count()
-    assert(without + withOrders == t.customer.count())
+    val urgent = t.orders.filter($"o_orderpriority" === "1-URGENT")
+    val withUrgent = t.customer
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi").count()
+    assert(without.count() + withUrgent == t.customer.count())
+    // non-vacuity: the r17 verdict flagged the unrestricted variant's
+    // 0-rows-vs-0-rows oracle match; the urgent probe must emit rows
+    assert(without.count() > 0)
   }
 
   test("q13 explode cardinality = rows × dim") {
