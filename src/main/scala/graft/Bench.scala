@@ -217,13 +217,22 @@ object Bench {
     * one — no anchor file, unreadable file, or zero name overlap — the
     * loadavg flag decides and the verdict is explicitly weaker
     * ("quiet_no_anchor"), never a ratio-backed "quiet" (ADVICE r14).
+    *
+    * A cluster downgrade is EVIDENCE of a contention window, not an
+    * acquittal: a genuine regression sitting inside that window would
+    * be excused from n_movers by the same rule (ADVICE r17). So any
+    * n_cluster > 0 weakens a quiet verdict to
+    * "quiet_cluster_adjudicate" — the artifact demands a quiet-host
+    * re-measure of the clustered queries before the round's perf claim
+    * counts, instead of silently reading as clean.
     */
   private[graft] def hostVerdictOf(anchorRatio: Double,
-      hotByLoad: Boolean): (Boolean, String) = {
+      hotByLoad: Boolean, nCluster: Int = 0): (Boolean, String) = {
     val hot =
       if (anchorRatio > 0) anchorRatio > HotAnchorRatio else hotByLoad
     val verdict =
       if (hot) "hot"
+      else if (nCluster > 0) "quiet_cluster_adjudicate"
       else if (anchorRatio <= 0) "quiet_no_anchor"
       else "quiet"
     (hot, verdict)
@@ -390,7 +399,8 @@ object Bench {
     // that parses but shares no query names with the run (stale anchor,
     // renamed queries) yields ratio -1 and must not suppress the
     // loadavg fallback (ADVICE r14). loadavg is always recorded.
-    val (hotHost, hostVerdict) = hostVerdictOf(anchorRatio, hotByLoad)
+    val (hotHost, hostVerdict) =
+      hostVerdictOf(anchorRatio, hotByLoad, clusterMovers.size)
     // the anchor field must name the comparison that actually HAPPENED:
     // a file that existed but parsed to nothing (or overlapped nothing)
     // is flagged, not silently credited (ADVICE r14)

@@ -6,6 +6,16 @@ package graft
   * `runMain graft.Probe <name> <sfDir>`; prints one `[probe]` line.
   */
 object Probe {
+  /** Proper median: averages the two middle elements for an even
+    * sample count — `sorted(size/2)` alone is the upper-of-middle and
+    * biases a reported A/B price ratio when reps is even (ADVICE r17).
+    */
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val what = args(0)
     val dir = args(1)
@@ -105,8 +115,8 @@ object Probe {
               (inMode(bucketed = false, timeQ(q)),
                 inMode(bucketed = true, timeQ(q)))
             }
-            val c = samples.map(_._1).sorted.apply(samples.size / 2)
-            val b = samples.map(_._2).sorted.apply(samples.size / 2)
+            val c = median(samples.map(_._1))
+            val b = median(samples.map(_._2))
             // rep walls quoted so the median's provenance is in the line
             // itself (the r13 single-shot class problem — a median
             // without its reps can't be told from a lucky single)
@@ -154,8 +164,8 @@ object Probe {
               (inMode(bucketed = false, timeQ(q)),
                 inMode(bucketed = true, timeQ(q)))
             }
-            val p = samples.map(_._1).sorted.apply(samples.size / 2)
-            val b = samples.map(_._2).sorted.apply(samples.size / 2)
+            val p = median(samples.map(_._1))
+            val b = median(samples.map(_._2))
             val det = samples.map { case (x, y) => f"$x%.1f/$y%.1f" }
               .mkString(",")
             f"$q persist=$p%.1fs bucketed=$b%.1fs ratio=${b / p}%.2f reps[p/b]=$det"
@@ -181,8 +191,8 @@ object Probe {
         lane(true): Unit
         lane(false): Unit
         val samples = (1 to reps).map(_ => (lane(true), lane(false)))
-        val m = samples.map(_._1).sorted.apply(samples.size / 2)
-        val x = samples.map(_._2).sorted.apply(samples.size / 2)
+        val m = median(samples.map(_._1))
+        val x = median(samples.map(_._2))
         val det = samples.map { case (a, b) => f"$a%.2f/$b%.2f" }
           .mkString(",")
         f"q192 md5=$m%.2fs xxhash=$x%.2fs ratio=${x / m}%.2f reps[md5/xx]=$det"

@@ -1536,7 +1536,13 @@ object CurationOps {
         $"pii_docs", $"pii_hits",
         $"short_docs", $"repetitive_docs", $"digit_heavy_docs",
         $"kept_docs", $"padded_tokens",
-        (($"padded_tokens" - $"n_words").cast("double") / $"padded_tokens")
+        // cap ≥ 1 per doc forces padded_tokens ≥ n_docs ≥ 1, so the
+        // guard is structurally unreachable — but it keeps the "both
+        // ratio divisions zero-guarded the same way in both lanes"
+        // contract literally true (ADVICE r17)
+        when($"padded_tokens" === 0L, lit(0.0))
+          .otherwise(
+            ($"padded_tokens" - $"n_words").cast("double") / $"padded_tokens")
           .as("pad_waste"))
       .orderBy($"source")
   }
@@ -1599,8 +1605,9 @@ object CurationOps {
       |  CAST(sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
       |    AS kept_docs,
       |  CAST(sum(cap) AS BIGINT) AS padded_tokens,
-      |  CAST(sum(cap) - sum(nw) AS DOUBLE) / CAST(sum(cap) AS BIGINT)
-      |    AS pad_waste
+      |  CASE WHEN sum(cap) = 0 THEN CAST(0 AS DOUBLE)
+      |       ELSE CAST(sum(cap) - sum(nw) AS DOUBLE) / CAST(sum(cap) AS BIGINT)
+      |       END AS pad_waste
       |FROM v
       |GROUP BY 1
       |ORDER BY 1""".stripMargin

@@ -321,7 +321,31 @@ object EventsStreaming {
     val out = DedupOps.decontamStep(ctoks, gKnown, gDelta)
     gKnown.unionAll(gDelta)
       .write.mode("overwrite").parquet(s"$checkpointDir/graft-known/$id")
+    pruneLedgers(spark, checkpointDir, id)
     out
+  }
+
+  /** Ledger retention (ADVICE r17): each batch persists the FULL
+    * accumulated known-gram set, so without pruning the checkpoint
+    * grows O(batches × panel) and `appliedLedgers` pays a listStatus +
+    * per-id `_SUCCESS` RPC over an ever-growing directory every batch.
+    * Only the LARGEST ledger id strictly below the running batch is
+    * ever read — including on a retry of batch `id`, whose base is
+    * `max(id' < id)` — so after `<id>` commits, everything below that
+    * base is dead. Keep {base, id} (at most two snapshots), delete the
+    * rest. Deletion failures are ignored: a survivor costs storage, not
+    * correctness, and the next batch retries the prune.
+    */
+  private[graft] def pruneLedgers(spark: SparkSession,
+      checkpointDir: String, id: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val applied = appliedLedgers(spark, checkpointDir)
+    val keep = applied.filter(_ < id).lastOption
+    val root = new Path(checkpointDir, "graft-known")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    applied.filter(i => i < id && !keep.contains(i)).foreach { i =>
+      scala.util.Try(fs.delete(new Path(root, s"$i"), true))
+    }
   }
 
   /** Stream-stream interval join: each click joined to same-user signups

@@ -73,6 +73,22 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.hostVerdictOf(1.30, hotByLoad = false) == (true, "hot"))
   }
 
+  test("verdict: any cluster downgrade weakens quiet to quiet_cluster_adjudicate (ADVICE r17)") {
+    // a clustered mover is excused from n_movers but could hide a real
+    // regression inside the contention window — the verdict must demand
+    // adjudication, never read as plain quiet
+    assert(Bench.hostVerdictOf(1.05, hotByLoad = false, nCluster = 1) ==
+      (false, "quiet_cluster_adjudicate"))
+    assert(Bench.hostVerdictOf(-1.0, hotByLoad = false, nCluster = 2) ==
+      (false, "quiet_cluster_adjudicate"))
+    // a hot verdict stays hot — the stronger flag already demands a re-run
+    assert(Bench.hostVerdictOf(1.30, hotByLoad = false, nCluster = 1) ==
+      (true, "hot"))
+    // zero clusters: unchanged r14 behavior
+    assert(Bench.hostVerdictOf(1.05, hotByLoad = false, nCluster = 0) ==
+      (false, "quiet"))
+  }
+
   test("moverSplitOf: all-reps-slow is a mover; one-fast-rep is a suspect (r15 order 2)") {
     val anchor = Map("reg" -> 1.0, "cont" -> 1.0, "ok" -> 1.0)
     val reps = Seq(

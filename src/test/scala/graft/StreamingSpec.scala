@@ -559,6 +559,17 @@ class StreamingSpec extends AnyFunSuite {
     val b1 = Seq(15L -> "foo bar baz qux").toDF("doc_id", "text")
     assert(step(b1, 1L).isEmpty)
     assert(EventsStreaming.appliedLedgers(spark, ckpt) == Seq(0L, 1L))
+    // ledger retention (ADVICE r17): batch 2 prunes everything below its
+    // own base — only {base=1, 2} survive, bounding checkpoint growth at
+    // two snapshots instead of O(batches)
+    val b2 = Seq(16L -> "unrelated novel words entirely").toDF("doc_id", "text")
+    step(b2, 2L): Unit
+    assert(EventsStreaming.appliedLedgers(spark, ckpt) == Seq(1L, 2L))
+    // a RETRY of batch 2 after the prune still derives its base (ledger
+    // 1 was kept precisely because a retry reads max(id' < id)) and
+    // leaves retention unchanged
+    step(b2, 2L): Unit
+    assert(EventsStreaming.appliedLedgers(spark, ckpt) == Seq(1L, 2L))
   }
 
   test("streaming incremental decontam composes across deliveries (disjoint deltas)") {
