@@ -2131,11 +2131,30 @@ object SimilarityOps {
       transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
     val perDim = q.select($"label", posexplode($"eq").as(Seq("i", "x")))
-      .groupBy($"label", $"i").agg(sum($"x").as("sx"))
+      .groupBy($"label", $"i")
+      .agg(sum($"x").as("sx"), max(abs($"x")).as("mxi"))
     perDim.groupBy($"label")
       .agg(expr("transform(array_sort(collect_list(struct(i, sx))), s -> s.sx)")
-        .as("sums"))
+        .as("sums"),
+        // per-label max |q_i| — feeds the exact-lane int64-safety guard
+        // (consumers that don't need it project it away)
+        max($"mxi").as("mx"))
       .join(q.groupBy($"label").agg(count(lit(1)).as("n")), "label")
+  }
+
+  /** Exact-lane admissibility for the Σ(n·q_i − s_i)² int64 rank key:
+    * every per-dim deviation is bounded by 2·n·max|q|, so the fold is
+    * bounded by dims·(2·n·max|q|)². Safe (with 2× headroom) iff that
+    * worst case stays under Long.MaxValue/2 — past it the consumers
+    * swap to the double-msd lane (`aggregate` on BIGINT wraps silently
+    * under non-ANSI; a wrapped key misranks with no error). Evaluated
+    * in doubles: the inputs are exact small ints, and the 2× headroom
+    * dwarfs one ulp of bound arithmetic.
+    */
+  private[graft] def exactDistSafe(maxN: Long, maxAbsQ: Long,
+      dims: Int): Boolean = {
+    val dev = 2.0 * maxN.toDouble * math.max(maxAbsQ, 1L).toDouble
+    dims.toDouble * dev * dev <= Long.MaxValue.toDouble / 2
   }
 
   /** q195: per-label centroid-outlier screen (r17) — for every label,
@@ -2148,11 +2167,18 @@ object SimilarityOps {
     * scaled deviation n·q_i − sx_i is an exact int64, so dist2_num =
     * Σ_i (n·q_i − sx_i)² ranks identically in both engines (≤2.3·10^17
     * at sf10's n = 5·10^4 per label — int64-safe through the tested
-    * decades; a 100 TB run at n > ~10^6 per label swaps the exact rank
-    * key for the double msd, which an outlier RANKING tolerates). The
-    * reported msd = dist2_num / n² is Σ(q_i − q̄_i)² in milli-units² —
-    * one cast + one IEEE division from exact ints, bit-identical
-    * cross-engine. Ties break to the lower vec_id.
+    * decades). Past the `exactDistSafe` bound — dims·(2·n·max|q|)²
+    * over Long.MaxValue/2, the 100 TB-per-label regime — the exact
+    * rank key IS swapped for the double msd (Σ in doubles; an outlier
+    * RANKING tolerates ulp-level sums, and `aggregate` on BIGINT would
+    * wrap silently instead): the guard reads (max n, max |q|, dims)
+    * off the already-ckpt'd |labels|-row stats frame, and the msd lane
+    * reports dist2_num as NULL rather than a wrapped integer. The
+    * boundary is spec-pinned (both lanes rank a planted fixture
+    * identically; the forced msd lane nulls the exact key). In the
+    * exact lane the reported msd = dist2_num / n² is Σ(q_i − q̄_i)² in
+    * milli-units² — one cast + one IEEE division from exact ints,
+    * bit-identical cross-engine. Ties break to the lower vec_id.
     *
     * Scale shape: the |labels|-row stats frame broadcasts; the distance
     * is a row-local zip_with fold (no second explode, nothing quadratic);
@@ -2164,9 +2190,18 @@ object SimilarityOps {
   def q195EmbeddingOutliers(spark: SparkSession, dir: String): DataFrame =
     embeddingOutliersOf(Tables(spark, dir).embeddings)
 
-  private[graft] def embeddingOutliersOf(emb: DataFrame): DataFrame = {
+  private[graft] def embeddingOutliersOf(emb: DataFrame,
+      forceExactLane: Option[Boolean] = None): DataFrame = {
     import emb.sparkSession.implicits._
     val stats = labelCentroidStats(emb).ckpt()
+    // lane guard off the ckpt'd |labels|-row frame — a 3-value driver
+    // read, never a corpus pass; an empty corpus defaults to the exact
+    // lane (vacuously safe)
+    val exactLane = forceExactLane.getOrElse {
+      val g = stats.agg(max($"n"), max($"mx"), max(size($"sums"))).head
+      g.isNullAt(0) ||
+        exactDistSafe(g.getLong(0), g.getLong(1), g.getInt(2))
+    }
     // repartition BEFORE the per-vec fold: the embeddings parquet is a
     // handful of MB per million rows, so the scan yields ~1 input split
     // and everything downstream of a broadcast join would run on ONE
@@ -2174,21 +2209,37 @@ object SimilarityOps {
     // q196's grid). The corpus shuffle this buys is tiny (quantized
     // arrays), and on a real cluster the same line spreads a
     // small-but-hot slice across executors.
-    val scored = emb.select($"vec_id", $"label",
+    val base = emb.select($"vec_id", $"label",
       transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
-      .join(broadcast(stats), "label")
-      .withColumn("dist2_num", expr(
-        """aggregate(zip_with(eq, sums, (x, s) -> (n * x - s) * (n * x - s)),
-          |CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .join(broadcast(stats.select($"label", $"sums", $"n")), "label")
+    // each lane ranks by its NATIVE key type: the exact lane must order
+    // the int64 itself (a double cast of a >2⁵³ key — sf10 already
+    // reaches 2.3·10¹⁷ — collapses distinct keys and would diverge from
+    // the oracle's exact BIGINT ordering); msd-lane n² runs in doubles
+    // (long n·n itself wraps past n ≈ 3·10⁹)
+    val scored =
+      if (exactLane)
+        base.withColumn("dist2_num", expr(
+          """aggregate(zip_with(eq, sums, (x, s) -> (n * x - s) * (n * x - s)),
+            |CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+          .withColumn("msd",
+            $"dist2_num".cast("double") / ($"n" * $"n"))
+      else
+        base.withColumn("msd", expr(
+          """aggregate(zip_with(eq, sums,
+            |  (x, s) -> (CAST(n AS DOUBLE) * x - s) * (CAST(n AS DOUBLE) * x - s)),
+            |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+          / ($"n".cast("double") * $"n".cast("double")))
+          .withColumn("dist2_num", lit(null).cast("long"))
+    val rankKey = if (exactLane) $"dist2_num" else $"msd"
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"label").orderBy($"dist2_num".desc, $"vec_id".asc)
+      .partitionBy($"label").orderBy(rankKey.desc, $"vec_id".asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 10)
       .select($"label".cast("long").as("label"), $"n",
-        $"rnk".cast("long").as("rnk"), $"vec_id", $"dist2_num",
-        ($"dist2_num".cast("double") / ($"n" * $"n")).as("msd"))
+        $"rnk".cast("long").as("rnk"), $"vec_id", $"dist2_num", $"msd")
       .orderBy($"label", $"rnk")
   }
 
@@ -2235,7 +2286,9 @@ object SimilarityOps {
     * division from exact ints, so both engines compare IDENTICAL
     * doubles and the strict-< branch is deterministic. Equal msd
     * (e.g. a vector equidistant to two centroids) stays loyal to its
-    * own label.
+    * own label. Past the `exactDistSafe` bound the BIGINT grid fold
+    * would wrap before its double cast, so the fold's carrier is
+    * swapped to doubles under the same guard as q195 (spec-pinned).
     *
     * Scale shape: the |labels|-row centroid frame broadcasts and the
     * vec × centroid grid is a constant-multiplier (|labels|×) row-local
@@ -2245,22 +2298,43 @@ object SimilarityOps {
   def q196LabelMargin(spark: SparkSession, dir: String): DataFrame =
     labelMarginOf(Tables(spark, dir).embeddings)
 
-  private[graft] def labelMarginOf(emb: DataFrame): DataFrame = {
+  private[graft] def labelMarginOf(emb: DataFrame,
+      forceExactLane: Option[Boolean] = None): DataFrame = {
     import emb.sparkSession.implicits._
     val stats = labelCentroidStats(emb).ckpt()
+    // same int64 cliff as q195's rank key: the grid fold Σ(cn·x − s)²
+    // accumulates in BIGINT before its double cast, so past the
+    // exactDistSafe bound it swaps to a per-term double fold (the msd
+    // COMPARISON is already in doubles — only the fold's carrier
+    // changes; cn² runs in doubles there since long cn·cn wraps too)
+    val exactLane = forceExactLane.getOrElse {
+      val g = stats.agg(max($"n"), max($"mx"), max(size($"sums"))).head
+      g.isNullAt(0) ||
+        exactDistSafe(g.getLong(0), g.getLong(1), g.getInt(2))
+    }
     val cents = stats.select($"label".as("clabel"), $"n".as("cn"),
       $"sums".as("csums"))
     // same single-input-split hazard as q195 (see the comment there);
     // without this the |labels|× grid fold runs on one core
+    val msdCol =
+      if (exactLane) {
+        expr(
+          """CAST(aggregate(zip_with(eq, csums, (x, s) -> (cn * x - s) * (cn * x - s)),
+            |CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)""".stripMargin) /
+          ($"cn" * $"cn")
+      } else {
+        expr(
+          """aggregate(zip_with(eq, csums,
+            |  (x, s) -> (CAST(cn AS DOUBLE) * x - s) * (CAST(cn AS DOUBLE) * x - s)),
+            |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
+          ($"cn".cast("double") * $"cn".cast("double"))
+      }
     val grid = emb.select($"vec_id", $"label",
       transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .crossJoin(broadcast(cents))
-      .withColumn("msd", expr(
-        """CAST(aggregate(zip_with(eq, csums, (x, s) -> (cn * x - s) * (cn * x - s)),
-          |CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)""".stripMargin)
-        / ($"cn" * $"cn"))
+      .withColumn("msd", msdCol)
     val perVec = grid.groupBy($"vec_id", $"label")
       .agg(
         max(when($"clabel" === $"label", $"msd")).as("own_msd"),

@@ -742,6 +742,64 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_suspect") == 0L)
   }
 
+  test("exactDistSafe: the int64 guard flips exactly at dims*(2n*maxq)^2 = Long.MaxValue/2 (r17 order 2)") {
+    // dims=64, max|q|=1000: Long.MaxValue/2 ≈ 2^62, /64 = 2^56,
+    // sqrt = 2^28 = 268435456 → n* = 2^28/2000 = 134217.728
+    assert(SimilarityOps.exactDistSafe(134217L, 1000L, 64))
+    assert(!SimilarityOps.exactDistSafe(134218L, 1000L, 64))
+    // tested decades sit far inside the bound (sf10: n = 5e4, 64 dims)
+    assert(SimilarityOps.exactDistSafe(50000L, 1000L, 64))
+    // a max|q| of 0 (all-zero corpus) must not divide by zero the bound
+    assert(SimilarityOps.exactDistSafe(1L, 0L, 64))
+  }
+
+  test("q195 large-n msd lane ranks the planted fixture identically to the exact lane and nulls the exact key (r17 order 2)") {
+    val emb = Seq(
+      (0L, 0, Seq(1f, 0f)), (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(1f, 0f)),
+      (3L, 0, Seq(0f, 1f)),
+      (10L, 1, Seq(0f, 1f)), (11L, 1, Seq(0f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("label"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("n"))
+    val exact = SimilarityOps
+      .embeddingOutliersOf(emb, forceExactLane = Some(true)).collect()
+    val msd = SimilarityOps
+      .embeddingOutliersOf(emb, forceExactLane = Some(false)).collect()
+    // identical ranking below the overflow edge (the verdict's boundary
+    // contract: the lanes may only diverge where int64 has already
+    // wrapped, which no constructible small fixture can reach)
+    assert(exact.map(key).toSeq == msd.map(key).toSeq)
+    // the msd lane reports NULL for the exact key instead of a value it
+    // cannot represent; the exact lane keeps the int64
+    assert(exact.forall(!_.isNullAt(4)))
+    assert(msd.forall(_.isNullAt(4)))
+    // msd agrees across lanes to fp-sum tolerance
+    exact.zip(msd).foreach { case (a, b) =>
+      val (x, y) = (a.getAs[Double]("msd"), b.getAs[Double]("msd"))
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)))
+    }
+    // the default guard picks the exact lane on this fixture
+    val auto = SimilarityOps.embeddingOutliersOf(emb).collect()
+    assert(auto.map(key).toSeq == exact.map(key).toSeq)
+    assert(auto.forall(!_.isNullAt(4)))
+  }
+
+  test("q196 double-carrier grid fold equals the exact-carrier fold on the planted fixture (r17 order 2)") {
+    val emb = Seq(
+      (0L, 0, Seq(1f, 0f)), (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(1f, 0f)),
+      (3L, 0, Seq(0f, 1f)),
+      (10L, 1, Seq(0f, 1f)), (11L, 1, Seq(0f, 1f)), (12L, 1, Seq(0f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    def rows(lane: Option[Boolean]) = SimilarityOps
+      .labelMarginOf(emb, forceExactLane = lane).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_suspect"), r.getAs[Double]("suspect_share")))
+      .toSeq
+    assert(rows(Some(true)) == rows(Some(false)))
+    assert(rows(None) == rows(Some(true)))
+  }
+
   test("q147 ann recall: rows well-formed, hits bounded by panel size") {
     val rows = SimilarityOps.q147AnnRecall(spark, TestSpark.sf).collect()
     assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 5L, 10L))
