@@ -2378,6 +2378,137 @@ object SimilarityOps {
       |FROM p GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** q197: fused embedding trust report (r18, r17 verdict order 6) —
+    * q194's one-pass move applied to the embedding side. q195 and q196
+    * each rebuilt the ×1000 quantization and ran their own corpus pass
+    * (labelCentroidStats twice, one explode each; then a rank pass and
+    * a grid pass). This emits BOTH screens from ONE stats pass and ONE
+    * broadcast grid fold: per (vec, centroid) the exact int64 distance
+    * fold is computed once, serving the own-centroid outlier RANK
+    * (q195's exact key) and the own-vs-other msd comparison (q196's
+    * suspect test) from the same number.
+    *
+    * Output: one row per (label, rnk ≤ 10 outlier) carrying the
+    * label-level trust columns (n, n_suspect, suspect_share) alongside
+    * the ranked outlier (rnk, vec_id, dist2_num, msd) — the long-format
+    * report a curation run reads per slice; labels × 10 rows at any
+    * corpus size.
+    *
+    * Scale shape: the n/n_suspect rollup and the top-10 rank share ONE
+    * exchange — both are window functions over the same label
+    * partitioning (count/sum unbounded + row_number ordered), so the
+    * plan is quantize → broadcast grid fold → per-vec partial agg →
+    * one label-partitioned Window pair. The per-label full-partition
+    * pass the rollup needs anyway subsumes q195's WindowGroupLimit
+    * early-out — that's the fusion trade, measured at sf1 (PERF.md
+    * r18). Same exactDistSafe lane guard as the constituents: past the
+    * int64 bound the fold carrier swaps to doubles, ranks by msd, and
+    * reports dist2_num NULL.
+    */
+  def q197EmbeddingTrust(spark: SparkSession, dir: String): DataFrame =
+    embeddingTrustOf(Tables(spark, dir).embeddings)
+
+  private[graft] def embeddingTrustOf(emb: DataFrame,
+      forceExactLane: Option[Boolean] = None): DataFrame = {
+    import emb.sparkSession.implicits._
+    val stats = labelCentroidStats(emb).ckpt()
+    val exactLane = forceExactLane.getOrElse {
+      val g = stats.agg(max($"n"), max($"mx"), max(size($"sums"))).head
+      g.isNullAt(0) ||
+        exactDistSafe(g.getLong(0), g.getLong(1), g.getInt(2))
+    }
+    val cents = stats.select($"label".as("clabel"), $"n".as("cn"),
+      $"sums".as("csums"))
+    // same single-input-split hazard as q195/q196 (see the q195 comment)
+    val gridBase = emb.select($"vec_id", $"label",
+      transform($"embedding",
+        x => round(x.cast("double") * 1000).cast("long")).as("eq"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(cents))
+    // ONE fold per grid row serves both screens: dist2 (exact lane) is
+    // q195's rank key on own rows, and msd derives from it by one cast
+    // + one division — identical doubles to q196's standalone formula
+    val grid =
+      if (exactLane) {
+        gridBase.withColumn("dist2", expr(
+          """aggregate(zip_with(eq, csums, (x, s) -> (cn * x - s) * (cn * x - s)),
+            |CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+          .withColumn("msd", $"dist2".cast("double") / ($"cn" * $"cn"))
+      } else {
+        gridBase.withColumn("dist2", lit(null).cast("long"))
+          .withColumn("msd", expr(
+            """aggregate(zip_with(eq, csums,
+              |  (x, s) -> (CAST(cn AS DOUBLE) * x - s) * (CAST(cn AS DOUBLE) * x - s)),
+              |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
+            ($"cn".cast("double") * $"cn".cast("double")))
+      }
+    val perVec = grid.groupBy($"vec_id", $"label")
+      .agg(
+        max(when($"clabel" === $"label", $"msd")).as("own_msd"),
+        min(when($"clabel" =!= $"label", $"msd")).as("other_msd"),
+        max(when($"clabel" === $"label", $"dist2")).as("own_dist2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"label")
+    val rankKey = if (exactLane) $"own_dist2" else $"own_msd"
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"label").orderBy(rankKey.desc, $"vec_id".asc)
+    perVec
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("n_suspect",
+        sum(when($"other_msd" < $"own_msd", 1L).otherwise(0L)).over(w))
+      .withColumn("rnk", row_number().over(wOrd))
+      .filter($"rnk" <= 10)
+      .select($"label".cast("long").as("label"), $"n", $"n_suspect",
+        ($"n_suspect".cast("double") / $"n").as("suspect_share"),
+        $"rnk".cast("long").as("rnk"), $"vec_id",
+        $"own_dist2".as("dist2_num"), $"own_msd".as("msd"))
+      .orderBy($"label", $"rnk")
+  }
+
+  /** DuckDB twin of q197: the fused grid CTE carries both the exact
+    * BIGINT distance and its msd double per (vec, centroid); the
+    * rollup and the rank are window functions over the same label
+    * partition, mirroring the Spark plan's shared exchange.
+    */
+  val q197Sql: String =
+    """WITH u AS (
+      |  SELECT vec_id, label, unnest(range(len(embedding))) AS i,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+      |  FROM embeddings),
+      |nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+      |       FROM embeddings GROUP BY 1),
+      |s AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS sx
+      |      FROM u GROUP BY 1, 2),
+      |g AS (
+      |  SELECT u.vec_id, u.label, s.label AS clabel,
+      |         CAST(sum((nl.n * u.x - s.sx) * (nl.n * u.x - s.sx)) AS BIGINT)
+      |           AS dist2,
+      |         CAST(sum((nl.n * u.x - s.sx) * (nl.n * u.x - s.sx)) AS DOUBLE)
+      |           / (max(nl.n) * max(nl.n)) AS msd
+      |  FROM u JOIN s ON u.i = s.i
+      |         JOIN nl ON s.label = nl.label
+      |  GROUP BY 1, 2, 3),
+      |p AS (
+      |  SELECT vec_id, label,
+      |         max(CASE WHEN clabel = label THEN msd END) AS own_msd,
+      |         min(CASE WHEN clabel <> label THEN msd END) AS other_msd,
+      |         max(CASE WHEN clabel = label THEN dist2 END) AS own_dist2
+      |  FROM g GROUP BY 1, 2),
+      |r AS (
+      |  SELECT label, vec_id, own_msd, other_msd, own_dist2,
+      |         count(*) OVER (PARTITION BY label) AS n,
+      |         sum(CASE WHEN other_msd < own_msd THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY label) AS n_suspect,
+      |         row_number() OVER (PARTITION BY label
+      |           ORDER BY own_dist2 DESC, vec_id) AS rnk
+      |  FROM p)
+      |SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n,
+      |  CAST(n_suspect AS BIGINT) AS n_suspect,
+      |  CAST(n_suspect AS DOUBLE) / n AS suspect_share,
+      |  CAST(rnk AS BIGINT) AS rnk, vec_id,
+      |  own_dist2 AS dist2_num, own_msd AS msd
+      |FROM r WHERE rnk <= 10
+      |ORDER BY label, rnk""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q195_embedding_outliers", q195EmbeddingOutliers, Some(q195Sql),
       Seq("X-sim", "X-stats", "X-scale"),
@@ -2385,6 +2516,9 @@ object SimilarityOps {
     Q("q196_label_margin", q196LabelMargin, Some(q196Sql),
       Seq("X-sim", "X-eval", "X-scale"),
       "nearest-centroid mislabel screen: per-label suspect share from the broadcast centroid grid"),
+    Q("q197_embedding_trust", q197EmbeddingTrust, Some(q197Sql),
+      Seq("X-sim", "X-eval", "X-scale"),
+      "fused embedding trust report: q195 outliers + q196 margins from one stats pass and one grid fold"),
     Q("q184_dim_truncation", q184DimTruncation, Some(q184Sql),
       Seq("X-sim", "X-eval", "X-scale"),
       "matryoshka operating curve: recall@10 of prefix-dim cosine vs full-dim truth, one scan for all cuts"),

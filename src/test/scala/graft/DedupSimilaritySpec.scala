@@ -800,6 +800,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows(None) == rows(Some(true)))
   }
 
+  test("q197 fused trust report equals its q195 + q196 constituents row-for-row (r17 order 6)") {
+    val emb = Seq(
+      (0L, 0, Seq(1f, 0f)), (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(1f, 0f)),
+      (3L, 0, Seq(0f, 1f)),
+      (10L, 1, Seq(0f, 1f)), (11L, 1, Seq(0f, 1f)), (12L, 1, Seq(0f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val fused = SimilarityOps.embeddingTrustOf(emb).collect()
+    // q195 part: (label, rnk, vec_id, dist2_num, msd) identical
+    val outliers = SimilarityOps.embeddingOutliersOf(emb).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("dist2_num"),
+        r.getAs[Double]("msd"))).toSeq
+    assert(fused.map(r => (r.getAs[Long]("label"), r.getAs[Long]("rnk"),
+      r.getAs[Long]("vec_id"), r.getAs[Long]("dist2_num"),
+      r.getAs[Double]("msd"))).toSeq == outliers)
+    // q196 part: the label-level columns repeat the margin screen
+    val margins = SimilarityOps.labelMarginOf(emb).collect()
+      .map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_suspect"),
+          r.getAs[Double]("suspect_share"))).toMap
+    fused.foreach { r =>
+      assert(margins(r.getAs[Long]("label")) ==
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_suspect"),
+          r.getAs[Double]("suspect_share"))))
+    }
+    // the forced msd lane ranks identically and nulls the exact key
+    val msdLane = SimilarityOps
+      .embeddingTrustOf(emb, forceExactLane = Some(false)).collect()
+    assert(msdLane.map(r => (r.getAs[Long]("label"), r.getAs[Long]("rnk"),
+      r.getAs[Long]("vec_id"))).toSeq ==
+      fused.map(r => (r.getAs[Long]("label"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vec_id"))).toSeq)
+    assert(msdLane.forall(_.isNullAt(6)))
+  }
+
   test("q147 ann recall: rows well-formed, hits bounded by panel size") {
     val rows = SimilarityOps.q147AnnRecall(spark, TestSpark.sf).collect()
     assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 5L, 10L))
