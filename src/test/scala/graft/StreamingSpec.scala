@@ -533,6 +533,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(run() == Set((13L, 0L, 4L, 4L, 9L, 3L)))
   }
 
+  test("incremental decontam survives a crash BETWEEN ledger write and sink commit (r17 order 7)") {
+    // the ugliest boundary: decontamBatchStep has already persisted
+    // ledger 0 when the sink throws, so the streaming commit log never
+    // advances. The restart must replay batch 0, re-derive the SAME
+    // base (ids strictly < 0 → knownInit, ledger 0's own grams
+    // excluded), and deliver the diff exactly once — no dropped batch,
+    // no doubled rows, ledger still at one entry per batch.
+    val in = TestSpark.scratch("decontam-crash-in")
+    val ckpt = TestSpark.scratch("decontam-crash-ckpt")
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val known = operators.DedupOps.windowGrams(
+      oldPanelDocs.toDF("doc_id", "text")
+        .select($"doc_id", split($"text", " ").as("t")),
+      operators.DedupOps.DecontamN).select($"g").distinct()
+    def stream() = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(in)
+    val got = collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+    var killed = false
+    def sink(out: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val rows = out.as[(Long, Long, Long, Long, Long, Long)].collect()
+      if (!killed) {
+        killed = true
+        throw new RuntimeException("injected crash after ledger write")
+      }
+      got ++= rows
+    }
+    deltaPanelDocs.filter(_._1 <= 6).toDF("doc_id", "text")
+      .write.mode("append").parquet(in)
+    // run 1 dies mid-batch: the ledger landed, the sink did not commit
+    intercept[Exception] {
+      EventsStreaming.runIncrementalDecontam(stream(), corpus, known, ckpt, sink)
+    }
+    assert(EventsStreaming.appliedLedgers(spark, ckpt) == Seq(0L))
+    assert(got.isEmpty)
+    // restart on the SAME checkpoint: batch 0 replays through the
+    // idempotent step and the diff arrives exactly once
+    EventsStreaming.runIncrementalDecontam(stream(), corpus, known, ckpt, sink)
+    assert(got.toSet == Set((10L, 0L, 4L, 4L, 10L, 6L)))
+    assert(got.size == 1)
+    // a follow-up delivery repeating run-1 text still sees those grams
+    // as known (the replayed ledger advanced correctly, not doubly)
+    (Seq(15L -> "foo bar baz qux") ++ deltaPanelDocs.filter(_._1 == 7))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    got.clear()
+    EventsStreaming.runIncrementalDecontam(stream(), corpus, known, ckpt, sink)
+    assert(got.toSet == Set((13L, 0L, 4L, 4L, 9L, 3L)))
+  }
+
   test("decontamBatchStep is idempotent per batch id (foreachBatch retry / crash after ledger write)") {
     val ckpt = TestSpark.scratch("decontam-retry-ckpt")
     val ctoks = corpusDocs.toDF("doc_id", "text")
