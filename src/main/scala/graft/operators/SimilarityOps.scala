@@ -2157,6 +2157,27 @@ object SimilarityOps {
     dims.toDouble * dev * dev <= Long.MaxValue.toDouble / 2
   }
 
+  /** The collected centroid-stats matrix as the MinOtherMsd literal:
+    * `[k, carrier, cid_0.., n_0.., row-major sums]`, cid-sorted.
+    * Bounded by the ≤2 MB broadcast-codebook contract (labels × dims
+    * longs — the same class as the PQ codebooks and kmeansAssign's
+    * argmin matrix); the stats frame is already ckpt'd, so this driver
+    * read costs |labels| rows, never a corpus pass.
+    */
+  private def centroidMetaLit(stats: DataFrame,
+      exactLane: Boolean): Column = {
+    import org.apache.spark.sql.functions.col
+    val rows = stats
+      .select(col("label").cast("long"), col("n"), col("sums")).collect()
+      .sortBy(_.getLong(0))
+    val k = rows.length.toLong
+    val head = Array(k, if (exactLane) 1L else 0L)
+    val cids = rows.map(_.getLong(0))
+    val ns = rows.map(_.getLong(1))
+    val sums = rows.flatMap(_.getSeq[Long](2))
+    lit(head ++ cids ++ ns ++ sums)
+  }
+
   /** q195: per-label centroid-outlier screen (r17) — for every label,
     * the 10 vectors farthest from their OWN label centroid: the
     * triage list a curation run reads before trusting a labeled
@@ -2218,20 +2239,21 @@ object SimilarityOps {
     // the int64 itself (a double cast of a >2⁵³ key — sf10 already
     // reaches 2.3·10¹⁷ — collapses distinct keys and would diverge from
     // the oracle's exact BIGINT ordering); msd-lane n² runs in doubles
-    // (long n·n itself wraps past n ≈ 3·10⁹)
+    // (long n·n itself wraps past n ≈ 3·10⁹). The fold is the codegen'd
+    // ScaledSqDistI64/ScaledMsdD kernel (r18): same ordered arithmetic
+    // as the interpreted aggregate(zip_with(...)) it replaces, minus
+    // the per-row array materialization and the codegen break.
     val scored =
       if (exactLane)
-        base.withColumn("dist2_num", expr(
-          """aggregate(zip_with(eq, sums, (x, s) -> (n * x - s) * (n * x - s)),
-            |CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+        base.withColumn("dist2_num",
+          graft.plans.FloatVectorExpressions
+            .scaledSqDistI64($"eq", $"sums", $"n"))
           .withColumn("msd",
             $"dist2_num".cast("double") / ($"n" * $"n"))
       else
-        base.withColumn("msd", expr(
-          """aggregate(zip_with(eq, sums,
-            |  (x, s) -> (CAST(n AS DOUBLE) * x - s) * (CAST(n AS DOUBLE) * x - s)),
-            |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-          / ($"n".cast("double") * $"n".cast("double")))
+        base.withColumn("msd",
+          graft.plans.FloatVectorExpressions
+            .scaledMsdD($"eq", $"sums", $"n"))
           .withColumn("dist2_num", lit(null).cast("long"))
     val rankKey = if (exactLane) $"dist2_num" else $"msd"
     val w = org.apache.spark.sql.expressions.Window
@@ -2290,10 +2312,14 @@ object SimilarityOps {
     * would wrap before its double cast, so the fold's carrier is
     * swapped to doubles under the same guard as q195 (spec-pinned).
     *
-    * Scale shape: the |labels|-row centroid frame broadcasts and the
-    * vec × centroid grid is a constant-multiplier (|labels|×) row-local
-    * pass — the q16 TextCat score-grid shape; the only shuffles are the
-    * (vec, own-vs-other) fold and the ≤|labels|-row rollup.
+    * Scale shape (r18 rework): own-centroid stats ride a broadcast
+    * |labels|-row join; the cross-centroid minimum is ONE codegen'd
+    * kernel (MinOtherMsd) over the literal stats matrix — a row-local
+    * k×d flat loop per vector, the kmeansAssign argmin pattern. No
+    * vec×centroid grid is ever materialized (the original crossJoin
+    * form re-measured 122 s/sf10 = 24×/decade — kmeansAssign's
+    * documented 765 s failure shape); the only shuffle left is the
+    * ≤|labels|-row rollup.
     */
   def q196LabelMargin(spark: SparkSession, dir: String): DataFrame =
     labelMarginOf(Tables(spark, dir).embeddings)
@@ -2312,33 +2338,33 @@ object SimilarityOps {
       g.isNullAt(0) ||
         exactDistSafe(g.getLong(0), g.getLong(1), g.getInt(2))
     }
-    val cents = stats.select($"label".as("clabel"), $"n".as("cn"),
-      $"sums".as("csums"))
+    // r18 rework: the original crossJoin-against-centroids grid
+    // materialized N·|labels| rows each dragging TWO dim-long arrays
+    // through an interpreted zip_with fold plus a corpus-sized
+    // (vec, clabel)→vec re-aggregation — kmeansAssign's measured-bad
+    // shape (765 s/sf10 there; 122 s/sf10 = 24×/decade here). Now ONE
+    // row-local projection: own stats ride the broadcast join, the
+    // cross-centroid min is the codegen'd MinOtherMsd kernel over the
+    // literal stats matrix (≤2 MB contract). Same arithmetic, same
+    // doubles, no grid, no second exchange.
+    val meta = centroidMetaLit(stats, exactLane)
     // same single-input-split hazard as q195 (see the comment there);
-    // without this the |labels|× grid fold runs on one core
-    val msdCol =
-      if (exactLane) {
-        expr(
-          """CAST(aggregate(zip_with(eq, csums, (x, s) -> (cn * x - s) * (cn * x - s)),
-            |CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)""".stripMargin) /
-          ($"cn" * $"cn")
-      } else {
-        expr(
-          """aggregate(zip_with(eq, csums,
-            |  (x, s) -> (CAST(cn AS DOUBLE) * x - s) * (CAST(cn AS DOUBLE) * x - s)),
-            |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
-          ($"cn".cast("double") * $"cn".cast("double"))
-      }
-    val grid = emb.select($"vec_id", $"label",
+    // without this the per-vec kernel runs on one core
+    val perVec = emb.select($"vec_id", $"label",
       transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(cents))
-      .withColumn("msd", msdCol)
-    val perVec = grid.groupBy($"vec_id", $"label")
-      .agg(
-        max(when($"clabel" === $"label", $"msd")).as("own_msd"),
-        min(when($"clabel" =!= $"label", $"msd")).as("other_msd"))
+      .join(broadcast(stats.select($"label", $"sums", $"n")), "label")
+      .withColumn("own_msd",
+        if (exactLane)
+          graft.plans.FloatVectorExpressions
+            .scaledSqDistI64($"eq", $"sums", $"n").cast("double") /
+            ($"n" * $"n")
+        else
+          graft.plans.FloatVectorExpressions
+            .scaledMsdD($"eq", $"sums", $"n"))
+      .withColumn("other_msd", graft.plans.FloatVectorExpressions
+        .minOtherMsd($"eq", $"label".cast("long"), meta))
     perVec
       .groupBy($"label")
       .agg(count(lit(1)).as("n"),
@@ -2382,11 +2408,11 @@ object SimilarityOps {
     * q194's one-pass move applied to the embedding side. q195 and q196
     * each rebuilt the ×1000 quantization and ran their own corpus pass
     * (labelCentroidStats twice, one explode each; then a rank pass and
-    * a grid pass). This emits BOTH screens from ONE stats pass and ONE
-    * broadcast grid fold: per (vec, centroid) the exact int64 distance
-    * fold is computed once, serving the own-centroid outlier RANK
-    * (q195's exact key) and the own-vs-other msd comparison (q196's
-    * suspect test) from the same number.
+    * a centroid pass). This emits BOTH screens from ONE stats pass and
+    * ONE row-local scoring pass: the exact int64 own-centroid fold is
+    * computed once per vector, serving the outlier RANK (q195's exact
+    * key) and the own-vs-other msd comparison (q196's suspect test)
+    * from the same number.
     *
     * Output: one row per (label, rnk ≤ 10 outlier) carrying the
     * label-level trust columns (n, n_suspect, suspect_share) alongside
@@ -2397,7 +2423,9 @@ object SimilarityOps {
     * Scale shape: the n/n_suspect rollup and the top-10 rank share ONE
     * exchange — both are window functions over the same label
     * partitioning (count/sum unbounded + row_number ordered), so the
-    * plan is quantize → broadcast grid fold → per-vec partial agg →
+    * plan is quantize → broadcast stats join + row-local codegen'd
+    * kernels (ScaledSqDistI64 for own, MinOtherMsd over the literal
+    * stats matrix for others — no vec×centroid grid, r18 rework) →
     * one label-partitioned Window pair. The per-label full-partition
     * pass the rollup needs anyway subsumes q195's WindowGroupLimit
     * early-out — that's the fusion trade, measured at sf1 (PERF.md
@@ -2417,36 +2445,32 @@ object SimilarityOps {
       g.isNullAt(0) ||
         exactDistSafe(g.getLong(0), g.getLong(1), g.getInt(2))
     }
-    val cents = stats.select($"label".as("clabel"), $"n".as("cn"),
-      $"sums".as("csums"))
+    // r18 rework, same as labelMarginOf: no materialized grid — own
+    // stats via the broadcast join (own_dist2 is the exact fold, msd
+    // one cast+division from it), the cross-centroid min via the
+    // codegen'd MinOtherMsd kernel over the literal stats matrix.
+    val meta = centroidMetaLit(stats, exactLane)
     // same single-input-split hazard as q195/q196 (see the q195 comment)
-    val gridBase = emb.select($"vec_id", $"label",
+    val joined = emb.select($"vec_id", $"label",
       transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(cents))
-    // ONE fold per grid row serves both screens: dist2 (exact lane) is
-    // q195's rank key on own rows, and msd derives from it by one cast
-    // + one division — identical doubles to q196's standalone formula
-    val grid =
+      .join(broadcast(stats.select($"label", $"sums", $"n")), "label")
+    val scored =
       if (exactLane) {
-        gridBase.withColumn("dist2", expr(
-          """aggregate(zip_with(eq, csums, (x, s) -> (cn * x - s) * (cn * x - s)),
-            |CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
-          .withColumn("msd", $"dist2".cast("double") / ($"cn" * $"cn"))
+        joined.withColumn("own_dist2", graft.plans.FloatVectorExpressions
+          .scaledSqDistI64($"eq", $"sums", $"n"))
+          .withColumn("own_msd",
+            $"own_dist2".cast("double") / ($"n" * $"n"))
       } else {
-        gridBase.withColumn("dist2", lit(null).cast("long"))
-          .withColumn("msd", expr(
-            """aggregate(zip_with(eq, csums,
-              |  (x, s) -> (CAST(cn AS DOUBLE) * x - s) * (CAST(cn AS DOUBLE) * x - s)),
-              |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
-            ($"cn".cast("double") * $"cn".cast("double")))
+        joined.withColumn("own_dist2", lit(null).cast("long"))
+          .withColumn("own_msd", graft.plans.FloatVectorExpressions
+            .scaledMsdD($"eq", $"sums", $"n"))
       }
-    val perVec = grid.groupBy($"vec_id", $"label")
-      .agg(
-        max(when($"clabel" === $"label", $"msd")).as("own_msd"),
-        min(when($"clabel" =!= $"label", $"msd")).as("other_msd"),
-        max(when($"clabel" === $"label", $"dist2")).as("own_dist2"))
+    val perVec = scored
+      .withColumn("other_msd", graft.plans.FloatVectorExpressions
+        .minOtherMsd($"eq", $"label".cast("long"), meta))
+      .select($"vec_id", $"label", $"own_msd", $"other_msd", $"own_dist2")
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"label")
     val rankKey = if (exactLane) $"own_dist2" else $"own_msd"
     val wOrd = org.apache.spark.sql.expressions.Window
@@ -2509,6 +2533,64 @@ object SimilarityOps {
       |FROM r WHERE rnk <= 10
       |ORDER BY label, rnk""".stripMargin
 
+  /** q198: embedding hygiene screen (r18) — the gate a pipeline runs
+    * BEFORE trusting any distance math: zero vectors (an encoder
+    * failure mode; cosine against them is NaN in every engine) and the
+    * per-label norm histogram (a label whose norms collapse or explode
+    * flags a broken encoder batch or an unnormalized ingest mixing
+    * into a normalized corpus).
+    *
+    * Exactness: norm² = Σ q_i² on the ×1000 milli-quantized grid is an
+    * exact int64 (bounded by dims·max|q|² — ~10⁸ for unit-scale
+    * 64-dim vectors, nowhere near the cliff); the histogram bucket is
+    * the integer floor-log2 `length(bin(norm2)) − 1` (q67's no-libm
+    * pattern, identical in both engines), with zero vectors pinned to
+    * bucket −1. Output is one row per (label, bucket) with count and
+    * exact min/max norm² — ≤ labels × ~30 rows at any corpus size.
+    *
+    * Scale shape: one corpus scan, a row-local fold per vector, one
+    * partial+final aggregate on (label, bucket) — no joins, no
+    * windows, nothing quadratic.
+    */
+  def q198EmbeddingHygiene(spark: SparkSession, dir: String): DataFrame =
+    embeddingHygieneOf(Tables(spark, dir).embeddings)
+
+  private[graft] def embeddingHygieneOf(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.select($"label", expr(
+      """aggregate(transform(embedding,
+        |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |CAST(0 AS BIGINT), (acc, v) -> acc + v * v)""".stripMargin)
+      .as("norm2"))
+      .withColumn("bucket", when($"norm2" === 0L, lit(-1L))
+        .otherwise((length(bin($"norm2")) - 1).cast("long")))
+      .groupBy($"label", $"bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        min($"norm2").as("min_norm2"), max($"norm2").as("max_norm2"))
+      .select($"label".cast("long").as("label"), $"bucket", $"n_vecs",
+        $"min_norm2", $"max_norm2")
+      .orderBy($"label", $"bucket")
+  }
+
+  val q198Sql: String =
+    """WITH u AS (
+      |  SELECT vec_id, label,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, CAST(sum(x * x) AS BIGINT) AS norm2
+      |      FROM u GROUP BY 1, 2),
+      |b AS (SELECT label,
+      |        CASE WHEN norm2 = 0 THEN -1
+      |             ELSE length(bin(norm2)) - 1 END AS bucket,
+      |        norm2
+      |      FROM n)
+      |SELECT CAST(label AS BIGINT) AS label, CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(min(norm2) AS BIGINT) AS min_norm2,
+      |  CAST(max(norm2) AS BIGINT) AS max_norm2
+      |FROM b GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q195_embedding_outliers", q195EmbeddingOutliers, Some(q195Sql),
       Seq("X-sim", "X-stats", "X-scale"),
@@ -2519,6 +2601,9 @@ object SimilarityOps {
     Q("q197_embedding_trust", q197EmbeddingTrust, Some(q197Sql),
       Seq("X-sim", "X-eval", "X-scale"),
       "fused embedding trust report: q195 outliers + q196 margins from one stats pass and one grid fold"),
+    Q("q198_embedding_hygiene", q198EmbeddingHygiene, Some(q198Sql),
+      Seq("X-sim", "X-stats", "X-scale"),
+      "embedding hygiene screen: zero-vector counts + per-label exact-integer norm histogram, one row-local scan"),
     Q("q184_dim_truncation", q184DimTruncation, Some(q184Sql),
       Seq("X-sim", "X-eval", "X-scale"),
       "matryoshka operating curve: recall@10 of prefix-dim cosine vs full-dim truth, one scan for all cuts"),

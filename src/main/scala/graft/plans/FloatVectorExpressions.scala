@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -366,6 +366,254 @@ object FloatVectorExpressions {
     override protected def withNewChildInternal(c: Expression): NormSqI64 = copy(child = c)
   }
 
+  private def requireScaledDistTypes(name: String, v: DataType,
+      s: DataType, n: DataType): TypeCheckResult =
+    (v, s, n) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$name requires (array<bigint>, array<bigint>, bigint), got " +
+          s"${v.sql}, ${s.sql}, ${n.sql}")
+    }
+
+  /** Σ (n·vᵢ − sᵢ)² over (vector, per-dim sums, count) — the exact
+    * centroid-deviation rank key of q195/q197 (deviation from the mean
+    * scaled by n so everything stays on the integer grid). Exact int64;
+    * the CALLER guards the `exactDistSafe` bound (past it this wraps,
+    * which is precisely why the msd lane exists). Replaces an
+    * interpreted `aggregate(zip_with(...))` pair — same ordered fold,
+    * same values, codegen'd flat loop with no per-row array
+    * materialization.
+    */
+  case class ScaledSqDistI64(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "scaled_sq_dist_i64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireScaledDistTypes(prettyName,
+        first.dataType, second.dataType, third.dataType)
+
+    override def nullSafeEval(v: Any, s: Any, n: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val b = s.asInstanceOf[ArrayData]
+      val nn = n.asInstanceOf[Long]
+      val d = math.min(a.numElements(), b.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < d) {
+        val df = nn * a.getLong(i) - b.getLong(i); acc += df * df; i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, s, n) => {
+        val i = ctx.freshName("i")
+        val d = ctx.freshName("d")
+        val df = ctx.freshName("df")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $d = java.lang.Math.min($v.numElements(), $s.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $d; $i++) {
+           |  long $df = $n * $v.getLong($i) - $s.getLong($i);
+           |  $acc += $df * $df;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(f: Expression,
+        s: Expression, t: Expression): ScaledSqDistI64 =
+      copy(first = f, second = s, third = t)
+  }
+
+  /** The double-carrier twin of [[ScaledSqDistI64]] for the large-n
+    * regime: Σ ((double)(n)·vᵢ − sᵢ)² / ((double)n · (double)n) — the
+    * msd directly, every term carried in doubles so nothing wraps.
+    * Same ordered fold and identical arithmetic to the HOF msd lane it
+    * replaces (per-term double multiply-subtract-square, one final
+    * division by the double product).
+    */
+  case class ScaledMsdD(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "scaled_msd_double"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireScaledDistTypes(prettyName,
+        first.dataType, second.dataType, third.dataType)
+
+    override def nullSafeEval(v: Any, s: Any, n: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val b = s.asInstanceOf[ArrayData]
+      val nn = n.asInstanceOf[Long].toDouble
+      val d = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val df = nn * a.getLong(i) - b.getLong(i); acc += df * df; i += 1
+      }
+      acc / (nn * nn)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, s, n) => {
+        val i = ctx.freshName("i")
+        val d = ctx.freshName("d")
+        val nd = ctx.freshName("nd")
+        val df = ctx.freshName("df")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $d = java.lang.Math.min($v.numElements(), $s.numElements());
+           |double $nd = (double) $n;
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $d; $i++) {
+           |  double $df = $nd * $v.getLong($i) - $s.getLong($i);
+           |  $acc += $df * $df;
+           |}
+           |${ev.value} = $acc / ($nd * $nd);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(f: Expression,
+        s: Expression, t: Expression): ScaledMsdD =
+      copy(first = f, second = s, third = t)
+  }
+
+  /** min over OTHER-label centroids of msd_j = Σ(n_j·vᵢ − s_jᵢ)² / n_j²
+    * — the q196/q197 mislabel test's cross-centroid scan as ONE
+    * codegen'd kernel over a literal stats matrix, replacing the
+    * crossJoin-against-centroids grid that materialized N·k rows each
+    * dragging two dim-long arrays (the exact shape kmeansAssign already
+    * measured at 765 s/sf10 and replaced; q196's r18 re-measure read
+    * 122 s at sf10 = 24×/decade for the same reason).
+    *
+    * `meta` is one flat array<bigint> literal, layout
+    * `[k, carrier, cid_0..cid_{k-1}, n_0..n_{k-1}, s_00..s_{k-1,d-1}]`
+    * (row-major sums; d inferred from its length) — bounded by the
+    * ≤2 MB broadcast-codebook contract (≤4096 labels at 64 dims).
+    * carrier 1 folds exact int64 then divides by the long n_j² (the
+    * tested-decades lane, bit-identical to the grid form the oracle
+    * checks); carrier 0 folds in doubles and divides by
+    * (double)n_j·(double)n_j (the large-n lane). Returns NULL when no
+    * other label exists (single-label corpus) — same semantics as
+    * `min(CASE WHEN clabel <> label THEN msd END)`.
+    */
+  case class MinOtherMsd(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "min_other_msd"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(LongType, _), LongType, ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, bigint, array<bigint>)")
+      }
+
+    override def nullSafeEval(v: Any, label: Any, meta: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val m = meta.asInstanceOf[ArrayData]
+      val own = label.asInstanceOf[Long]
+      val k = m.getLong(0).toInt
+      val exactCarrier = m.getLong(1) == 1L
+      if (k <= 0) null
+      else {
+        val d = math.min(a.numElements(), ((m.numElements() - 2 - 2 * k) / k))
+        var best = Double.PositiveInfinity
+        var found = false
+        var j = 0
+        while (j < k) {
+          if (m.getLong(2 + j) != own) {
+            val nj = m.getLong(2 + k + j)
+            val base = 2 + 2 * k + j * ((m.numElements() - 2 - 2 * k) / k)
+            val msd =
+              if (exactCarrier) {
+                var acc = 0L
+                var i = 0
+                while (i < d) {
+                  val df = nj * a.getLong(i) - m.getLong(base + i)
+                  acc += df * df; i += 1
+                }
+                acc.toDouble / (nj * nj)
+              } else {
+                val nd = nj.toDouble
+                var acc = 0.0
+                var i = 0
+                while (i < d) {
+                  val df = nd * a.getLong(i) - m.getLong(base + i)
+                  acc += df * df; i += 1
+                }
+                acc / (nd * nd)
+              }
+            if (!found || msd < best) { best = msd; found = true }
+          }
+          j += 1
+        }
+        if (found) best else null
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, label, m) => {
+        val k = ctx.freshName("k")
+        val ds = ctx.freshName("ds")
+        val d = ctx.freshName("d")
+        val exact = ctx.freshName("exact")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val nj = ctx.freshName("nj")
+        val base = ctx.freshName("base")
+        val msd = ctx.freshName("msd")
+        val best = ctx.freshName("best")
+        val found = ctx.freshName("found")
+        val accL = ctx.freshName("accL")
+        val accD = ctx.freshName("accD")
+        val df = ctx.freshName("df")
+        val nd = ctx.freshName("nd")
+        s"""
+           |int $k = (int) $m.getLong(0);
+           |boolean $exact = $m.getLong(1) == 1L;
+           |boolean $found = false;
+           |double $best = Double.POSITIVE_INFINITY;
+           |if ($k > 0) {
+           |  int $ds = ($m.numElements() - 2 - 2 * $k) / $k;
+           |  int $d = java.lang.Math.min($v.numElements(), $ds);
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    if ($m.getLong(2 + $j) != $label) {
+           |      long $nj = $m.getLong(2 + $k + $j);
+           |      int $base = 2 + 2 * $k + $j * $ds;
+           |      double $msd;
+           |      if ($exact) {
+           |        long $accL = 0L;
+           |        for (int $i = 0; $i < $d; $i++) {
+           |          long $df = $nj * $v.getLong($i) - $m.getLong($base + $i);
+           |          $accL += $df * $df;
+           |        }
+           |        $msd = (double) $accL / ($nj * $nj);
+           |      } else {
+           |        double $nd = (double) $nj;
+           |        double $accD = 0.0;
+           |        for (int $i = 0; $i < $d; $i++) {
+           |          double $df = $nd * $v.getLong($i) - $m.getLong($base + $i);
+           |          $accD += $df * $df;
+           |        }
+           |        $msd = $accD / ($nd * $nd);
+           |      }
+           |      if (!$found || $msd < $best) { $best = $msd; $found = true; }
+           |    }
+           |  }
+           |}
+           |if ($found) { ${ev.value} = $best; } else { ${ev.isNull} = true; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(f: Expression,
+        s: Expression, t: Expression): MinOtherMsd =
+      copy(first = f, second = s, third = t)
+  }
+
   def dotF32(x: Column, y: Column): Column =
     ColumnBridge.column(DotF32(ColumnBridge.expression(x), ColumnBridge.expression(y)))
   def normSqF32(x: Column): Column =
@@ -380,4 +628,13 @@ object FloatVectorExpressions {
     ColumnBridge.column(SqDistI64(ColumnBridge.expression(x), ColumnBridge.expression(y)))
   def argMinSqDistI64(v: Column, mat: Column): Column =
     ColumnBridge.column(ArgMinSqDistI64(ColumnBridge.expression(v), ColumnBridge.expression(mat)))
+  def scaledSqDistI64(v: Column, s: Column, n: Column): Column =
+    ColumnBridge.column(ScaledSqDistI64(ColumnBridge.expression(v),
+      ColumnBridge.expression(s), ColumnBridge.expression(n)))
+  def scaledMsdD(v: Column, s: Column, n: Column): Column =
+    ColumnBridge.column(ScaledMsdD(ColumnBridge.expression(v),
+      ColumnBridge.expression(s), ColumnBridge.expression(n)))
+  def minOtherMsd(v: Column, label: Column, meta: Column): Column =
+    ColumnBridge.column(MinOtherMsd(ColumnBridge.expression(v),
+      ColumnBridge.expression(label), ColumnBridge.expression(meta)))
 }

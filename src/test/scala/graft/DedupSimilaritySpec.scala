@@ -835,6 +835,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(msdLane.forall(_.isNullAt(6)))
   }
 
+  test("q198 hygiene screen: zero vector lands in bucket -1, norm buckets are exact floor-log2") {
+    // hand-computed on the millis grid: (1,0) → norm² 10⁶ → bucket 19;
+    // (0,0) → zero vector → bucket −1; (.0316,0) → q=32 → 1024 → bucket
+    // 10 (power-of-two boundary); (.5,.5) → 500000 → bucket 18
+    val emb = Seq(
+      (0L, 0, Seq(1f, 0f)), (1L, 0, Seq(0f, 0f)),
+      (2L, 0, Seq(0.0316f, 0f)), (3L, 1, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val rows = SimilarityOps.embeddingHygieneOf(emb).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("n_vecs"), r.getAs[Long]("min_norm2"),
+        r.getAs[Long]("max_norm2"))).toSeq
+    assert(rows == Seq(
+      (0L, -1L, 1L, 0L, 0L),
+      (0L, 10L, 1L, 1024L, 1024L),
+      (0L, 19L, 1L, 1000000L, 1000000L),
+      (1L, 18L, 1L, 500000L, 500000L)))
+  }
+
   test("q147 ann recall: rows well-formed, hits bounded by panel size") {
     val rows = SimilarityOps.q147AnnRecall(spark, TestSpark.sf).collect()
     assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 5L, 10L))
