@@ -2130,16 +2130,20 @@ object SimilarityOps {
     val q = emb.select($"vec_id", $"label",
       transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
+    // n rides the SAME per-dim aggregate (count of any one dimension =
+    // vectors per label, dims are uniform per corpus) — one corpus
+    // scan total, where the original joined a second scan's counts
     val perDim = q.select($"label", posexplode($"eq").as(Seq("i", "x")))
       .groupBy($"label", $"i")
-      .agg(sum($"x").as("sx"), max(abs($"x")).as("mxi"))
+      .agg(sum($"x").as("sx"), max(abs($"x")).as("mxi"),
+        count(lit(1)).as("cnt"))
     perDim.groupBy($"label")
       .agg(expr("transform(array_sort(collect_list(struct(i, sx))), s -> s.sx)")
         .as("sums"),
         // per-label max |q_i| — feeds the exact-lane int64-safety guard
         // (consumers that don't need it project it away)
-        max($"mxi").as("mx"))
-      .join(q.groupBy($"label").agg(count(lit(1)).as("n")), "label")
+        max($"mxi").as("mx"),
+        max($"cnt").as("n"))
   }
 
   /** Exact-lane admissibility for the Σ(n·q_i − s_i)² int64 rank key:
