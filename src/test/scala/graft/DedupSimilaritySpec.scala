@@ -835,6 +835,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(msdLane.forall(_.isNullAt(6)))
   }
 
+  test("plan ratchet: q196/q197 run on the literal-matrix kernels, never a centroid grid (r18)") {
+    // the crossJoin-against-centroids form read 122 s/sf10 = 24×/decade
+    // (PERF.md r18); this pins the cure so a rewrite can't silently
+    // bring the grid back — no nested-loop join anywhere in the plan,
+    // and the codegen'd kernels present
+    def plan(df: org.apache.spark.sql.DataFrame): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+      out.toString
+    }
+    val sf = TestSpark.sf
+    val p196 = plan(SimilarityOps.q196LabelMargin(spark, sf))
+    val p197 = plan(SimilarityOps.q197EmbeddingTrust(spark, sf))
+    Seq(p196, p197).foreach { p =>
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert(p.contains("min_other_msd"), p.take(2000))
+      assert(p.contains("scaled_sq_dist_i64"), p.take(2000))
+    }
+    // q195's own-centroid fold rides the same exact kernel
+    assert(plan(SimilarityOps.q195EmbeddingOutliers(spark, sf))
+      .contains("scaled_sq_dist_i64"))
+  }
+
   test("q198 hygiene screen: zero vector lands in bucket -1, norm buckets are exact floor-log2") {
     // hand-computed on the millis grid: (1,0) → norm² 10⁶ → bucket 19;
     // (0,0) → zero vector → bucket −1; (.0316,0) → q=32 → 1024 → bucket
