@@ -835,6 +835,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(msdLane.forall(_.isNullAt(6)))
   }
 
+  test("q195 above the int64 edge: the UNFORCED guard swaps lanes where the exact fold truly wraps (r17 order 2)") {
+    // components of ±10⁶ quantize to ±10⁹: exactDistSafe(3, 10⁹, 2)
+    // fails (dims·(2n·max|q|)² = 7.2·10¹⁹ ≫ Long.MaxValue/2), so the
+    // DEFAULT lane choice — no forcing — must pick the msd carrier.
+    // Hand-computed msd ranking with n=3, s=(10⁹, 10⁹):
+    //   b: dev (−4·10⁹, −10⁹) → 17·10¹⁸/9 (the exact int64 fold WRAPS
+    //      negative here — 17·10¹⁸ > Long.MaxValue)
+    //   c: dev (2·10⁹, 2·10⁹) → 8·10¹⁸/9
+    //   a: dev (2·10⁹, −10⁹) → 5·10¹⁸/9
+    val emb = Seq(
+      (0L, 0, Seq(1e6f, 0f)), (1L, 0, Seq(-1e6f, 0f)),
+      (2L, 0, Seq(1e6f, 1e6f)))
+      .toDF("vec_id", "label", "embedding")
+    val rows = SimilarityOps.embeddingOutliersOf(emb).collect()
+    // default guard chose the msd lane: exact keys are NULL
+    assert(rows.forall(_.isNullAt(4)))
+    // and the ranking is the true one (b farthest, then c, then a)
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 0L))
+    assert(math.abs(rows.head.getAs[Double]("msd") - 17e18 / 9) <=
+      1e-6 * 17e18 / 9)
+    // the forced exact lane on the same data demonstrates the hazard
+    // the guard prevents: the wrapped key misranks the true outlier
+    val wrapped = SimilarityOps
+      .embeddingOutliersOf(emb, forceExactLane = Some(true)).collect()
+    assert(wrapped.head.getAs[Long]("vec_id") != 1L)
+  }
+
   test("plan ratchet: q196/q197 run on the literal-matrix kernels, never a centroid grid (r18)") {
     // the crossJoin-against-centroids form read 122 s/sf10 = 24×/decade
     // (PERF.md r18); this pins the cure so a rewrite can't silently
