@@ -2120,10 +2120,10 @@ object SimilarityOps {
     * EXACT integers — n and the per-dimension coordinate sums of the
     * ×1000-quantized vectors (q157's quantization), assembled back into
     * a dimension-ordered array so consumers compare vectors against
-    * centroids ROW-LOCALLY (zip_with) instead of exploding the corpus a
-    * second time. One corpus explode → (label, dim) partial+final
-    * aggregate → |labels| rows; broadcast-sized at any corpus scale
-    * (labels × dims × 8 B).
+    * centroids ROW-LOCALLY (the codegen'd ScaledSqDistI64/MinOtherMsd
+    * kernels) instead of exploding the corpus a second time. One
+    * corpus explode → (label, dim) partial+final aggregate → |labels|
+    * rows; broadcast-sized at any corpus scale (labels × dims × 8 B).
     */
   private[graft] def labelCentroidStats(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
@@ -2206,7 +2206,8 @@ object SimilarityOps {
     * bit-identical cross-engine. Ties break to the lower vec_id.
     *
     * Scale shape: the |labels|-row stats frame broadcasts; the distance
-    * is a row-local zip_with fold (no second explode, nothing quadratic);
+    * is a row-local codegen'd kernel fold (ScaledSqDistI64 — no second
+    * explode, nothing quadratic, no interpreted lambda);
     * the only corpus-sized shuffle is the per-label rank, and the
     * rank ≤ 10 filter plans as WindowGroupLimit (per-partition top-10
     * heaps BEFORE the exchange, q8's bounded-state shape) — output is
