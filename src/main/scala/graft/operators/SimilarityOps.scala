@@ -2124,15 +2124,31 @@ object SimilarityOps {
     * kernels) instead of exploding the corpus a second time. One
     * corpus explode → (label, dim) partial+final aggregate → |labels|
     * rows; broadcast-sized at any corpus scale (labels × dims × 8 B).
+    *
+    * Null contract (r19): NULL/empty embeddings are filtered HERE, not
+    * assumed absent — a NULL vector has no coordinates for posexplode,
+    * so without the filter n (derived as the per-dim count) would
+    * silently undercount versus a row count, and every n·q_i − s_i
+    * deviation downstream would diverge from the oracle. The same
+    * predicate lives in q195Sql/q196Sql/q197Sql's nl CTE so both
+    * engines agree that an un-embeddable row neither shapes a centroid
+    * nor counts toward its n (it cannot be scored either — the
+    * consumers' base scans carry the same filter).
     */
+  private[graft] def embeddable(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.filter($"embedding".isNotNull && size($"embedding") > 0)
+  }
+
   private[graft] def labelCentroidStats(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    val q = emb.select($"vec_id", $"label",
+    val q = embeddable(emb).select($"vec_id", $"label",
       transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
     // n rides the SAME per-dim aggregate (count of any one dimension =
-    // vectors per label, dims are uniform per corpus) — one corpus
-    // scan total, where the original joined a second scan's counts
+    // vectors per label; NULL/empty vectors are filtered above and
+    // dims are uniform per corpus) — one corpus scan total, where the
+    // original joined a second scan's counts
     val perDim = q.select($"label", posexplode($"eq").as(Seq("i", "x")))
       .groupBy($"label", $"i")
       .agg(sum($"x").as("sx"), max(abs($"x")).as("mxi"),
@@ -2235,7 +2251,7 @@ object SimilarityOps {
     // q196's grid). The corpus shuffle this buys is tiny (quantized
     // arrays), and on a real cluster the same line spreads a
     // small-but-hot slice across executors.
-    val base = emb.select($"vec_id", $"label",
+    val base = embeddable(emb).select($"vec_id", $"label",
       transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
@@ -2276,7 +2292,9 @@ object SimilarityOps {
       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
       |  FROM embeddings),
       |nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n
-      |       FROM embeddings GROUP BY 1),
+      |       FROM embeddings
+      |       WHERE embedding IS NOT NULL AND len(embedding) > 0
+      |       GROUP BY 1),
       |s AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS sx
       |      FROM u GROUP BY 1, 2),
       |d AS (
@@ -2355,7 +2373,7 @@ object SimilarityOps {
     val meta = centroidMetaLit(stats, exactLane)
     // same single-input-split hazard as q195 (see the comment there);
     // without this the per-vec kernel runs on one core
-    val perVec = emb.select($"vec_id", $"label",
+    val perVec = embeddable(emb).select($"vec_id", $"label",
       transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
@@ -2386,7 +2404,9 @@ object SimilarityOps {
       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
       |  FROM embeddings),
       |nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n
-      |       FROM embeddings GROUP BY 1),
+      |       FROM embeddings
+      |       WHERE embedding IS NOT NULL AND len(embedding) > 0
+      |       GROUP BY 1),
       |s AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS sx
       |      FROM u GROUP BY 1, 2),
       |g AS (
@@ -2456,7 +2476,7 @@ object SimilarityOps {
     // codegen'd MinOtherMsd kernel over the literal stats matrix.
     val meta = centroidMetaLit(stats, exactLane)
     // same single-input-split hazard as q195/q196 (see the q195 comment)
-    val joined = emb.select($"vec_id", $"label",
+    val joined = embeddable(emb).select($"vec_id", $"label",
       transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
@@ -2504,7 +2524,9 @@ object SimilarityOps {
       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
       |  FROM embeddings),
       |nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n
-      |       FROM embeddings GROUP BY 1),
+      |       FROM embeddings
+      |       WHERE embedding IS NOT NULL AND len(embedding) > 0
+      |       GROUP BY 1),
       |s AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS sx
       |      FROM u GROUP BY 1, 2),
       |g AS (
@@ -2546,11 +2568,25 @@ object SimilarityOps {
     * into a normalized corpus).
     *
     * Exactness: norm² = Σ q_i² on the ×1000 milli-quantized grid is an
-    * exact int64 (bounded by dims·max|q|² — ~10⁸ for unit-scale
-    * 64-dim vectors, nowhere near the cliff); the histogram bucket is
-    * the integer floor-log2 `length(bin(norm2)) − 1` (q67's no-libm
-    * pattern, identical in both engines), with zero vectors pinned to
-    * bucket −1. Output is one row per (label, bucket) with count and
+    * exact int64, bounded by dims·max|q|² (~10⁸ for unit-scale 64-dim
+    * vectors). Unlike the corpus-n-growing folds (q145/q195), this
+    * bound is ROW-LOCAL, so it is CHECKED rather than laned (r19,
+    * ADVICE r18): a component past floor(√(Long.MaxValue/2 / dims)) —
+    * raw magnitude ≈ 2.7·10⁵ at 64 dims — raises loudly instead of
+    * wrapping into a two's-complement bucket. The guard is the
+    * worst-case dims·max|q|² ≤ Long.MaxValue/2, deliberately
+    * conservative (a single huge component trips it even if the true
+    * sum would fit): a vector THAT unnormalized is precisely what the
+    * hygiene screen exists to catch, and a loud failure beats a
+    * silently-wrong histogram. The DuckDB twin fails loudly on the
+    * same corpora (HUGEINT sum errors on its BIGINT cast), at its own
+    * slightly-later threshold — the oracle is only compared below
+    * both. The histogram bucket is the integer floor-log2
+    * `length(bin(norm2)) − 1` (q67's no-libm pattern, identical in
+    * both engines), with zero vectors pinned to bucket −1. NULL/empty
+    * embeddings are filtered under the same contract as
+    * labelCentroidStats (both engines; an un-embeddable row has no
+    * norm). Output is one row per (label, bucket) with count and
     * exact min/max norm² — ≤ labels × ~30 rows at any corpus size.
     *
     * Scale shape: one corpus scan, a row-local fold per vector, one
@@ -2562,10 +2598,18 @@ object SimilarityOps {
 
   private[graft] def embeddingHygieneOf(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    emb.select($"label", expr(
-      """aggregate(transform(embedding,
-        |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
-        |CAST(0 AS BIGINT), (acc, v) -> acc + v * v)""".stripMargin)
+    embeddable(emb).select($"label", expr(
+      """transform(embedding,
+        |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"""
+        .stripMargin).as("eq"))
+      .select($"label", expr(
+        """CASE WHEN aggregate(eq, CAST(0 AS BIGINT),
+          |            (a, v) -> greatest(a, abs(v)))
+          |       > CAST(floor(sqrt(4.611686018427387e18
+          |                         / size(eq))) AS BIGINT)
+          |  THEN raise_error('q198: embedding component past the exact-int64 norm bound (|q| > sqrt(Long.MaxValue/2/dims)) - corpus is not milli-quantizable, norm2 would wrap silently')
+          |  ELSE aggregate(eq, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)
+          |END""".stripMargin)
       .as("norm2"))
       .withColumn("bucket", when($"norm2" === 0L, lit(-1L))
         .otherwise((length(bin($"norm2")) - 1).cast("long")))
@@ -2581,7 +2625,8 @@ object SimilarityOps {
     """WITH u AS (
       |  SELECT vec_id, label,
       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
       |n AS (SELECT vec_id, label, CAST(sum(x * x) AS BIGINT) AS norm2
       |      FROM u GROUP BY 1, 2),
       |b AS (SELECT label,

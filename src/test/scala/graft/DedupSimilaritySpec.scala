@@ -905,6 +905,60 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (1L, 18L, 1L, 500000L, 500000L)))
   }
 
+  test("q198 norm bound: a component past sqrt(Long.MaxValue/2/dims) raises loudly instead of wrapping (r19, ADVICE r18)") {
+    // d=2: per-component bound = floor(sqrt(Long.MaxValue/2/2)) ≈
+    // 1.5186e9 milli-units. Just below (q = 1.4e9): exact norm² =
+    // 1.96e18 < Long.MaxValue, bucket = floor-log2 = 60. Past it
+    // (q = 1.6e9) the fold would reach 2.56e18 here but wraps for any
+    // second such component — the screen must fail loudly, not bucket
+    // a wrapped negative via two's-complement bin().
+    val below = Seq((0L, 0, Seq(1.4e6f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val ok = SimilarityOps.embeddingHygieneOf(below).collect()
+    assert(ok.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("max_norm2")))
+      .toSeq == Seq((60L, 1960000000000000000L)))
+    val past = Seq((0L, 0, Seq(1.6e6f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val e = intercept[Exception] {
+      SimilarityOps.embeddingHygieneOf(past).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("exact-int64 norm bound"))
+  }
+
+  test("q195-q198 null contract: NULL/empty embeddings neither shape centroids nor count toward n (r19, ADVICE r18)") {
+    // Before r19, n was the max per-dim posexplode count: a NULL or
+    // empty embedding silently shrank n below the oracle's count(*)
+    // and every n·q_i − s_i deviation diverged cross-engine. Now both
+    // engines filter un-embeddable rows at ingestion, so a corpus with
+    // junk rows must answer exactly like the clean corpus.
+    val clean = Seq(
+      (0L, 0, Seq(1f, 0f)), (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(1f, 0f)),
+      (3L, 0, Seq(0f, 1f)),
+      (10L, 1, Seq(0f, 1f)), (11L, 1, Seq(0f, 1f)), (12L, 1, Seq(0f, 1f)))
+    val junk = Seq(
+      (90L, 0, null.asInstanceOf[Seq[Float]]), (91L, 0, Seq.empty[Float]),
+      (92L, 1, null.asInstanceOf[Seq[Float]]))
+    val cleanDf = clean.toDF("vec_id", "label", "embedding")
+    val dirtyDf = (clean ++ junk).toDF("vec_id", "label", "embedding")
+    def dump(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.toList).toList
+    // the stats frame itself: n counts only embeddable rows
+    val stats = SimilarityOps.labelCentroidStats(dirtyDf).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("n")).toMap
+    assert(stats == Map(0 -> 4L, 1 -> 3L))
+    // all four screens are junk-blind
+    assert(dump(SimilarityOps.embeddingOutliersOf(dirtyDf).collect()) ==
+      dump(SimilarityOps.embeddingOutliersOf(cleanDf).collect()))
+    assert(dump(SimilarityOps.labelMarginOf(dirtyDf).collect()) ==
+      dump(SimilarityOps.labelMarginOf(cleanDf).collect()))
+    assert(dump(SimilarityOps.embeddingTrustOf(dirtyDf).collect()) ==
+      dump(SimilarityOps.embeddingTrustOf(cleanDf).collect()))
+    assert(dump(SimilarityOps.embeddingHygieneOf(dirtyDf).collect()) ==
+      dump(SimilarityOps.embeddingHygieneOf(cleanDf).collect()))
+  }
+
   test("q147 ann recall: rows well-formed, hits bounded by panel size") {
     val rows = SimilarityOps.q147AnnRecall(spark, TestSpark.sf).collect()
     assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 5L, 10L))
