@@ -383,11 +383,15 @@ object FloatVectorExpressions {
     * which is precisely why the msd lane exists). Replaces an
     * interpreted `aggregate(zip_with(...))` pair — same ordered fold,
     * same values, codegen'd flat loop with no per-row array
-    * materialization.
+    * materialization. A vector/sums LENGTH MISMATCH returns NULL (r19):
+    * the replaced `zip_with` padded the shorter side with NULLs and the
+    * fold surfaced NULL — a ragged vector must score as un-scorable,
+    * never as a silently-truncated distance.
     */
   case class ScaledSqDistI64(first: Expression, second: Expression,
       third: Expression) extends TernaryExpression {
     override def dataType: DataType = LongType
+    override def nullable: Boolean = true
     override def prettyName: String = "scaled_sq_dist_i64"
     override def checkInputDataTypes(): TypeCheckResult =
       requireScaledDistTypes(prettyName,
@@ -397,13 +401,16 @@ object FloatVectorExpressions {
       val a = v.asInstanceOf[ArrayData]
       val b = s.asInstanceOf[ArrayData]
       val nn = n.asInstanceOf[Long]
-      val d = math.min(a.numElements(), b.numElements())
-      var acc = 0L
-      var i = 0
-      while (i < d) {
-        val df = nn * a.getLong(i) - b.getLong(i); acc += df * df; i += 1
+      val d = a.numElements()
+      if (d != b.numElements()) null
+      else {
+        var acc = 0L
+        var i = 0
+        while (i < d) {
+          val df = nn * a.getLong(i) - b.getLong(i); acc += df * df; i += 1
+        }
+        acc
       }
-      acc
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -413,13 +420,17 @@ object FloatVectorExpressions {
         val df = ctx.freshName("df")
         val acc = ctx.freshName("acc")
         s"""
-           |int $d = java.lang.Math.min($v.numElements(), $s.numElements());
-           |long $acc = 0L;
-           |for (int $i = 0; $i < $d; $i++) {
-           |  long $df = $n * $v.getLong($i) - $s.getLong($i);
-           |  $acc += $df * $df;
+           |int $d = $v.numElements();
+           |if ($d != $s.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long $acc = 0L;
+           |  for (int $i = 0; $i < $d; $i++) {
+           |    long $df = $n * $v.getLong($i) - $s.getLong($i);
+           |    $acc += $df * $df;
+           |  }
+           |  ${ev.value} = $acc;
            |}
-           |${ev.value} = $acc;
          """.stripMargin
       })
 
@@ -433,11 +444,13 @@ object FloatVectorExpressions {
     * msd directly, every term carried in doubles so nothing wraps.
     * Same ordered fold and identical arithmetic to the HOF msd lane it
     * replaces (per-term double multiply-subtract-square, one final
-    * division by the double product).
+    * division by the double product). Length mismatch returns NULL,
+    * same contract as [[ScaledSqDistI64]] (r19).
     */
   case class ScaledMsdD(first: Expression, second: Expression,
       third: Expression) extends TernaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "scaled_msd_double"
     override def checkInputDataTypes(): TypeCheckResult =
       requireScaledDistTypes(prettyName,
@@ -447,13 +460,16 @@ object FloatVectorExpressions {
       val a = v.asInstanceOf[ArrayData]
       val b = s.asInstanceOf[ArrayData]
       val nn = n.asInstanceOf[Long].toDouble
-      val d = math.min(a.numElements(), b.numElements())
-      var acc = 0.0
-      var i = 0
-      while (i < d) {
-        val df = nn * a.getLong(i) - b.getLong(i); acc += df * df; i += 1
+      val d = a.numElements()
+      if (d != b.numElements()) null
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < d) {
+          val df = nn * a.getLong(i) - b.getLong(i); acc += df * df; i += 1
+        }
+        acc / (nn * nn)
       }
-      acc / (nn * nn)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -464,14 +480,18 @@ object FloatVectorExpressions {
         val df = ctx.freshName("df")
         val acc = ctx.freshName("acc")
         s"""
-           |int $d = java.lang.Math.min($v.numElements(), $s.numElements());
-           |double $nd = (double) $n;
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $d; $i++) {
-           |  double $df = $nd * $v.getLong($i) - $s.getLong($i);
-           |  $acc += $df * $df;
+           |int $d = $v.numElements();
+           |if ($d != $s.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $nd = (double) $n;
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $d; $i++) {
+           |    double $df = $nd * $v.getLong($i) - $s.getLong($i);
+           |    $acc += $df * $df;
+           |  }
+           |  ${ev.value} = $acc / ($nd * $nd);
            |}
-           |${ev.value} = $acc / ($nd * $nd);
          """.stripMargin
       })
 
@@ -497,7 +517,9 @@ object FloatVectorExpressions {
     * checks); carrier 0 folds in doubles and divides by
     * (double)n_j·(double)n_j (the large-n lane). Returns NULL when no
     * other label exists (single-label corpus) — same semantics as
-    * `min(CASE WHEN clabel <> label THEN msd END)`.
+    * `min(CASE WHEN clabel <> label THEN msd END)` — and NULL when the
+    * vector's length differs from the matrix's dimension (r19): a
+    * ragged vector is un-scorable, never a truncated distance.
     */
   case class MinOtherMsd(first: Expression, second: Expression,
       third: Expression) extends TernaryExpression {
@@ -519,8 +541,9 @@ object FloatVectorExpressions {
       val k = m.getLong(0).toInt
       val exactCarrier = m.getLong(1) == 1L
       if (k <= 0) null
+      else if (a.numElements() != (m.numElements() - 2 - 2 * k) / k) null
       else {
-        val d = math.min(a.numElements(), ((m.numElements() - 2 - 2 * k) / k))
+        val d = a.numElements()
         var best = Double.PositiveInfinity
         var found = false
         var j = 0
@@ -577,9 +600,9 @@ object FloatVectorExpressions {
            |boolean $exact = $m.getLong(1) == 1L;
            |boolean $found = false;
            |double $best = Double.POSITIVE_INFINITY;
-           |if ($k > 0) {
+           |if ($k > 0 && $v.numElements() == ($m.numElements() - 2 - 2 * $k) / $k) {
            |  int $ds = ($m.numElements() - 2 - 2 * $k) / $k;
-           |  int $d = java.lang.Math.min($v.numElements(), $ds);
+           |  int $d = $v.numElements();
            |  for (int $j = 0; $j < $k; $j++) {
            |    if ($m.getLong(2 + $j) != $label) {
            |      long $nj = $m.getLong(2 + $k + $j);

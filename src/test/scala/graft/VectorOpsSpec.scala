@@ -158,6 +158,41 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(arg(Seq.empty[Long], m) == 0)
   }
 
+  test("scaled kernels: a dimension mismatch scores NULL, never a truncated distance (r19, ADVICE r18)") {
+    import graft.plans.FloatVectorExpressions._
+    // the replaced aggregate(zip_with(...)) folds padded the shorter
+    // array with NULLs and surfaced NULL — the kernels must preserve
+    // that: a ragged vector is un-scorable
+    val meta = Seq(2L, 1L, /*cids*/ 0L, 1L, /*ns*/ 2L, 2L,
+      /*sums row-major d=2*/ 0L, 0L, 10L, 10L)
+    def run(fallback: String): (Boolean, Boolean, Boolean, Long, Double) = {
+      val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.fallback", fallback)
+      try {
+        val r = Seq((Seq(1L, 2L, 3L), Seq(10L, 10L), 2L))
+          .toDF("v", "s", "n")
+          .select(
+            scaledSqDistI64(col("v"), col("s"), col("n")).as("d2"),
+            scaledMsdD(col("v"), col("s"), col("n")).as("msd"),
+            minOtherMsd(col("v"), lit(0L), lit(meta.toArray)).as("om"),
+            // matched lengths still score (same projection, both lanes)
+            scaledSqDistI64(col("s"), col("s"), col("n")).as("ok"),
+            minOtherMsd(col("s"), lit(0L), lit(meta.toArray)).as("okm"))
+          .head()
+        (r.isNullAt(0), r.isNullAt(1), r.isNullAt(2),
+          r.getAs[Long]("ok"), r.getAs[Double]("okm"))
+      } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+    }
+    for (fb <- Seq("true", "false")) {
+      val (d2N, msdN, omN, ok, okm) = run(fb)
+      assert(d2N && msdN && omN, s"fallback=$fb")
+      // own sums vs own sums: dev = 2*10-10 = 10 per dim → 200
+      assert(ok == 200L)
+      // other centroid (label 1, n=2, sums [10,10]): same → 200/4 = 50
+      assert(okm == 50.0)
+    }
+  }
+
   test("SQL surface: the i64 family registers; self-dot rewrites to norm") {
     graft.plans.GraftExtensions.registerRuntime(spark)
     val row = spark.sql(
