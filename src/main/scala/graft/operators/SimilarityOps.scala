@@ -1539,20 +1539,45 @@ object SimilarityOps {
     * naive at sf0.01.
     *
     * Exactness: vectors quantize to the q99 integer-millis grid, so
-    * cov_num = n·Σxy − Σx·Σy is exact int64 (order-free merges); corr
-    * divides exact ints in IEEE double (same two sqrt/one divide in
-    * both engines) and rounds once.
+    * cov_num = n·Σxy − Σx·Σy is exact int64 (order-free merges) WHILE
+    * the corpus sits below [[graft.functions.Gram.covExactSafe]] —
+    * 2·(n·max|x|)² ≤ Long.MaxValue/2, n ≈ 1.5·10⁶ unit-scale vectors;
+    * every tested decade is far inside it. Past the bound (r19, the
+    * q195 exactDistSafe treatment — this fold previously claimed
+    * exactness unconditionally: the ANSI finish would THROW at the
+    * 100 TB design ceiling, and the JVM-side Gram partials wrap
+    * silently past their own n·max|x|² bound) the finish swaps to the
+    * double carrier the SAME Gram pass accumulated: cov_num reports
+    * NULL, corr runs on the non-wrapping doubles. The lane guard is a driver read of the
+    * 1-row (n, max|x|) frame. In the exact lane corr divides exact
+    * ints in IEEE double (same two sqrt/one divide in both engines)
+    * and rounds once — bit-identical cross-engine; the oracle is only
+    * compared below the bound (its BIGINT arithmetic errors loudly
+    * past it under DuckDB's ANSI overflow).
     */
   def q145EmbedCovariance(spark: SparkSession, dir: String): DataFrame =
     covarianceOf(Tables(spark, dir).embeddings)
 
-  /** Upper-triangle covariance numerators (i, j, cov_num = n·Σxy − Σx·Σy)
-    * from ONE corpus pass through the Gram aggregator. Shared core of
-    * q145 (cov/corr finishing) and q151 (power iteration).
+  /** Upper-triangle covariance numerators from ONE corpus pass through
+    * the Gram aggregator. Shared core of q145 (cov/corr finishing) and
+    * q151 (power iteration). Emits (i, j, cov_num, cov_d):
+    *
+    *   - exact lane (the tested decades): cov_num = n·Σxy − Σx·Σy in
+    *     exact int64, cov_d its one double cast — bit-identical
+    *     cross-engine;
+    *   - double lane (past [[graft.functions.Gram.covExactSafe]], the
+    *     100 TB regime where the int64 finish would wrap silently):
+    *     cov_num is NULL (the q195 msd-lane contract — never report a
+    *     wrapped integer) and cov_d is the double-carrier finish,
+    *     deterministic up to partial-merge ulps.
+    *
+    * The lane guard reads (n, max|x|) off the ckpt'd 1-row Gram frame —
+    * a driver read, never a second corpus pass (the dual carriers ride
+    * the SAME fold, graft.functions.Gram).
     */
-  private[graft] def covNums(emb: DataFrame): DataFrame = {
+  private def gramFrame(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    val g = emb
+    emb
       // pin the null contract: GramAgg already skips null vectors, so n
       // must count non-null embeddings on BOTH engine legs (a NULL row
       // would otherwise inflate the oracle's n but not the Spark one)
@@ -1560,32 +1585,72 @@ object SimilarityOps {
       .select(transform($"embedding",
         x => round(x.cast("double") * 1000).cast("long")).as("eq"))
       .agg(graft.functions.Gram.gramAgg($"eq").as("g"))
-      .select($"g.n".as("n"), $"g.sums".as("sums"), $"g.prods".as("prods"))
+      .select($"g.n".as("n"), $"g.mx".as("mx"),
+        $"g.sums".as("sums"), $"g.prods".as("prods"),
+        $"g.sumsD".as("sumsD"), $"g.prodsD".as("prodsD"))
       .ckpt() // 1 row; pins the corpus pass so the fan-outs below reuse it
-    val sums = g.select($"n", size($"sums").as("d"),
-      posexplode($"sums").as(Seq("i", "sx")))
-    val prods = g.select(posexplode($"prods").as(Seq("flat", "sxy")))
-    val ij = sums.select($"n", $"d", $"i", $"sx".as("sx_i"))
-      .crossJoin(sums.select($"i".as("j"), $"sx".as("sx_j")))
-      .filter($"i" <= $"j")
-      .withColumn("flat", expr("i * d - (i * (i - 1)) div 2 + (j - i)"))
-    ij.join(prods, "flat")
-      .select($"i", $"j",
-        ($"n" * $"sxy" - $"sx_i" * $"sx_j").as("cov_num"))
   }
 
-  private[graft] def covarianceOf(emb: DataFrame): DataFrame = {
+  private def covLaneOf(g: DataFrame,
+      forceExactLane: Option[Boolean]): Boolean =
+    forceExactLane.getOrElse {
+      import g.sparkSession.implicits._
+      val r = g.select($"n", $"mx").head
+      graft.functions.Gram.covExactSafe(r.getLong(0), r.getLong(1))
+    }
+
+  private def covNumsFromGram(g: DataFrame, exactLane: Boolean): DataFrame = {
+    import g.sparkSession.implicits._
+    if (exactLane) {
+      val sums = g.select($"n", size($"sums").as("d"),
+        posexplode($"sums").as(Seq("i", "sx")))
+      val prods = g.select(posexplode($"prods").as(Seq("flat", "sxy")))
+      val ij = sums.select($"n", $"d", $"i", $"sx".as("sx_i"))
+        .crossJoin(sums.select($"i".as("j"), $"sx".as("sx_j")))
+        .filter($"i" <= $"j")
+        .withColumn("flat", expr("i * d - (i * (i - 1)) div 2 + (j - i)"))
+      ij.join(prods, "flat")
+        .select($"i", $"j",
+          ($"n" * $"sxy" - $"sx_i" * $"sx_j").as("cov_num"))
+        .withColumn("cov_d", $"cov_num".cast("double"))
+    } else {
+      val sums = g.select($"n".cast("double").as("nd"),
+        size($"sumsD").as("d"),
+        posexplode($"sumsD").as(Seq("i", "sx")))
+      val prods = g.select(posexplode($"prodsD").as(Seq("flat", "sxy")))
+      val ij = sums.select($"nd", $"d", $"i", $"sx".as("sx_i"))
+        .crossJoin(sums.select($"i".as("j"), $"sx".as("sx_j")))
+        .filter($"i" <= $"j")
+        .withColumn("flat", expr("i * d - (i * (i - 1)) div 2 + (j - i)"))
+      ij.join(prods, "flat")
+        .select($"i", $"j", lit(null).cast("long").as("cov_num"),
+          ($"nd" * $"sxy" - $"sx_i" * $"sx_j").as("cov_d"))
+    }
+  }
+
+  private[graft] def covNums(emb: DataFrame,
+      forceExactLane: Option[Boolean] = None): DataFrame = {
+    val g = gramFrame(emb)
+    covNumsFromGram(g, covLaneOf(g, forceExactLane))
+  }
+
+  private[graft] def covarianceOf(emb: DataFrame,
+      forceExactLane: Option[Boolean] = None): DataFrame = {
     import emb.sparkSession.implicits._
-    val cov = covNums(emb)
-    val vars = cov.filter($"i" === $"j").select($"i".as("k"), $"cov_num".as("var_num"))
+    val cov = covNums(emb, forceExactLane)
+    // corr runs on cov_d in BOTH lanes: in the exact lane cov_d IS the
+    // double cast of the exact int64 the oracle divides (bit-identical
+    // to the pre-lane form); in the double lane it is the non-wrapping
+    // carrier and cov_num is NULL
+    val vars = cov.filter($"i" === $"j").select($"i".as("k"), $"cov_d".as("var_d"))
     cov
       .join(broadcast(vars).withColumnRenamed("k", "i")
-        .withColumnRenamed("var_num", "var_i"), "i")
+        .withColumnRenamed("var_d", "var_i"), "i")
       .join(broadcast(vars).withColumnRenamed("k", "j")
-        .withColumnRenamed("var_num", "var_j"), "j")
+        .withColumnRenamed("var_d", "var_j"), "j")
       .select($"i".cast("long").as("i"), $"j".cast("long").as("j"), $"cov_num",
         when($"var_i" > 0 && $"var_j" > 0,
-          round($"cov_num" / (sqrt($"var_i".cast("double")) * sqrt($"var_j".cast("double"))), 6))
+          round($"cov_d" / (sqrt($"var_i") * sqrt($"var_j")), 6))
           .as("corr"))
       .orderBy($"i", $"j")
   }
@@ -1634,20 +1699,44 @@ object SimilarityOps {
     * the final normalization divides exact ints in IEEE doubles. Sign
     * is fixed by making the largest-|v| entry (ties → lowest dim)
     * positive — eigenvector sign is otherwise arbitrary.
+    *
+    * Past the [[graft.functions.Gram.covExactSafe]] bound (r19) the
+    * covariance numerators ride covNums' double lane: the pre-shift
+    * becomes floor(cov_d / 2^sh) with sh from floor(log2(max|cov_d|))
+    * — the same floor-division-by-2^k semantics, landing the matrix on
+    * the identical <2³⁰ integer grid, after which the iteration is the
+    * SAME exact-int64 loop. The double-lane matrix is deterministic
+    * given the ckpt'd covariance frame but carries partial-merge ulps
+    * (a boundary cell may round differently across runs of the Gram
+    * pass itself) — the exact lane's bit-identity claim applies only
+    * below the bound, where the oracle is compared.
     */
   def q151TopComponent(spark: SparkSession, dir: String): DataFrame =
     topComponentOf(Tables(spark, dir).embeddings)
 
-  private[graft] def topComponentOf(emb: DataFrame): DataFrame = {
+  private[graft] def topComponentOf(emb: DataFrame,
+      forceExactLane: Option[Boolean] = None): DataFrame = {
     import emb.sparkSession.implicits._
-    val upper = covNums(emb).ckpt() // ≤ d² rows; pinned for the mirror + 8 rounds
-    val full = upper.select($"i", $"j", $"cov_num")
+    val g = gramFrame(emb)
+    val exactLane = covLaneOf(g, forceExactLane)
+    val upper = covNumsFromGram(g, exactLane)
+      .ckpt() // ≤ d² rows; pinned for the mirror + 8 rounds
+    val full = upper.select($"i", $"j", $"cov_num", $"cov_d")
       .union(upper.filter($"i" =!= $"j")
-        .select($"j".as("i"), $"i".as("j"), $"cov_num"))
-    val shC = full.agg(
-      greatest(lit(0), length(bin(max(abs($"cov_num")))) - 1 - 30).as("sh"))
+        .select($"j".as("i"), $"i".as("j"), $"cov_num", $"cov_d"))
+    val shC =
+      if (exactLane)
+        full.agg(
+          greatest(lit(0), length(bin(max(abs($"cov_num")))) - 1 - 30).as("sh"))
+      else
+        full.agg(max(abs($"cov_d")).as("ma"))
+          .select(greatest(lit(0L),
+            when($"ma" > 0, floor(log2($"ma"))).otherwise(lit(0L)) - 30L)
+            .as("sh"))
     val c = full.crossJoin(broadcast(shC))
-      .select($"i", $"j", expr("shiftright(cov_num, sh)").as("c"))
+      .select($"i", $"j",
+        (if (exactLane) expr("shiftright(cov_num, sh)")
+         else floor($"cov_d" / pow(lit(2.0), $"sh")).cast("long")).as("c"))
       .ckpt()
     var vec = upper.select($"i").distinct()
       .select($"i".as("j"), lit(1000L).as("v"))

@@ -628,15 +628,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Double]("bin_lo") == r.getAs[Long]("bin_idx") / 20.0))
   }
 
-  test("Gram aggregator folds exact sums and upper-triangle products") {
+  test("Gram aggregator folds exact sums and upper-triangle products in BOTH carriers") {
     import graft.functions.Gram
-    val df = Seq(Seq(1L, 2L), Seq(3L, 4L)).toDF("eq")
+    val df = Seq(Seq(1L, 2L), Seq(3L, -4L)).toDF("eq")
     val r = df.agg(Gram.gramAgg($"eq").as("g"))
-      .select($"g.n", $"g.sums", $"g.prods").collect().head
+      .select($"g.n", $"g.mx", $"g.sums", $"g.prods",
+        $"g.sumsD", $"g.prodsD").collect().head
     assert(r.getLong(0) == 2L)
-    assert(r.getSeq[Long](1) == Seq(4L, 6L)) // Σx₀, Σx₁
-    assert(r.getSeq[Long](2) == Seq(10L, 14L, 20L)) // Σx₀², Σx₀x₁, Σx₁²
+    assert(r.getLong(1) == 4L) // max|x|
+    assert(r.getSeq[Long](2) == Seq(4L, -2L)) // Σx₀, Σx₁
+    assert(r.getSeq[Long](3) == Seq(10L, -10L, 20L)) // Σx₀², Σx₀x₁, Σx₁²
+    // the double carrier folds the SAME sums (exact below 2⁵³)
+    assert(r.getSeq[Double](4) == Seq(4.0, -2.0))
+    assert(r.getSeq[Double](5) == Seq(10.0, -10.0, 20.0))
     assert(Gram.triIndex(2, 0, 1) == 1 && Gram.triIndex(2, 1, 1) == 2)
+  }
+
+  test("covExactSafe: the Gram finishing guard flips at 2*(n*mx)^2 = Long.MaxValue/2 (r19, verdict order 1)") {
+    import graft.functions.Gram
+    // mx = 1000: n* = sqrt(Long.MaxValue/4)/1000 = 1518500249.7/1000
+    assert(Gram.covExactSafe(1518500L, 1000L))
+    assert(!Gram.covExactSafe(1518501L, 1000L))
+    // the tested decades sit far inside (sf10 ≈ 5e5 vectors)
+    assert(Gram.covExactSafe(500000L, 1000L))
+    // a single extreme-coord vector already fails: at mx = 3e9 both
+    // the finishing bound 2(n·mx)² and the partial bound n·mx² blow
+    // past Long.MaxValue/2 at n = 1
+    assert(!Gram.covExactSafe(1L, 3000000000L))
+    // degenerate corpora are vacuously safe
+    assert(Gram.covExactSafe(0L, 0L))
+    assert(Gram.covExactSafe(1000000L, 0L))
   }
 
   test("q145 covariance: planted perfect correlation, zero-variance NULL") {
@@ -669,6 +690,72 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(rows(0L) - 0.6) < 1e-3)
     assert(math.abs(rows(1L) - 0.8) < 1e-3)
     assert(math.abs(rows(2L)) < 1e-3)
+  }
+
+  test("q145/q151 double lane equals the exact lane on a small fixture and nulls cov_num (r19, verdict order 1)") {
+    // below 2^53 every double-carrier partial is exact, so the lanes
+    // must agree EXACTLY — corr values, NULL pattern, loadings
+    val emb = Seq(
+      (0L, Seq(1f, 2f, 5f)), (1L, Seq(2f, 4f, 5f)), (2L, Seq(3f, 6f, 5f)))
+      .toDF("vec_id", "embedding")
+    def corrs(lane: Option[Boolean]) =
+      SimilarityOps.covarianceOf(emb, lane).collect()
+        .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+          if (r.isNullAt(r.fieldIndex("corr"))) Double.NaN
+          else r.getAs[Double]("corr"))).toSeq
+    assert(corrs(Some(true)).toString == corrs(Some(false)).toString)
+    assert(corrs(None).toString == corrs(Some(true)).toString)
+    // the exact lane keeps the int64 numerators; the double lane
+    // reports NULL rather than a value int64 could not carry at scale
+    assert(SimilarityOps.covarianceOf(emb, Some(true)).collect()
+      .forall(!_.isNullAt(2)))
+    assert(SimilarityOps.covarianceOf(emb, Some(false)).collect()
+      .forall(_.isNullAt(2)))
+    def loads(lane: Option[Boolean]) =
+      SimilarityOps.topComponentOf(emb, lane).collect()
+        .map(r => (r.getAs[Long]("dim"), r.getAs[Double]("loading"))).toSeq
+    assert(loads(Some(true)) == loads(Some(false)))
+    assert(loads(None) == loads(Some(true)))
+  }
+
+  test("q145/q151 above the int64 edge: the UNFORCED guard swaps carriers where the exact finish truly wraps (r19, verdict order 1)") {
+    // raw ±1e6 floats quantize to ±1e9: n = 4, mx = 1e9 →
+    // 2·(n·mx)² = 3.2e19 ≫ Long.MaxValue/2, so the default lane choice
+    // must pick the double carrier. True finishing values (d = 2):
+    //   Σx₀ = 2e9, Σx₁ = 1e9, Σx₀² = 4e18, Σx₀x₁ = 1e18, Σx₁² = 1e18
+    //   cov(0,0) = 16e18 − 4e18 = 1.2e19  ← past Long.MaxValue
+    //   cov(0,1) = 4e18 − 2e18 = 2e18
+    //   cov(1,1) = 4e18 − 1e18 = 3e18
+    //   corr(0,1) = 2e18 / (√1.2e19·√3e18) = 2/6 → 0.333333
+    // (every value is a small-integer multiple of 1e18 — exact in
+    // doubles, so the assertions are equality, not tolerance)
+    val emb = Seq(
+      (0L, Seq(1e6f, 0f)), (1L, Seq(-1e6f, 0f)),
+      (2L, Seq(1e6f, 0f)), (3L, Seq(1e6f, 1e6f)))
+      .toDF("vec_id", "embedding")
+    val rows = SimilarityOps.covarianceOf(emb).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r).toMap
+    assert(rows.size == 3)
+    assert(rows.values.forall(_.isNullAt(2))) // guard chose the double lane
+    assert(rows((0L, 0L)).getAs[Double]("corr") == 1.0)
+    assert(rows((0L, 1L)).getAs[Double]("corr") == 0.333333)
+    assert(rows((1L, 1L)).getAs[Double]("corr") == 1.0)
+    // the forced exact lane on the same data demonstrates the hazard
+    // the guard prevents: under ANSI the int64 finish THROWS (a 100 TB
+    // query that dies at the finish line; the JVM-side Gram partials
+    // would wrap silently past their own bound n·mx²)
+    val e = intercept[Exception] {
+      SimilarityOps.covarianceOf(emb, Some(true)).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("ARITHMETIC_OVERFLOW"))
+    // q151 rides the same lane: top component of [[12, 2], [2, 3]]·1e18
+    // is (0.97821, 0.20759) — λ₁ = (15 + √97)/2, v ∝ (2, λ₁ − 12)
+    val load = SimilarityOps.topComponentOf(emb).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Double]("loading")).toMap
+    assert(math.abs(load(0L) - 0.97821) < 1e-3)
+    assert(math.abs(load(1L) - 0.20759) < 1e-3)
   }
 
   test("q157 label variance: per-label top dimension and trace share") {
