@@ -1816,13 +1816,22 @@ object SimilarityOps {
     * diagnostic for embedding quality per data slice.
     *
     * Exactness: var_num = n·Σx² − (Σx)² per (label, dim) in exact
-    * int64; the share divides exact ints once. Top-dim ties break to
-    * the lowest dimension.
+    * int64 WHILE every label sits below
+    * [[graft.functions.Gram.covExactSafe]] (read off the per-label
+    * (n, max|x|) columns of the SAME grouped frame — no extra pass);
+    * the share divides exact ints once and the result is bit-identical
+    * cross-engine. Past the bound (r19) the finish rides the Gram
+    * pass's double carriers: top_var_num/trace_num report NULL (the
+    * q195 contract — never a wrapped or ANSI-throwing integer), the
+    * rank runs on each lane's NATIVE key, and top_share divides the
+    * non-wrapping doubles. Top-dim ties break to the lowest dimension
+    * in both lanes; the oracle is only compared below the bound.
     */
   def q157LabelVariance(spark: SparkSession, dir: String): DataFrame =
     labelVarianceOf(Tables(spark, dir).embeddings)
 
-  private[graft] def labelVarianceOf(emb: DataFrame): DataFrame = {
+  private[graft] def labelVarianceOf(emb: DataFrame,
+      forceExactLane: Option[Boolean] = None): DataFrame = {
     import emb.sparkSession.implicits._
     val g = emb
       .select($"label",
@@ -1831,26 +1840,47 @@ object SimilarityOps {
       .groupBy($"label")
       .agg(graft.functions.Gram.gramAgg($"eq").as("g"))
       .select($"label", $"g.n".as("n"), size($"g.sums").as("d"),
-        $"g.sums".as("sums"), $"g.prods".as("prods"))
+        $"g.mx".as("mx"), $"g.sums".as("sums"), $"g.prods".as("prods"),
+        $"g.sumsD".as("sumsD"), $"g.prodsD".as("prodsD"))
       .ckpt() // |labels| rows; pins the one corpus pass across both uses below
+    val exactLane = forceExactLane.getOrElse {
+      val r = g.agg(max($"n"), max($"mx")).head
+      r.isNullAt(0) ||
+        graft.functions.Gram.covExactSafe(r.getLong(0), r.getLong(1))
+    }
     // variance needs only the diagonal: prods flat index of (i, i) is
     // i*d − i(i−1)/2 — extracted row-locally from the struct arrays
-    val perDim = g
-      .select($"label", $"n", $"d", posexplode($"sums").as(Seq("i", "sx")))
-      .join(g.select($"label", $"prods"), "label")
-      .withColumn("pii", expr("prods[i * d - (i * (i - 1)) div 2]"))
-      .withColumn("var_num", $"n" * $"pii" - $"sx" * $"sx")
+    val perDim =
+      if (exactLane)
+        g.select($"label", $"n", $"d", posexplode($"sums").as(Seq("i", "sx")))
+          .join(g.select($"label", $"prods"), "label")
+          .withColumn("pii", expr("prods[i * d - (i * (i - 1)) div 2]"))
+          .withColumn("var_num", $"n" * $"pii" - $"sx" * $"sx")
+      else
+        g.select($"label", $"n", $"d", posexplode($"sumsD").as(Seq("i", "sx")))
+          .join(g.select($"label", $"prodsD"), "label")
+          .withColumn("pii", expr("prodsD[i * d - (i * (i - 1)) div 2]"))
+          .withColumn("var_num", lit(null).cast("long"))
+          .withColumn("var_d", $"n".cast("double") * $"pii" - $"sx" * $"sx")
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"label")
-    perDim
-      .withColumn("trace", sum($"var_num").over(w))
+    val rankKey = if (exactLane) $"var_num" else $"var_d"
+    val ranked = perDim
       .withColumn("rnk", row_number().over(
-        w.orderBy($"var_num".desc, $"i".asc)))
+        w.orderBy(rankKey.desc, $"i".asc)))
+    val out =
+      if (exactLane)
+        ranked.withColumn("trace", sum($"var_num").over(w))
+          .withColumn("share", when($"trace" > 0,
+            $"var_num".cast("double") / $"trace"))
+      else
+        ranked.withColumn("trace", lit(null).cast("long"))
+          .withColumn("trace_d", sum($"var_d").over(w))
+          .withColumn("share", when($"trace_d" > 0, $"var_d" / $"trace_d"))
+    out
       .filter($"rnk" === 1)
       .select($"label".cast("long").as("label"), $"n",
         $"i".cast("long").as("top_dim"), $"var_num".as("top_var_num"),
-        $"trace".as("trace_num"),
-        when($"trace" > 0,
-          $"var_num".cast("double") / $"trace").as("top_share"))
+        $"trace".as("trace_num"), $"share".as("top_share"))
       .orderBy($"label")
   }
 

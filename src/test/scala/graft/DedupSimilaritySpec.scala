@@ -776,6 +776,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // label 1, dim 1: x = [0, 8000] -> var_num = 2*64e6 - 64e6 = 64e6
     assert(rows(1L).getAs[Long]("top_dim") == 1L)
     assert(rows(1L).getAs[Long]("top_var_num") == 64000000L)
+    // lane parity (r19): the forced double carrier agrees exactly on
+    // this sub-2^53 fixture — same top dims, same shares, NULL numerators
+    val dbl = SimilarityOps.labelVarianceOf(emb, Some(false)).collect()
+      .map(r => r.getAs[Long]("label") -> r).toMap
+    for (l <- Seq(0L, 1L)) {
+      assert(dbl(l).getAs[Long]("top_dim") == rows(l).getAs[Long]("top_dim"))
+      assert(dbl(l).getAs[Double]("top_share") ==
+        rows(l).getAs[Double]("top_share"))
+      assert(dbl(l).isNullAt(dbl(l).fieldIndex("top_var_num")))
+      assert(dbl(l).isNullAt(dbl(l).fieldIndex("trace_num")))
+    }
+  }
+
+  test("q157 above the int64 edge: the UNFORCED guard rides the double carriers (r19, verdict order 1)") {
+    // same wrap corpus as the q145 edge spec, all one label: n = 4,
+    // mx = 1e9 → covExactSafe fails → double lane. True per-dim
+    // variance numerators: dim 0 = 1.2e19 (past Long.MaxValue),
+    // dim 1 = 3e18; trace = 1.5e19 → share = 0.8 (exact in doubles)
+    val emb = Seq(
+      (0L, 0, Seq(1e6f, 0f)), (1L, 0, Seq(-1e6f, 0f)),
+      (2L, 0, Seq(1e6f, 0f)), (3L, 0, Seq(1e6f, 1e6f)))
+      .toDF("vec_id", "label", "embedding")
+    val r = SimilarityOps.labelVarianceOf(emb).collect().head
+    assert(r.getAs[Long]("label") == 0L && r.getAs[Long]("n") == 4L)
+    assert(r.isNullAt(r.fieldIndex("top_var_num")))
+    assert(r.isNullAt(r.fieldIndex("trace_num")))
+    assert(r.getAs[Long]("top_dim") == 0L)
+    assert(r.getAs[Double]("top_share") == 0.8)
   }
 
   test("q195 centroid outliers: planted far vector ranks first with the exact integer distance") {

@@ -27,6 +27,17 @@ TIMEOUT/RESOURCE line instead of hanging the sweep.  The summary names every
 budget-killed query so the fix (usually `AS MATERIALIZED`) happens during
 development, not after a blown sweep.
 
+Lane-guarded queries (the exact-int64 families: q145/q151/q157 via
+Gram.covExactSafe, q195/q196/q197 via exactDistSafe, q198's checked norm
+bound — see graft.functions.IntegerBounds for the full table): the DuckDB
+twins always compute the exact-BIGINT lane, so ORACLE COMPARABILITY IS
+DEFINED ONLY BELOW EACH GUARD'S BOUND.  Past it, Spark swaps to its
+double/msd lane (exact keys NULL) while DuckDB's ANSI arithmetic errors —
+the engines diverge BY DESIGN and a compare would be meaningless.  Every
+driver fixture SF sits orders of magnitude below every bound (asserted by
+the in-repo boundary specs), so this exclusion is a statement of contract,
+not a skipped check.
+
 Dev tooling only — not part of the library.
 """
 import argparse
