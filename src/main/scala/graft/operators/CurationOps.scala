@@ -1378,27 +1378,17 @@ object CurationOps {
         TextOps.wordCount($"text").as("nw"),
         length($"text").cast("long").as("nc"),
         length(regexp_replace($"text", "[^0-9]", "")).cast("long").as("nd"),
-        split($"text", " ").as("t"))
-      // guard the trigram derivation: sequence(1, size-2) DESCENDS for
-      // sub-3-token docs (Spark generates start-to-stop in either
-      // direction) and slice would see index 0 — short docs get an
-      // empty gram array instead (they fail gate 1 anyway)
-      .withColumn("gs", expr(
-        """IF(size(t) >= 3,
-          |  array_sort(transform(sequence(1, size(t) - 2),
-          |    i -> concat_ws(' ', slice(t, i, 3)))),
-          |  CAST(array() AS ARRAY<STRING>))""".stripMargin))
+        $"text")
+      // trigrams + singleton count via the shared codegen'd kernels
+      // (TextExpressions.wordTrigrams / sortedSingletonCount) — sub-3-
+      // token docs get an empty array and singletons 0 from the kernels
+      // themselves, so the former descending-sequence / ANSI empty-index
+      // guards are structural now, not expression-level IFs
+      .withColumn("gs",
+        array_sort(graft.plans.TextExpressions.wordTrigrams($"text")))
       .withColumn("ngrams", size($"gs").cast("long"))
-      // the empty-gram guard matters twice under ANSI: sequence(0, -1)
-      // DESCENDS and the neighborhood lookups then index an empty
-      // array, which throws (not NULLs) in Spark 4 — caught by the
-      // fuzz fixture's sub-3-token docs
-      .withColumn("singles", expr(
-        """CAST(IF(size(gs) = 0, 0,
-          |  size(filter(sequence(0, size(gs) - 1), i ->
-          |    (i = 0 OR gs[i - 1] <> gs[i])
-          |    AND (i = size(gs) - 1 OR gs[i + 1] <> gs[i])))) AS BIGINT)"""
-          .stripMargin))
+      .withColumn("singles",
+        graft.plans.TextExpressions.sortedSingletonCount($"gs"))
       .withColumn("stage",
         when($"nw" < 5L, "1_too_short")
           .when(($"ngrams" - $"singles") * 2L > $"ngrams", "2_repetitive")
@@ -1487,22 +1477,15 @@ object CurationOps {
         TextOps.wordCount($"text").as("nw"),
         length($"text").cast("long").as("nc"),
         length(regexp_replace($"text", "[^0-9]", "")).cast("long").as("nd"),
-        split($"text", " ").as("t")) ++ piiCols: _*)
-      // q193's guarded trigram derivation verbatim: sub-3-token docs get
-      // an empty gram array (sequence() descends below 3 tokens, and
-      // empty-array neighborhood indexing throws under ANSI)
-      .withColumn("gs", expr(
-        """IF(size(t) >= 3,
-          |  array_sort(transform(sequence(1, size(t) - 2),
-          |    i -> concat_ws(' ', slice(t, i, 3)))),
-          |  CAST(array() AS ARRAY<STRING>))""".stripMargin))
+        $"text") ++ piiCols: _*)
+      // q193's kernel trigram derivation verbatim (wordTrigrams /
+      // sortedSingletonCount): sub-3-token docs get an empty array and
+      // singletons 0 from the kernels — no expression-level guards
+      .withColumn("gs",
+        array_sort(graft.plans.TextExpressions.wordTrigrams($"text")))
       .withColumn("ngrams", size($"gs").cast("long"))
-      .withColumn("singles", expr(
-        """CAST(IF(size(gs) = 0, 0,
-          |  size(filter(sequence(0, size(gs) - 1), i ->
-          |    (i = 0 OR gs[i - 1] <> gs[i])
-          |    AND (i = size(gs) - 1 OR gs[i + 1] <> gs[i])))) AS BIGINT)"""
-          .stripMargin))
+      .withColumn("singles",
+        graft.plans.TextExpressions.sortedSingletonCount($"gs"))
       .withColumn("dup", $"ngrams" - $"singles")
       .withColumn("pii",
         TextOps.PiiPatterns.map(p => col(p._1)).reduce(_ + _))

@@ -1453,12 +1453,19 @@ object DedupOps {
     * similarity score. A curation reviewer reads this table; an appeals
     * process queries it.
     *
-    * Scale shape: pairs come from the existing one-shuffle machinery;
-    * evidence re-joins the df-capped rare postings on (doc, shingle)
-    * for the pair members only (semi-bounded by the pair list), then a
-    * per-pair top-3 rank window. Emitted as one ROW per evidence item
-    * (no arrays — array ordering is exactly the cross-engine ambiguity
-    * this repo avoids).
+    * Scale shape (r19 rework — one shingle pass, not two): the
+    * sizedPairs inverted-index core already materializes, per rare
+    * shingle, its full ≤cap posting list — so the shared-shingle
+    * STREAM (doc_a, doc_b, s, df) with df = size of the posting list
+    * falls out of the same bounded collect that the pair counts fold
+    * over (df ≤ cap groups survive EXACTLY when the BoundedCollect
+    * group isn't overflow-nulled, and size(ds) IS the global df).
+    * Publishing that stream once feeds BOTH the Jaccard fold and the
+    * per-pair top-3 evidence rank; the previous shape ran shingledFrom
+    * + a posting-stream dfreq aggregate TWICE (once inside
+    * jaccardPairs, once for the evidence re-join). Emitted as one ROW
+    * per evidence item (no arrays — array ordering is exactly the
+    * cross-engine ambiguity this repo avoids).
     */
   def q159DupEvidence(spark: SparkSession, dir: String): DataFrame =
     dupEvidenceOf(Tables(spark, dir).documents)
@@ -1466,17 +1473,34 @@ object DedupOps {
   private[graft] def dupEvidenceOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val pairs = jaccardPairs(docs, 0.5)
-      .select($"doc_a", $"doc_b", $"jaccard").ckpt()
-    val sh = shingledFrom(docs)
-    val post = sh.select($"doc_id", explode($"shingles").as("s"))
-    val dfreq = post.groupBy($"s").agg(count(lit(1)).as("df"))
-    val postRare = post.join(dfreq.filter($"df" <= 25), "s")
-    val shared = pairs
-      .join(postRare.select($"doc_id".as("doc_a"), $"s", $"df"), Seq("doc_a"))
-      .join(postRare.select($"doc_id".as("doc_b"), $"s".as("s_b")), Seq("doc_b"))
-      .filter($"s" === $"s_b")
-    shared
+    val postN = shingledFrom(docs).select(
+      $"doc_id", size($"shingles").cast("long").as("n_sh"),
+      explode($"shingles").as("s"))
+    // shared rare-shingle stream, sized and df-stamped (see sizedPairs:
+    // i < j keeps doc_a < doc_b because the bounded collect finishes
+    // sorted by doc_id). Consumed by two branches — published once.
+    val shared = postN
+      .groupBy($"s")
+      .agg(graft.functions.BoundedCollect
+        .boundedPostings($"doc_id", $"n_sh", 25).as("ds"))
+      .filter($"ds".isNotNull)
+      .select($"s", size($"ds").cast("long").as("df"),
+        posexplode($"ds").as(Seq("i", "a")), $"ds")
+      .select($"s", $"df", $"i", $"a", posexplode($"ds").as(Seq("j", "b")))
+      .filter($"i" < $"j")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.n_sh".as("n_a"), $"b.n_sh".as("n_b"), $"s", $"df")
+      .ckpt()
+    val pairs = shared
+      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    pairs
+      .join(shared.select($"doc_a", $"doc_b", $"s", $"df"),
+        Seq("doc_a", "doc_b"))
       .withColumn("rank", row_number().over(
         Window.partitionBy($"doc_a", $"doc_b").orderBy($"df".asc, $"s".asc)))
       .filter($"rank" <= 3)
@@ -1560,13 +1584,9 @@ object DedupOps {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select($"doc_id", split($"text", " ").as("t"))
-    val win = toks
-      .filter(size($"t") >= SpanN)
-      .select($"doc_id", expr(
-        s"""explode(transform(sequence(1, size(t) - ${SpanN - 1}),
-           |  i -> named_struct('pos', CAST(i AS BIGINT),
-           |                    'g', md5(concat_ws(' ', slice(t, i, $SpanN))))))""".stripMargin).as("w"))
-      .select($"doc_id", $"w.pos".as("pos"), $"w.g".as("g"))
+    // the span family's shared (doc_id, pos, g) builder — codegen'd
+    // window kernel + builtin md5 (see windowGrams)
+    val win = windowGrams(toks, SpanN)
     val dupg = win
       .groupBy($"g", $"doc_id").agg(count(lit(1)).as("occ"))
       .groupBy($"g").agg(count(lit(1)).as("n_docs"))
@@ -2037,11 +2057,13 @@ object DedupOps {
   private[graft] def noveltyProfile(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val toks = docs.select($"doc_id", split($"text", " ").as("t"))
+    // codegen'd window kernel + builtin md5 (no positions needed here —
+    // plain explode; see windowGrams for the posexplode variant)
     val win = toks
       .filter(size($"t") >= SpanN)
-      .select($"doc_id", explode(expr(
-        s"""transform(sequence(1, size(t) - ${SpanN - 1}),
-           |  i -> md5(concat_ws(' ', slice(t, i, $SpanN))))""".stripMargin)).as("g"))
+      .select($"doc_id", explode(
+        graft.plans.TextExpressions.arrayWordNgrams($"t", SpanN)).as("gt"))
+      .select($"doc_id", md5($"gt").as("g"))
     // Two independent aggregate LEGS, never a gram⋈gram join (the join
     // form measured 54.3s at sf1 vs 12.3s for this shape — both sides of
     // that join are |distinct grams|-sized, and novelty only needs the
@@ -2149,13 +2171,17 @@ object DedupOps {
       carry: Seq[String] = Nil): DataFrame = {
     import toks.sparkSession.implicits._
     val keep = $"doc_id" +: carry.map(col)
+    // window text via the codegen'd byte-scan kernel (one exact-size
+    // copy per window; the interpreted transform+slice+concat_ws HOF it
+    // replaces is pinned equivalent by DedupSimilaritySpec), digested by
+    // the codegen'd md5 builtin AFTER the explode
     toks
       .filter(size($"t") >= n)
-      .select(keep :+ expr(
-        s"""explode(transform(sequence(1, size(t) - ${n - 1}),
-           |  i -> named_struct('pos', CAST(i AS BIGINT),
-           |                    'g', md5(concat_ws(' ', slice(t, i, $n))))))""".stripMargin).as("w"): _*)
-      .select(keep ++ Seq($"w.pos".as("pos"), $"w.g".as("g")): _*)
+      .select(keep :+ posexplode(
+        graft.plans.TextExpressions.arrayWordNgrams($"t", n))
+        .as(Seq("i", "gt")): _*)
+      .select(keep ++ Seq(($"i" + 1L).cast("long").as("pos"),
+        md5($"gt").as("g")): _*)
   }
 
   /** Interval union of excised n-token window STARTS into disjoint

@@ -1309,8 +1309,9 @@ object Profiling {
     * (determinant, dependent) value pairs row-locally, then a two-level
     * aggregate: per (pair, det_value) count distinct dependents, then
     * per pair count the violating determinant values. Both shuffles
-    * carry (pair, value-string) keys — the second is |distinct det
-    * values|-sized, never row-sized.
+    * carry (pair, value) keys — integral columns as raw longs, others
+    * as strings (the r19 dual-lane carrier, see fdLane) — and the
+    * second is |distinct det values|-sized, never row-sized.
     */
   private val FdCols =
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_month")
@@ -1321,32 +1322,75 @@ object Profiling {
       .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM")), FdCols)
   }
 
-  private[graft] def fdAuditOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** Dual-lane value carrier for the FD family's exploded pair stream
+    * (r19): integral columns ride a LONG lane, everything else the
+    * string lane it always had. The pair structs must share one schema,
+    * so the old shape cast EVERY column to string — for the
+    * high-cardinality integer keys (o_orderkey/o_custkey, 8 of the 20
+    * pairs here) that priced each of the two stacked hash aggregates at
+    * var-length UTF8 hashing/equality plus a per-row int→string
+    * allocation ×|pairs|. Counting distinct longs is the same count as
+    * counting their decimal strings (the cast is injective), so the
+    * lane swap changes NO output. Null semantics are preserved
+    * explicitly: a null source value keeps BOTH lanes null and the
+    * dep-side count wraps the struct in a null guard (count(DISTINCT)
+    * must keep ignoring it).
+    */
+  private def fdLane(df: DataFrame, c: String, l: String, s: String): Seq[Column] =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        Seq(col(c).cast("long").as(l), lit(null).cast("string").as(s))
+      case _ =>
+        Seq(lit(null).cast("long").as(l), col(c).cast("string").as(s))
+    }
+
+  /** The (det, dep, det_l, det_s, dep_l, dep_s) stream for a pair list —
+    * one row-local explode, shared by q160 (all pairs) and q165 stage 2
+    * (sketch survivors only).
+    */
+  private def fdExploded(df: DataFrame, ps: Seq[(String, String)]): DataFrame = {
     import df.sparkSession.implicits._
-    val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
-    val exploded = df
-      .select(cols.map(c => col(c).cast("string").as(c)): _*)
-      .select(explode(array(pairs.map { case (a, b) =>
-        struct(lit(a).as("det"), lit(b).as("dep"),
-          col(a).as("det_val"), col(b).as("dep_val"))
+    df.select(explode(array(ps.map { case (a, b) =>
+        struct((Seq(lit(a).as("det"), lit(b).as("dep")) ++
+          fdLane(df, a, "det_l", "det_s") ++
+          fdLane(df, b, "dep_l", "dep_s")): _*)
       }: _*)).as("p"))
-      .select($"p.det", $"p.dep", $"p.det_val", $"p.dep_val")
-    // Violation detection stays countDistinct, MEASURED against the
-    // min/max-fold alternative (nd only ever compares against 1, so
-    // `min(dep) ≠ max(dep)` is the same exact predicate): the single-
-    // distinct rewrite plans as two stacked HASH aggregates (distinct
-    // collapse, then count — long buffers throughout), while min/max of
-    // strings falls back to SortAggregate (var-length buffers), and the
-    // sort costs more than the distinct state saves — same-host
-    // single-shot: 3.3s vs 5.6s at sf0.1, 49.9s vs 46.6s at sf10.
-    // (r10's recorded 297.8s sf10 point for this query was ~6× ambient
-    // contention, not plan cost — see PERF.md r11.)
+      .select($"p.det", $"p.dep", $"p.det_l", $"p.det_s",
+        $"p.dep_l", $"p.dep_s")
+  }
+
+  /** The two-level exact FD aggregate over a carrier stream: per
+    * (pair, det value) count distinct dep values, then per pair count
+    * values and violations. Violation detection stays countDistinct,
+    * MEASURED against the min/max-fold alternative (nd only ever
+    * compares against 1, so `min(dep) ≠ max(dep)` is the same exact
+    * predicate): the single-distinct rewrite plans as two stacked HASH
+    * aggregates (distinct collapse, then count), while min/max of
+    * strings falls back to SortAggregate (var-length buffers), and the
+    * sort costs more than the distinct state saves — same-host
+    * single-shot: 3.3s vs 5.6s at sf0.1, 49.9s vs 46.6s at sf10.
+    * (r10's recorded 297.8s sf10 point for this query was ~6× ambient
+    * contention, not plan cost — see PERF.md r11.)
+    */
+  private def fdExact(exploded: DataFrame): DataFrame = {
+    import exploded.sparkSession.implicits._
     exploded
-      .groupBy($"det", $"dep", $"det_val")
-      .agg(countDistinct($"dep_val").as("nd"))
+      .groupBy($"det", $"dep", $"det_l", $"det_s")
+      .agg(countDistinct(
+        when($"dep_l".isNull && $"dep_s".isNull, lit(null))
+          .otherwise(struct($"dep_l", $"dep_s"))).as("nd"))
       .groupBy($"det", $"dep")
       .agg(count(lit(1)).as("n_det_values"),
         sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_violating"))
+  }
+
+  private[graft] def fdAuditOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import df.sparkSession.implicits._
+    val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
+    fdExact(fdExploded(df, pairs))
       .withColumn("holds", $"n_violating" === 0)
       .orderBy($"det", $"dep")
   }
@@ -1420,16 +1464,15 @@ object Profiling {
     import df.sparkSession.implicits._
     val spark = df.sparkSession
     val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
-    val strs = df.select(cols.map(c => col(c).cast("string").as(c)): _*)
-    def explodeOver(ps: Seq[(String, String)]): DataFrame = strs
-      .select(explode(array(ps.map { case (a, b) =>
-        struct(lit(a).as("det"), lit(b).as("dep"),
-          col(a).as("det_val"), col(b).as("dep_val"))
-      }: _*)).as("p"))
-      .select($"p.det", $"p.dep", $"p.det_val", $"p.dep_val")
-    val sketch = explodeOver(pairs).groupBy($"det", $"dep")
-      .agg(approx_count_distinct($"det_val", 0.05).as("n_det"),
-        approx_count_distinct(struct($"det_val", $"dep_val"), 0.05).as("n_pair"))
+    // Same dual-lane carrier stream as q160 (see fdLane): the sketch
+    // hashes (det_l, det_s) structs instead of decimal strings — an
+    // injective re-encoding, so n_pair = n_det still holds exactly for
+    // a true FD and the 1.3 prune margin keeps its ~6σ headroom; the
+    // exact verify stage guarantees output equality regardless.
+    val sketch = fdExploded(df, pairs).groupBy($"det", $"dep")
+      .agg(approx_count_distinct(struct($"det_l", $"det_s"), 0.05).as("n_det"),
+        approx_count_distinct(struct($"det_l", $"det_s", $"dep_l", $"dep_s"),
+          0.05).as("n_pair"))
     // bounded collect (≤|cols|² tiny rows): the survivor list becomes
     // plan STRUCTURE — stage 2 explodes surviving pairs only, so the
     // refuted ~80% never inflate the value stream (r15 verdict order 3)
@@ -1444,17 +1487,12 @@ object Profiling {
         lit(null).cast("string").as("dep"),
         lit(null).cast("long").as("n_det_values"))
     else
-      // Same aggregate shape as q160 (stacked HASH aggregates via the
-      // single-countDistinct rewrite) — a string min/max fold is the same
-      // exact predicate but plans as SortAggregate and measured slower at
-      // every SF (see the q160 comment above).
-      explodeOver(surv)
-        .groupBy($"det", $"dep", $"det_val")
-        .agg(countDistinct($"dep_val").as("nd"))
-        .groupBy($"det", $"dep")
-        .agg(count(lit(1)).as("n_det_values"),
-          sum(when($"nd" > 1, 1L).otherwise(0L)).as("nv"))
-        .filter($"nv" === 0)
+      // Same aggregate shape as q160 (fdExact: stacked HASH aggregates
+      // via the single-countDistinct rewrite, dual-lane carriers) — a
+      // string min/max fold is the same exact predicate but plans as
+      // SortAggregate and measured slower at every SF (see fdExact).
+      fdExact(fdExploded(df, surv))
+        .filter($"n_violating" === 0)
         .select($"det", $"dep", $"n_det_values")
         .orderBy($"det", $"dep")
   }

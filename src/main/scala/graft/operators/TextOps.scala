@@ -108,12 +108,13 @@ object TextOps {
   private[graft] def textcatOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
+    // one codegen'd byte scan per doc (plans.TextExpressions.CharNgrams)
+    // replaces the explode(split) → interpreted transform+substring HOF
+    // chain: same padded-trigram multiset (ProfilingTextSpec pins the
+    // equivalence), no word-array materialization, one explode not two
     val tris = docs
-      .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
-      .filter(length($"w") >= 1)
-      .select($"doc_id", $"lang", explode(expr(
-        "transform(sequence(1, length(w)), i -> substring('_' || w || '_', i, 3))"))
-        .as("tg"))
+      .select($"doc_id", $"lang", explode(
+        graft.plans.TextExpressions.paddedCharTrigrams($"text")).as("tg"))
     // one (doc, trigram) count frame feeds both legs below
     val docCnt = tris.groupBy($"doc_id", $"lang", $"tg")
       .agg(count(lit(1)).as("c"))
@@ -1064,16 +1065,23 @@ object TextOps {
   /** Frame-level core over (doc_id, text); doc 0 is the query. */
   private[graft] def bm25Of(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val toks = docs
+    // ONE corpus-sized aggregate ((doc, tok) counts incl. the query doc)
+    // is published; df/lens/stats/qtoks all derive from it (the q70
+    // pattern, applied r19 — see mrrEvalOf): df = rows per tok (tf rows
+    // ARE the distinct (doc, tok) pairs), len = Σ tf per doc, and the
+    // scoring side is a FILTER of the published frame instead of a
+    // re-aggregation of the raw stream. Results identical; the raw
+    // token stream is never materialized or shuffled.
+    val tfAll = docs
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .ckpt() // tf stream, df table, lengths, query set
-    val lens = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
-    val stats = lens.agg(sum($"len").as("ltot"), count(lit(1)).as("n_docs"))
-    val df = toks.distinct().groupBy($"tok").agg(count(lit(1)).as("df"))
-    val qtoks = toks.filter($"doc_id" === 0).select($"tok").distinct()
-    toks.filter($"doc_id" =!= 0)
-      .join(qtoks, "tok")
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .ckpt() // tf table, df table, lengths, query set
+    val lens = tfAll.groupBy($"doc_id").agg(sum($"tf").as("len"))
+    val stats = lens.agg(sum($"len").as("ltot"), count(lit(1)).as("n_docs"))
+    val df = tfAll.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val qtoks = tfAll.filter($"doc_id" === 0).select($"tok")
+    tfAll.filter($"doc_id" =!= 0)
+      .join(qtoks, "tok")
       .join(df, "tok")
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
@@ -1152,13 +1160,23 @@ object TextOps {
   private[graft] def mrrEvalOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
+    // ONE corpus-sized aggregate ((doc, tok) counts) is published; every
+    // other stat derives from it (the q70 pattern, applied here r19):
+    // df = rows per tok (tf rows ARE the distinct (doc, tok) pairs, so
+    // this equals count(DISTINCT doc) per tok), len = Σ tf per doc. The
+    // previous shape ckpt'd the raw token STREAM (corpus-token-sized
+    // blocks) and re-aggregated it three times — incl. a full-stream
+    // distinct — where tf-derived frames shuffle |distinct (doc,tok)|
+    // rows at most. Results are identical by construction; measured at
+    // sf0.1 this removes two corpus-sized exchanges and shrinks the
+    // published blocks from token-stream to tf size.
+    val tf = docs
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .ckpt() // shared by tf, df, lens, stats, qtoks
-    val lens = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .ckpt() // shared by df, lens, stats, qtoks and the scoring join
+    val lens = tf.groupBy($"doc_id").agg(sum($"tf").as("len"))
     val stats = lens.agg(sum($"len").as("ltot"), count(lit(1)).as("n_docs"))
-    val df = toks.distinct().groupBy($"tok").agg(count(lit(1)).as("df"))
-    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
     // pairs is checkpointed BEFORE the union: a union's two branches each
     // embed the full pair-machinery subplan, so materializing `queries`
     // would otherwise run jaccardPairs twice (the q89/CC publish pattern)
@@ -1186,8 +1204,10 @@ object TextOps {
     // scoring join hangs off, and its EXACT (small) size is what lets
     // the planner broadcast it — measured at sf1, the un-materialized
     // panel plan ran the scoring chain 10× slower (260s → 25s)
-    val qtoks = toks.join(queries.select($"q_id"),
-        toks("doc_id") === $"q_id").select($"q_id", $"tok").distinct()
+    // tf rows are already distinct per (doc, tok), so the panel's token
+    // sets need no post-join distinct
+    val qtoks = tf.join(queries.select($"q_id"),
+        tf("doc_id") === $"q_id").select($"q_id", $"tok")
       .join(df, "tok")
       .withColumn("qrnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
@@ -1332,20 +1352,22 @@ object TextOps {
     * plus each pair's share of all adjacent positions, so the trainer
     * can stop when the best merge drops below a frequency floor.
     *
-    * Scale shape: entirely row-local until one count aggregate — words
-    * explode to their adjacent character pairs via a codegen'd
-    * transform/sequence (no per-character shuffle; the pair stream
-    * collapses partial+final on the pair key), then a 20-row top-k.
+    * Scale shape: entirely row-local until one count aggregate — each
+    * doc's adjacent character pairs come from one codegen'd byte scan
+    * (plans.TextExpressions.CharNgrams; no per-character shuffle, the
+    * pair stream collapses partial+final on the pair key), then a
+    * 20-row top-k.
     */
   def q161BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // one codegen'd byte scan per doc (plans.TextExpressions.CharNgrams)
+    // replaces the explode(split) → interpreted transform+substring HOF
+    // chain; words shorter than 2 chars contribute nothing, exactly the
+    // length(w) >= 2 filter it replaces (ProfilingTextSpec pins it)
     val pairs = Tables(spark, dir).documents
-      .select(explode(split($"text", " ")).as("w"))
-      .filter(length($"w") >= 2)
       .select(explode(
-        expr("transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
-        .as("pair"))
+        graft.plans.TextExpressions.charBigrams($"text")).as("pair"))
     val counted = pairs.groupBy($"pair").agg(count(lit(1)).as("cnt"))
       .ckpt() // |distinct pairs| rows; reused by top-k and the total
     val total = counted.agg(sum($"cnt").as("n_positions"))
@@ -1562,16 +1584,18 @@ object TextOps {
 
   private[graft] def repetitionRatioOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    // trigrams via the shared native byte-scan kernel (one slice per
+    // window, no token-array materialization, no interpreted
+    // transform/slice/concat_ws lambda); <3-word docs yield an empty
+    // array — the same rows the size(t) >= 3 filter kept out
     docs
-      .select($"doc_id", split($"text", " ").as("t"))
-      .filter(size($"t") >= 3)
-      .withColumn("gs", expr(
-        "array_sort(transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3))))"))
+      .select($"doc_id",
+        graft.plans.TextExpressions.wordTrigrams($"text").as("g"))
+      .filter(size($"g") >= 1)
+      .withColumn("gs", array_sort($"g"))
       .select($"doc_id",
         size($"gs").cast("long").as("n_grams"),
-        expr("""CAST(size(filter(sequence(0, size(gs) - 1), i ->
-            (i = 0 OR gs[i - 1] <> gs[i])
-            AND (i = size(gs) - 1 OR gs[i + 1] <> gs[i]))) AS BIGINT)""")
+        graft.plans.TextExpressions.sortedSingletonCount($"gs")
           .as("singletons"))
       .select($"doc_id", $"n_grams",
         ($"n_grams" - $"singletons").as("dup_grams"),

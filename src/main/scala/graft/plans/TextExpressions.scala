@@ -86,6 +86,241 @@ object TextExpressions {
   def wordTrigrams(c: Column): Column =
     ColumnBridge.column(WordTrigrams(ColumnBridge.expression(c)))
 
+  /** n-token windows of a token ARRAY, each joined with single spaces —
+    * the span family's window derivation (q172/q175/q180…q189 at
+    * SpanN/DecontamN). Drop-in for the interpreted
+    * `transform(sequence(1, size(t) − n + 1), i → concat_ws(' ',
+    * slice(t, i, n)))` construction: higher-order functions do not
+    * participate in whole-stage codegen and pay a slice + concat_ws
+    * allocation chain per window; this emits each window as ONE exact-
+    * size byte copy from the already-materialized token array. null
+    * tokens are skipped without a separator (concat_ws semantics);
+    * fewer than n tokens → empty array.
+    */
+  def wordNgramsOfArray(arr: ArrayData, n: Int): ArrayData = {
+    val nTok = arr.numElements()
+    val windows = nTok - n + 1
+    if (windows <= 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](nTok)
+    var i = 0
+    while (i < nTok) {
+      toks(i) = if (arr.isNullAt(i)) null
+        else arr.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](windows)
+    var w = 0
+    while (w < windows) {
+      // exact output size: non-null token bytes + one space between
+      // consecutive NON-NULL tokens (concat_ws skips nulls seamlessly)
+      var sz = 0
+      var parts = 0
+      var j = w
+      while (j < w + n) {
+        val t = toks(j)
+        if (t != null) { sz += t.numBytes(); parts += 1 }
+        j += 1
+      }
+      val buf = new Array[Byte](sz + math.max(parts - 1, 0))
+      var off = 0
+      var emitted = 0
+      j = w
+      while (j < w + n) {
+        val t = toks(j)
+        if (t != null) {
+          if (emitted > 0) { buf(off) = 0x20; off += 1 }
+          t.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+          off += t.numBytes()
+          emitted += 1
+        }
+        j += 1
+      }
+      out(w) = UTF8String.fromBytes(buf)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of elements in a SORTED string array that differ from both
+    * neighbors — the singleton count of the repetition family
+    * (q190/q193/q194: dup_grams = n_grams − singletons). Replaces the
+    * interpreted `size(filter(sequence(0, size(gs) − 1), i -> …))`
+    * neighborhood lambda (plus its index array materialization) with
+    * one codegen'd pass of byte-equality comparisons; an empty array is
+    * simply 0, no ANSI empty-index guard needed.
+    */
+  def sortedSingletons(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    var count = 0L
+    var prev: UTF8String = null
+    var cur: UTF8String = arr.getUTF8String(0)
+    var i = 0
+    while (i < n) {
+      val next: UTF8String = if (i + 1 < n) arr.getUTF8String(i + 1) else null
+      val neDn = prev == null || !prev.equals(cur)
+      val neUp = next == null || !next.equals(cur)
+      if (neDn && neUp) count += 1
+      prev = cur
+      cur = next
+      i += 1
+    }
+    count
+  }
+
+  case class SortedSingletonCount(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sorted_singleton_count"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a non-null array<string> input, got ${other.sql}")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      sortedSingletons(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.TextExpressions.sortedSingletons($c);")
+
+    override protected def withNewChildInternal(c: Expression): SortedSingletonCount =
+      copy(child = c)
+  }
+
+  def sortedSingletonCount(c: Column): Column =
+    ColumnBridge.column(SortedSingletonCount(ColumnBridge.expression(c)))
+
+  case class ArrayWordNgrams(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "array_word_ngrams"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) =>
+        if (n >= 1) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(s"$prettyName requires n >= 1")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> input, got ${other.sql}")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      wordNgramsOfArray(v.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.TextExpressions.wordNgramsOfArray($c, $n);")
+
+    override protected def withNewChildInternal(c: Expression): ArrayWordNgrams =
+      copy(child = c)
+  }
+
+  def arrayWordNgrams(c: Column, n: Int): Column =
+    ColumnBridge.column(ArrayWordNgrams(ColumnBridge.expression(c), n))
+
+  /** Character n-grams per word, in one byte scan — the TextCat /
+    * BPE-statistics primitive (q16/q162's padded trigrams, q161's raw
+    * bigrams). The HOF formulation
+    * `explode(split) → transform(sequence(...), i -> substring(...))`
+    * pays an interpreted lambda per word (higher-order functions do not
+    * participate in whole-stage codegen) plus a word-array explode and a
+    * per-window substring allocation through the generic path. Here one
+    * pass over the text's UTF-8 bytes finds token boundaries (0x20 never
+    * occurs inside a multi-byte sequence) and emits every window as a
+    * direct byte slice; `pad` wraps each token in '_' sentinels first
+    * (the Cavnar–Trenkle word-boundary marking).
+    *
+    * Semantics contract (pinned by ProfilingTextSpec against the HOF
+    * construction): tokens split on EVERY single space; a token of c
+    * codepoints emits max(0, c + (pad ? 2 : 0) − n + 1) windows in
+    * order; windows count CODEPOINTS (same as substring), so the slice
+    * boundaries walk UTF-8 char starts, not bytes.
+    */
+  def charNgrams(s: UTF8String, n: Int, pad: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val out = new java.util.ArrayList[Any]
+    var ts = 0 // current token start
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == 0x20) {
+        val tokLen = i - ts
+        if (tokLen > 0 || pad) {
+          // token bytes, padded if requested
+          val tb =
+            if (!pad) java.util.Arrays.copyOfRange(bytes, ts, i)
+            else {
+              val b = new Array[Byte](tokLen + 2)
+              b(0) = '_'
+              System.arraycopy(bytes, ts, b, 1, tokLen)
+              b(tokLen + 1) = '_'
+              b
+            }
+          // codepoint start offsets (+ end sentinel)
+          var nChars = 0
+          var j = 0
+          while (j < tb.length) {
+            if ((tb(j) & 0xc0) != 0x80) nChars += 1
+            j += 1
+          }
+          val windows = nChars - n + 1
+          if (windows > 0) {
+            val starts = new Array[Int](nChars + 1)
+            var k = 0
+            j = 0
+            while (j < tb.length) {
+              if ((tb(j) & 0xc0) != 0x80) { starts(k) = j; k += 1 }
+              j += 1
+            }
+            starts(nChars) = tb.length
+            var w = 0
+            while (w < windows) {
+              out.add(UTF8String.fromBytes(tb, starts(w), starts(w + n) - starts(w)))
+              w += 1
+            }
+          }
+        }
+        ts = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  case class CharNgrams(child: Expression, n: Int, pad: Boolean)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "char_ngrams"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType =>
+        if (n >= 1) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(s"$prettyName requires n >= 1")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${other.sql}")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      charNgrams(v.asInstanceOf[UTF8String], n, pad)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.TextExpressions.charNgrams($c, $n, $pad);")
+
+    override protected def withNewChildInternal(c: Expression): CharNgrams =
+      copy(child = c)
+  }
+
+  /** All padded character trigrams of every word — TextCat's document
+    * trigram stream: each word w contributes the length(w) 3-char windows
+    * of '_' + w + '_'.
+    */
+  def paddedCharTrigrams(c: Column): Column =
+    ColumnBridge.column(CharNgrams(ColumnBridge.expression(c), 3, pad = true))
+
+  /** All raw character bigrams of every word (words shorter than 2 chars
+    * contribute nothing) — the BPE adjacent-pair stream.
+    */
+  def charBigrams(c: Column): Column =
+    ColumnBridge.column(CharNgrams(ColumnBridge.expression(c), 2, pad = false))
+
   /** Rabin–Karp polynomial rolling hash over the UTF-8 bytes:
     * h = fold(0)((acc, b) => (acc·257 + b) mod (2³¹−1)). Static entry
     * point shared by eval and generated code. The per-step product stays

@@ -1045,4 +1045,79 @@ class ProfilingTextSpec extends AnyFunSuite {
     }
     assert(cards.as[(Long, String)].collect().toSet == sqlCards)
   }
+
+  test("CharNgrams byte-scan kernel matches the HOF construction it replaced (padded trigrams and raw bigrams)") {
+    import org.apache.spark.sql.functions._
+    // the exact edge battery the kernel's token walk must survive: empty
+    // text, 1-char words, consecutive/leading/trailing spaces (empty
+    // tokens), and multi-byte codepoints (substring counts CHARS)
+    val texts = Seq(
+      "", " ", "a", "ab", "hello world", "a b c",
+      "  double  spaces  ", "trail ", " lead",
+      "héllo wörld", "日本語 テスト x", "one"
+    ).toDF("text")
+    val hofTri = texts.select(
+      expr("""flatten(transform(
+           |  filter(split(text, ' '), w -> length(w) >= 1),
+           |  w -> transform(sequence(1, length(w)),
+           |    i -> substring('_' || w || '_', i, 3))))""".stripMargin)
+        .as("hof"),
+      graft.plans.TextExpressions.paddedCharTrigrams(col("text"))
+        .as("native"))
+    hofTri.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"padded trigrams diverge: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+    val hofBi = texts.select(
+      expr("""flatten(transform(
+           |  filter(split(text, ' '), w -> length(w) >= 2),
+           |  w -> transform(sequence(0, length(w) - 2),
+           |    i -> substring(w, i + 1, 2))))""".stripMargin)
+        .as("hof"),
+      graft.plans.TextExpressions.charBigrams(col("text")).as("native"))
+    hofBi.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"bigrams diverge: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+  }
+
+  test("ArrayWordNgrams and SortedSingletonCount kernels match the HOF constructions they replaced") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      "", "a", "a b", "a b c", "a b c d e f g",
+      "x x x x x", "one two one two one two",
+      "  gaps  between  ", "héllo wörld ünïcode tokens here"
+    ).toDF("text").select(split(col("text"), " ").as("t"))
+    // n = 5 (SpanN) and n = 3: window text must equal the interpreted
+    // transform+slice+concat_ws chain element for element
+    for (n <- Seq(3, 5)) {
+      val cmp = texts.select(
+        expr(s"""IF(size(t) >= $n,
+             |  transform(sequence(1, size(t) - ${n - 1}),
+             |    i -> concat_ws(' ', slice(t, i, $n))),
+             |  CAST(array() AS ARRAY<STRING>))""".stripMargin).as("hof"),
+        graft.plans.TextExpressions.arrayWordNgrams(col("t"), n).as("native"))
+      cmp.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n windows diverge: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+    // singleton count over the sorted trigram array must equal the
+    // neighborhood-lambda count (incl. the empty-array case)
+    val sgl = texts.select(
+      array_sort(graft.plans.TextExpressions.arrayWordNgrams(col("t"), 3))
+        .as("gs"))
+      .select(
+        expr("""CAST(IF(size(gs) = 0, 0,
+             |  size(filter(sequence(0, size(gs) - 1), i ->
+             |    (i = 0 OR gs[i - 1] <> gs[i])
+             |    AND (i = size(gs) - 1 OR gs[i + 1] <> gs[i])))) AS BIGINT)"""
+          .stripMargin).as("hof"),
+        graft.plans.TextExpressions.sortedSingletonCount(col("gs"))
+          .as("native"))
+    sgl.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"singleton counts diverge: ${r.getLong(0)} vs ${r.getLong(1)}")
+    }
+  }
 }
