@@ -1464,23 +1464,31 @@ object Profiling {
     import df.sparkSession.implicits._
     val spark = df.sparkSession
     val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
-    // Same dual-lane carrier stream as q160 (see fdLane): the sketch
-    // hashes (det_l, det_s) structs instead of decimal strings — an
-    // injective re-encoding, so n_pair = n_det still holds exactly for
-    // a true FD and the 1.3 prune margin keeps its ~6σ headroom; the
-    // exact verify stage guarantees output equality regardless.
-    val sketch = fdExploded(df, pairs).groupBy($"det", $"dep")
-      .agg(approx_count_distinct(struct($"det_l", $"det_s"), 0.05).as("n_det"),
-        approx_count_distinct(struct($"det_l", $"det_s", $"dep_l", $"dep_s"),
-          0.05).as("n_pair"))
-    // bounded collect (≤|cols|² tiny rows): the survivor list becomes
+    // ONE global aggregate computes every sketch the prescreen needs —
+    // |cols| column sketches + |pairs| pair sketches as 25 aggregate
+    // expressions over the RAW rows (r19): the former per-pair exploded
+    // groupBy re-sketched each det column once per dep (4×) and paid
+    // the 20× row explode before a 20-group shuffle; here each row
+    // updates each sketch once, nothing explodes, and the "shuffle" is
+    // 25 HLL partials per map task into one row. n_det for (a, b) is
+    // approx_count_distinct(a) itself — the same value set, hashed from
+    // the native column type (no carrier casting at all). The 1.3 prune
+    // margin keeps its ~6σ headroom under any injective hash input, and
+    // the exact verify stage guarantees output equality regardless.
+    def nd(c: String) = s"__nd_$c"
+    def np(a: String, b: String) = s"__np_${a}__$b"
+    val sketchAggs =
+      cols.map(c => approx_count_distinct(col(c), 0.05).as(nd(c))) ++
+        pairs.map { case (a, b) =>
+          approx_count_distinct(struct(col(a), col(b)), 0.05).as(np(a, b))
+        }
+    // bounded collect (ONE row of 25 longs): the survivor list becomes
     // plan STRUCTURE — stage 2 explodes surviving pairs only, so the
     // refuted ~80% never inflate the value stream (r15 verdict order 3)
-    val surv = sketch
-      .filter($"n_pair" <= $"n_det" * 1.3)
-      .select($"det", $"dep")
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-      .sortBy(identity)
+    val row = df.agg(sketchAggs.head, sketchAggs.tail: _*).collect()(0)
+    val surv = pairs.filter { case (a, b) =>
+      row.getAs[Long](np(a, b)) <= row.getAs[Long](nd(a)) * 1.3
+    }.sortBy(identity)
     if (surv.isEmpty)
       spark.range(0).select(
         lit(null).cast("string").as("det"),

@@ -403,17 +403,20 @@ object TextOps {
     */
   def q78Pmi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // bigrams as single space-joined strings from the codegen'd window
+    // kernel (q74's treatment: "w1 w2" ↔ (w1, w2) is a bijection over
+    // space-free tokens, so pair counts are unchanged); w1/w2 are
+    // recovered once on the vocab²-sized count frame
     val bg = Tables(spark, dir).documents
-      .withColumn("__t", split($"text", " "))
-      .filter(size($"__t") >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"))
-        .as("b"))
-      .select($"b.w1".as("w1"), $"b.w2".as("w2"))
+      .select(explode(graft.plans.TextExpressions
+        .arrayWordNgrams(split($"text", " "), 2)).as("b"))
     // c12 feeds both unigram slots and the final join; uni feeds two
     // broadcasts and the total — publish both once (q89 pattern), else
     // the bigram explode re-derives ~5x
-    val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c12 = bg.groupBy($"b").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index($"b", " ", 1))
+      .withColumn("w2", substring_index($"b", " ", -1))
+      .drop("b")
       .ckpt()
     val uni = c12.select($"w1".as("w"), $"c12")
       .unionByName(c12.select($"w2".as("w"), $"c12"))
@@ -558,16 +561,18 @@ object TextOps {
     */
   def q74BigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // bigrams as single space-joined strings from the codegen'd window
+    // kernel (tokens are space-free, so "w1 w2" ↔ (w1, w2) is a
+    // bijection — counts and join matches are unchanged); the prefix
+    // key w1 is recovered once on the vocab²-sized count frame, never
+    // per corpus row. Replaces the interpreted transform+struct HOF.
     val bg = Tables(spark, dir).documents
-      .withColumn("__t", split($"text", " "))
-      .filter(size($"__t") >= 2)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"))
-        .as("b"))
-      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
-    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      .select($"doc_id", explode(graft.plans.TextExpressions
+        .arrayWordNgrams(split($"text", " "), 2)).as("b"))
+    val c2 = bg.groupBy($"b").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index($"b", " ", 1))
     val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
-    bg.join(c2, Seq("w1", "w2"))
+    bg.join(c2, Seq("b"))
       .join(broadcast(c1), "w1")
       .withColumn("bits", (length(bin(expr("c1 div c2"))) - 1).cast("long"))
       .groupBy($"doc_id")
