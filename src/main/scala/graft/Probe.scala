@@ -175,6 +175,57 @@ object Probe {
           spark.conf.set(operators.GraphOps.EdgeTableConf, "")
           spark.conf.unset(orderingConf)
         }
+      case "graph-stage-split" =>
+        // decomposes the iterative family's wall: the shared edge-stream
+        // build (fact⋈fact + distinct + symmetrize) vs each full query —
+        // tells whether round work or the upstream build dominates at a
+        // given SF before any round-shape surgery is attempted (guide
+        // §1.2: fix the measured term, not the suspected one).
+        import graft.Ckpt.GraftCheckpoint
+        val reps = if (args.length > 2) args(2).toInt else 3
+        def t(f: => Unit): Double = {
+          val t0i = System.nanoTime(); f; (System.nanoTime() - t0i) / 1e9
+        }
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val raws = (1 to reps).map(_ =>
+          t(noop(operators.GraphOps.rawPurchaseEdges(spark, dir))))
+        val pubs = (1 to reps).map { _ =>
+          t {
+            val e = operators.GraphOps.rawPurchaseEdges(spark, dir).ckpt()
+            noop(e.groupBy("src").count())
+            graft.Ckpt.free(e)
+          }
+        }
+        val fulls = Seq("q89_pagerank", "q167_bfs_reach", "q171_label_prop")
+          .map { q =>
+            val ws = (1 to reps).map(_ =>
+              t(noop(operators.Registry.byName(q).run(spark, dir))))
+            f"$q full=${median(ws)}%.2fs reps=${ws.map(w => f"$w%.2f").mkString(",")}"
+          }
+        (Seq(
+          f"raw_edges_noop=${median(raws)}%.2fs reps=${raws.map(w => f"$w%.2f").mkString(",")}",
+          f"edges_ckpt_plus_deg=${median(pubs)}%.2fs reps=${pubs.map(w => f"$w%.2f").mkString(",")}") ++
+          fulls).mkString("\n[probe] ")
+      case "q140-stage-split" =>
+        // decomposes q140: PassJoin match edges (candidate gen + verify)
+        // vs full query (edges + CC + canonicalization) — names which
+        // half owns the wall before any surgery (guide §1.2).
+        val reps = if (args.length > 2) args(2).toInt else 3
+        def t(f: => Unit): Double = {
+          val t0i = System.nanoTime(); f; (System.nanoTime() - t0i) / 1e9
+        }
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val edges = (1 to reps).map(_ =>
+          t(noop(operators.TextOps.fuzzyMatchEdges(spark, dir))))
+        val fulls = (1 to reps).map(_ =>
+          t(noop(operators.Registry.byName("q140_entity_resolution")
+            .run(spark, dir))))
+        Seq(
+          f"match_edges_noop=${median(edges)}%.2fs reps=${edges.map(w => f"$w%.2f").mkString(",")}",
+          f"q140_full=${median(fulls)}%.2fs reps=${fulls.map(w => f"$w%.2f").mkString(",")}")
+          .mkString("\n[probe] ")
       case "q192-digest-price" =>
         // prices q192's digest swap (r16 verdict order 8): md5 string
         // key vs (xxhash64, length) compound key, same plan otherwise.

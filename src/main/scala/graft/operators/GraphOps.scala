@@ -68,7 +68,7 @@ object GraphOps {
           .ckpt()
     }
 
-  private def rawPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def rawPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
     val pairs = t.lineitem.select($"l_orderkey", $"l_suppkey")

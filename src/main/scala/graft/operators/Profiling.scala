@@ -875,19 +875,73 @@ object Profiling {
         count(when(col("k").isNotNull && col("__p").isNull, 1)).as("orphan_keys"))
   }
 
+  /** Multi-edge variant of [[fkAudit]] for INTEGRAL-keyed FK edges that
+    * share one child table (r19): the child is scanned ONCE and each row
+    * explodes row-locally into its |edges| (edge-index, key) pairs; the
+    * per-key aggregate, the per-edge parent key sets (tagged by the same
+    * index, unioned), the left join and the per-edge finish then run over
+    * the tagged stream. Aggregate volume is identical to |edges| separate
+    * audits — what changes is the number of full passes over the child
+    * (|edges| → 1), which is the dominant term when the child is the
+    * 100 TB fact table. Keys ride as longs (injective widening for any
+    * integral column, so every count is unchanged); per-audit outputs are
+    * bit-identical to the single-edge form.
+    */
+  private[graft] def fkAuditMulti(child: DataFrame,
+      edges: Seq[(String, DataFrame, String, String)]): DataFrame = {
+    val spark = child.sparkSession
+    import spark.implicits._
+    val exploded = child.select(explode(array(edges.zipWithIndex.map {
+        case ((ck, _, _, _), i) =>
+          struct(lit(i).as("eid"), col(ck).cast("long").as("k"))
+      }: _*)).as("e"))
+      .select($"e.eid", $"e.k")
+    val keyCounts = exploded.groupBy($"eid", $"k")
+      .agg(count(lit(1)).as("cnt"))
+    val parentKeys = edges.zipWithIndex.map { case ((_, parent, pk, _), i) =>
+        parent.select(col(pk).cast("long").as("k")).distinct()
+          .select(lit(i).as("eid"), $"k")
+      }.reduce(_.unionByName(_))
+      .withColumn("__p", lit(1))
+    val names = edges.zipWithIndex
+      .map { case ((_, _, _, edge), i) => (i, edge) }.toDF("eid", "edge")
+    // names-side outer join + coalesce so an EMPTY child still yields one
+    // row per edge with the same values the single-edge global aggregate
+    // produces on empty input (child_rows NULL, counts 0)
+    names.join(
+        broadcast(keyCounts.join(parentKeys, Seq("eid", "k"), "left")
+          .groupBy($"eid")
+          .agg(
+            sum($"cnt").as("child_rows"),
+            count(when($"k".isNotNull, 1)).as("child_keys"),
+            coalesce(sum(when($"k".isNull, $"cnt")), lit(0L)).as("null_rows"),
+            coalesce(sum(when($"k".isNotNull && $"__p".isNull, $"cnt")), lit(0L))
+              .as("orphan_rows"),
+            count(when($"k".isNotNull && $"__p".isNull, 1)).as("orphan_keys"))),
+        Seq("eid"), "left")
+      .select($"edge", $"child_rows",
+        coalesce($"child_keys", lit(0L)).as("child_keys"),
+        coalesce($"null_rows", lit(0L)).as("null_rows"),
+        coalesce($"orphan_rows", lit(0L)).as("orphan_rows"),
+        coalesce($"orphan_keys", lit(0L)).as("orphan_keys"))
+  }
+
   /** q138: referential-integrity audit of every FK edge in the star
     * schema — the pre-flight a warehouse runs before trusting a join to
     * be lossless (an inner join silently DROPS orphan child rows; this
     * report is the difference between "the join is safe" and "we lost
     * 2% of revenue in the dashboard"). One row per edge: child volume,
-    * distinct keys, NULL FKs, orphan rows/keys.
+    * distinct keys, NULL FKs, orphan rows/keys. The three lineitem
+    * edges share one scan of the fact table ([[fkAuditMulti]], r19);
+    * the dimension-child edges stay on the single-edge form.
     */
   def q138IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
-    fkAudit(t.lineitem, "l_orderkey", t.orders, "o_orderkey", "lineitem.l_orderkey->orders")
-      .unionByName(fkAudit(t.lineitem, "l_partkey", t.part, "p_partkey", "lineitem.l_partkey->part"))
-      .unionByName(fkAudit(t.lineitem, "l_suppkey", t.supplier, "s_suppkey", "lineitem.l_suppkey->supplier"))
+    fkAuditMulti(t.lineitem, Seq(
+        ("l_orderkey", t.orders, "o_orderkey", "lineitem.l_orderkey->orders"),
+        ("l_partkey", t.part, "p_partkey", "lineitem.l_partkey->part"),
+        ("l_suppkey", t.supplier, "s_suppkey", "lineitem.l_suppkey->supplier")))
       .unionByName(fkAudit(t.orders, "o_custkey", t.customer, "c_custkey", "orders.o_custkey->customer"))
       .unionByName(fkAudit(t.customer, "c_nationkey", t.nation, "n_nationkey", "customer.c_nationkey->nation"))
       .unionByName(fkAudit(t.supplier, "s_nationkey", t.nation, "n_nationkey", "supplier.s_nationkey->nation"))
@@ -1309,9 +1363,10 @@ object Profiling {
     * (determinant, dependent) value pairs row-locally, then a two-level
     * aggregate: per (pair, det_value) count distinct dependents, then
     * per pair count the violating determinant values. Both shuffles
-    * carry (pair, value) keys — integral columns as raw longs, others
-    * as strings (the r19 dual-lane carrier, see fdLane) — and the
-    * second is |distinct det values|-sized, never row-sized.
+    * carry (pair-index, value) keys — the pair as a small int (see
+    * fdExploded), integral columns as raw longs, others as strings (the
+    * r19 dual-lane carrier, see fdLane) — and the second is |distinct
+    * det values|-sized, never row-sized.
     */
   private val FdCols =
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_month")
@@ -1347,19 +1402,35 @@ object Profiling {
         Seq(lit(null).cast("long").as(l), col(c).cast("string").as(s))
     }
 
-  /** The (det, dep, det_l, det_s, dep_l, dep_s) stream for a pair list —
-    * one row-local explode, shared by q160 (all pairs) and q165 stage 2
-    * (sketch survivors only).
+  /** The (pid, det_l, det_s, dep_l, dep_s) stream for a pair list — one
+    * row-local explode, shared by q160 (all pairs) and q165 stage 2
+    * (sketch survivors only). The pair is carried as its INDEX into `ps`
+    * (r19): the previous shape put the two column-NAME strings on every
+    * exploded row, so both stacked hash aggregates hashed and compared
+    * ~20 bytes of constant UTF8 per row ×|pairs| — the names are a
+    * bijection of the index, so grouping by the int is the same
+    * grouping, and [[fdPairNames]] re-attaches them on the |pairs|-row
+    * result, never per corpus row.
     */
   private def fdExploded(df: DataFrame, ps: Seq[(String, String)]): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(explode(array(ps.map { case (a, b) =>
-        struct((Seq(lit(a).as("det"), lit(b).as("dep")) ++
+    df.select(explode(array(ps.zipWithIndex.map { case ((a, b), i) =>
+        struct((Seq(lit(i).as("pid")) ++
           fdLane(df, a, "det_l", "det_s") ++
           fdLane(df, b, "dep_l", "dep_s")): _*)
       }: _*)).as("p"))
-      .select($"p.det", $"p.dep", $"p.det_l", $"p.det_s",
-        $"p.dep_l", $"p.dep_s")
+      .select($"p.pid", $"p.det_l", $"p.det_s", $"p.dep_l", $"p.dep_s")
+  }
+
+  /** (pid, det, dep) names for a pair list — broadcast-joined onto the
+    * |pairs|-row aggregate output to restore the reporting columns the
+    * exploded stream no longer carries.
+    */
+  private def fdPairNames(spark: SparkSession,
+      ps: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    ps.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("pid", "det", "dep")
   }
 
   /** The two-level exact FD aggregate over a carrier stream: per
@@ -1378,11 +1449,11 @@ object Profiling {
   private def fdExact(exploded: DataFrame): DataFrame = {
     import exploded.sparkSession.implicits._
     exploded
-      .groupBy($"det", $"dep", $"det_l", $"det_s")
+      .groupBy($"pid", $"det_l", $"det_s")
       .agg(countDistinct(
         when($"dep_l".isNull && $"dep_s".isNull, lit(null))
           .otherwise(struct($"dep_l", $"dep_s"))).as("nd"))
-      .groupBy($"det", $"dep")
+      .groupBy($"pid")
       .agg(count(lit(1)).as("n_det_values"),
         sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_violating"))
   }
@@ -1391,6 +1462,8 @@ object Profiling {
     import df.sparkSession.implicits._
     val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
     fdExact(fdExploded(df, pairs))
+      .join(broadcast(fdPairNames(df.sparkSession, pairs)), "pid")
+      .select($"det", $"dep", $"n_det_values", $"n_violating")
       .withColumn("holds", $"n_violating" === 0)
       .orderBy($"det", $"dep")
   }
@@ -1501,6 +1574,7 @@ object Profiling {
       // SortAggregate and measured slower at every SF (see fdExact).
       fdExact(fdExploded(df, surv))
         .filter($"n_violating" === 0)
+        .join(broadcast(fdPairNames(spark, surv)), "pid")
         .select($"det", $"dep", $"n_det_values")
         .orderBy($"det", $"dep")
   }

@@ -1687,8 +1687,11 @@ object SimilarityOps {
     * direction that explains the most variance, i.e. the PCA axis a
     * whitening/compression/drift pipeline wants first. Uses q145's
     * one-pass Gram core, then 8 fixed power-iteration rounds on the
-    * d×d covariance — corpus data is touched ONCE; every iteration
-    * runs on ≤ d² = 4,096-row frames.
+    * d×d covariance — corpus data is touched ONCE; the iteration runs
+    * on the DRIVER over the collected ≤ d² = 4,096-long shifted matrix
+    * (bounded-literal contract, the kmeans-centroid precedent — r19;
+    * the former distributed rounds were scheduling overhead over
+    * dimension-bounded frames at every corpus scale).
     *
     * Exactness: the naive iteration (doubles, per-group sums) is
     * nondeterministic under partial-aggregate merge order; here every
@@ -1737,26 +1740,62 @@ object SimilarityOps {
       .select($"i", $"j",
         (if (exactLane) expr("shiftright(cov_num, sh)")
          else floor($"cov_d" / pow(lit(2.0), $"sh")).cast("long")).as("c"))
-      .ckpt()
-    var vec = upper.select($"i").distinct()
-      .select($"i".as("j"), lit(1000L).as("v"))
-    for (_ <- 1 to 8) {
-      val w = c.join(vec, Seq("j")).groupBy($"i").agg(sum($"c" * $"v").as("w"))
-      val sh = w.agg(
-        greatest(lit(0), length(bin(max(abs($"w")))) - 1 - 20).as("sh"))
-      vec = w.crossJoin(broadcast(sh))
-        .select($"i".as("j"), expr("shiftright(w, sh)").as("v"))
-        .ckpt() // cut the 8-round lineage (q89 pattern)
+    // The 8 power-iteration rounds run on the DRIVER over the collected
+    // shifted matrix (r19): every post-Gram frame is DIMENSION-bounded
+    // (≤ d² = 4,096 longs — the same bounded-literal contract as the
+    // kmeans/ArgMinSqDistI64 centroid collect), so the former
+    // distributed loop was 8 rounds × (join + aggregate + ckpt) of
+    // scheduled jobs over ≤4,096-row frames — pure per-round scheduling
+    // overhead at EVERY corpus scale, with zero distributed work to
+    // amortize it (corpus data is touched only by the Gram pass above).
+    // The arithmetic is the identical exact-int64 mat-vec / max-abs
+    // shift / final normalization, fold order irrelevant (integer
+    // sums), so results are bit-identical to the distributed form.
+    val cRows = c.collect()
+    if (cRows.isEmpty) {
+      Seq.empty[(Long, Option[Double])].toDF("dim", "loading")
+    } else {
+      val d = cRows.iterator.map(_.getInt(0)).max + 1
+      val m = Array.ofDim[Long](d, d)
+      cRows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      var v = Array.fill(d)(1000L)
+      for (_ <- 1 to 8) {
+        val w = new Array[Long](d)
+        var i = 0
+        while (i < d) {
+          var acc = 0L
+          var j = 0
+          while (j < d) { acc += m(i)(j) * v(j); j += 1 }
+          w(i) = acc
+          i += 1
+        }
+        // same shift rule as the DF form: length(bin(max|w|)) − 1 − 20,
+        // clamped at 0 (bin(0) = "0" has length 1, so max|w| = 0 → 0)
+        val ma = w.iterator.map(math.abs).max
+        val sh = math.max(0, java.lang.Long.toBinaryString(ma).length - 1 - 20)
+        v = w.map(_ >> sh)
+      }
+      // sign: largest |v| entry, ties to the lowest dim, made positive
+      var best = 0
+      var i = 0
+      while (i < d) {
+        if (math.abs(v(i)) > math.abs(v(best))) best = i
+        i += 1
+      }
+      val sgn = if (v(best) < 0) -1L else 1L
+      val n2 = v.iterator.map(x => x * x).sum
+      val out = (0 until d).map { j =>
+        val loading =
+          if (n2 > 0)
+            // java.math round = Spark's Round(…, 6) on DoubleType
+            Some(java.math.BigDecimal.valueOf(
+                (v(j) * sgn).toDouble / math.sqrt(n2.toDouble))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+          else None
+        (j.toLong, loading)
+      }
+      out.toDF("dim", "loading").orderBy($"dim")
     }
-    val sgn = vec.orderBy(abs($"v").desc, $"j".asc).limit(1)
-      .select(when($"v" < 0, lit(-1L)).otherwise(lit(1L)).as("sgn"))
-    val nrm = vec.agg(sum($"v" * $"v").as("n2"))
-    vec.crossJoin(broadcast(sgn)).crossJoin(broadcast(nrm))
-      .select($"j".cast("long").as("dim"),
-        when($"n2" > 0,
-          round(($"v" * $"sgn").cast("double") / sqrt($"n2".cast("double")), 6))
-          .as("loading"))
-      .orderBy($"dim")
   }
 
   val q151Sql: String = {
