@@ -226,6 +226,22 @@ object Probe {
           f"match_edges_noop=${median(edges)}%.2fs reps=${edges.map(w => f"$w%.2f").mkString(",")}",
           f"q140_full=${median(fulls)}%.2fs reps=${fulls.map(w => f"$w%.2f").mkString(",")}")
           .mkString("\n[probe] ")
+      case "tables-build-price" =>
+        // prices the per-call `spark.read.parquet` relation build (footer
+        // schema read + file listing) that EVERY query invocation pays per
+        // table it touches — measured before deciding whether a
+        // session-scoped relation cache is worth having.
+        val n = if (args.length > 2) args(2).toInt else 50
+        def buildAll(): Unit = {
+          val t = Tables(spark, dir)
+          Seq(t.region, t.nation, t.customer, t.supplier, t.part, t.orders,
+            t.lineitem, t.documents, t.embeddings).foreach(_.schema)
+        }
+        buildAll() // warm FS/footer caches once, untimed
+        val t0b = System.nanoTime()
+        (1 to n).foreach(_ => buildAll())
+        val per = (System.nanoTime() - t0b) / 1e9 / n
+        f"tables_build_all9=${per * 1000}%.1fms/call (x$n reps, warm)"
       case "q192-digest-price" =>
         // prices q192's digest swap (r16 verdict order 8): md5 string
         // key vs (xxhash64, length) compound key, same plan otherwise.

@@ -382,16 +382,21 @@ object DedupOps {
       .filter(wordsGe3(col("text")))
       .withColumn("__sh",
         array_distinct(graft.plans.TextExpressions.wordTrigrams(col("text"))))
+    // portable lanes: ALL 16 minima in one codegen'd pass over the
+    // shingle array (plans.TextExpressions.PortableMinHashLanes, r19) —
+    // the HOF form paid one interpreted md5-fold transform plus 16
+    // interpreted array_min(transform(...)) passes per row. Same base
+    // hash, lane arithmetic and empty/null semantics (spec-pinned); the
+    // __mhs array is materialized by its own projection so the 16
+    // element reads never re-run the scan.
     val hoisted =
-      if (portable) base.withColumn("__hs",
-        transform(col("__sh"),
-          s => conv(substring(md5(s), 1, 8), 16, 10).cast("long") % P31))
+      if (portable) base.withColumn("__mhs",
+        graft.plans.TextExpressions.portableMinHashLanes(
+          col("__sh"), hashA, hashB, P31))
       else base
     def lane(i: Int): Column =
-      if (portable)
-        array_min(transform(col("__hs"), h => (lit(hashA(i)) * h + lit(hashB(i))) % P31))
-      else
-        array_min(transform(col("__sh"), s => xxhash64(lit(i), s)))
+      if (portable) col("__mhs").getItem(i)
+      else array_min(transform(col("__sh"), s => xxhash64(lit(i), s)))
     val keep = col("doc_id") +: carry.map(col)
     val sigs = hoisted.select(
       keep ++ (0 until NumHashes).map(i => lane(i).as(s"mh$i")): _*)

@@ -191,6 +191,86 @@ object TextExpressions {
   def sortedSingletonCount(c: Column): Column =
     ColumnBridge.column(SortedSingletonCount(ColumnBridge.expression(c)))
 
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** All K portable MinHash lane minima in ONE pass over the shingle
+    * array — the row-local signature construction of
+    * DedupOps.bandedDocs (streaming LSH dedup, q64/q148/q174/q178).
+    * The HOF formulation paid one interpreted `transform` materializing
+    * a base-hash array (an md5 + conv + substring lambda per shingle)
+    * plus K more interpreted `array_min(transform(...))` passes per
+    * row; this folds the same arithmetic — base h = first 8 md5 hex
+    * digits as an unsigned int mod p, lane v = (aᵢ·h + bᵢ) mod p, min
+    * per lane — into one codegen'd scan with no intermediate arrays.
+    * Empty input yields all-null lanes (array_min-of-empty semantics);
+    * null elements are skipped (array_min ignores nulls); a null input
+    * array is null. Pinned against the HOF construction by
+    * DedupSimilaritySpec.
+    */
+  def minHashLanes(arr: ArrayData, a: Array[Long], b: Array[Long],
+      p: Long): ArrayData = {
+    val n = arr.numElements()
+    val k = a.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    val md = md5Local.get()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        md.reset()
+        val dg = md.digest(arr.getUTF8String(i).getBytes)
+        // conv(substring(hex, 1, 8), 16, 10) = first 4 digest bytes as an
+        // unsigned 32-bit value
+        val h = (((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+          ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)) % p
+        var j = 0
+        while (j < k) {
+          val v = (a(j) * h + b(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) new GenericArrayData(Array.fill[Any](k)(null))
+    else new GenericArrayData(mins.map(Long.box(_): Any))
+  }
+
+  case class PortableMinHashLanes(child: Expression, a: Seq[Long],
+      b: Seq[Long], p: Long) extends UnaryExpression {
+    require(a.length == b.length, "lane coefficient arity mismatch")
+    private lazy val aArr = a.toArray
+    private lazy val bArr = b.toArray
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def prettyName: String = "portable_minhash_lanes"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> input, got ${other.sql}")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      minHashLanes(v.asInstanceOf[ArrayData], aArr, bArr, p)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aRef = ctx.addReferenceObj("mhLaneA", aArr, "long[]")
+      val bRef = ctx.addReferenceObj("mhLaneB", bArr, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.TextExpressions.minHashLanes($c, $aRef, $bRef, ${p}L);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): PortableMinHashLanes =
+      copy(child = c)
+  }
+
+  def portableMinHashLanes(c: Column, a: Seq[Long], b: Seq[Long],
+      p: Long): Column =
+    ColumnBridge.column(PortableMinHashLanes(ColumnBridge.expression(c), a, b, p))
+
   case class ArrayWordNgrams(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "array_word_ngrams"

@@ -373,6 +373,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("PortableMinHashLanes kernel matches the HOF lane construction it replaced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // edge battery: plain shingles, multi-byte codepoints, 1-element,
+    // empty array (array_min-of-empty → null lanes), and a null array
+    val rows = Seq(
+      (1L, Some(Seq("alpha beta gamma", "beta gamma delta", "gamma delta epsilon"))),
+      (2L, Some(Seq("héllo wörld ünïcode"))),
+      (3L, Some(Seq.empty[String])),
+      (4L, None))
+    val df = rows.toDF("id", "sh")
+    val kernel = df.select($"id",
+      graft.plans.TextExpressions.portableMinHashLanes(
+        $"sh", DedupOps.hashA, DedupOps.hashB, DedupOps.P31).as("mhs"))
+    val hof = df.select($"id",
+      transform($"sh",
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long") % DedupOps.P31)
+        .as("hs"))
+      .select($"id", array((0 until DedupOps.NumHashes).map(i =>
+        array_min(transform($"hs",
+          h => (lit(DedupOps.hashA(i)) * h + lit(DedupOps.hashB(i))) % DedupOps.P31))): _*)
+        .as("mhs"))
+    val k = kernel.as[(Long, Option[Seq[Option[Long]]])].collect().toMap
+    val h = hof.as[(Long, Option[Seq[Option[Long]]])].collect().toMap
+    // null input: kernel yields null array; HOF's outer array(...) of all-null
+    // lanes — normalize both to the lane sequence (null array ≡ no lanes)
+    assert(k(1L) === h(1L))
+    assert(k(2L) === h(2L))
+    assert(k(3L).get === Seq.fill(DedupOps.NumHashes)(None)) // empty → null lanes
+    assert(h(3L).get === Seq.fill(DedupOps.NumHashes)(None))
+    assert(k(4L).isEmpty) // null array stays null through the kernel
+  }
+
   test("regex shingling equals split-on-space trigrams on punctuation-heavy text") {
     // the old \b-anchored lookahead invented shingles mid-token on
     // hyphens/apostrophes and dropped them on leading punctuation
