@@ -883,7 +883,16 @@ object Profiling {
     * the tagged stream. Aggregate volume is identical to |edges| separate
     * audits — what changes is the number of full passes over the child
     * (|edges| → 1), which is the dominant term when the child is the
-    * 100 TB fact table. Keys ride as longs (injective widening for any
+    * 100 TB fact table and scans are IO-bound. Measured trade (r19): at
+    * sf0.1 the fused form is ~0.45× (ABBA medians 1.70/2.16 s vs
+    * 4.55/4.82 s) and far more rep-stable; at sf1 0.88×; at a
+    * single-node PAGE-CACHED sf10 it is ~1.2× SLOWER (warm reps ~9.0 s
+    * vs ~7.4 s) — with the 3 scans served from memory, the explode's
+    * per-row struct cost exceeds the scan savings. The fusion is the
+    * right call exactly when the child does not fit in page cache,
+    * i.e. the regime the operator exists for; a deployment auditing a
+    * RAM-resident table should prefer |edges| single-edge audits.
+    * Keys ride as longs (injective widening for any
     * integral column, so every count is unchanged); per-audit outputs are
     * bit-identical to the single-edge form.
     */
